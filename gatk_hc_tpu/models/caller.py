@@ -1,0 +1,186 @@
+"""Pipeline driver: the region walker that stitches the full caller together.
+
+Mirrors hc::HaplotypeCaller::do_work / call_region
+(haplotypecaller.hpp:83-154): fixed-size windows with padding (the first
+window is only end-padded), positional downsampling, filter -> clip ->
+assemble -> PairHMM -> genotype -> VCF rows.
+
+Deliberate fixes over the reference (documented, SURVEY.md §3):
+* windows and read-bucket indexing are clamped to the contig instead of
+  reading out of bounds;
+* downsampling is deterministic (HCConfig.downsample_mode).
+
+The PairHMM engine is pluggable so the same driver runs the Pallas/TPU
+engine, the C++ native engine, or the Python oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, HCConfig
+from ..io.fasta import read_fasta
+from ..io.sam import SAMRecord, load_reads_by_start, read_sam
+from ..utils.interval import Interval
+from .downsampler import downsample_window
+from .genotyper import assign_genotype_likelihoods
+from .haplotype import Haplotype, Variant
+from .read_clipper import hard_clip_reads
+from .read_filters import filter_reads
+
+# Engine signature: (reads, haplotypes) -> (n_reads x n_haps log10 matrix).
+PairHMMEngine = Callable[[Sequence[SAMRecord], Sequence[Haplotype]], np.ndarray]
+AssembleFn = Callable[[Sequence[SAMRecord], str, HCConfig], List[Haplotype]]
+
+
+@dataclasses.dataclass
+class RegionResult:
+    origin: Interval
+    padded: Interval
+    n_reads: int
+    n_haplotypes: int
+    variants: List[Variant]
+    # raw PairHMM work volume for the benchmark counters
+    cell_updates: int = 0
+
+
+def vcf_header(contig: str, contig_length: int, cfg: HCConfig) -> str:
+    """haplotypecaller.hpp:132-135, byte-for-byte (reference emits no contig
+    line; keep parity)."""
+    return (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype Quality">\n'
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{cfg.sample_name}\n"
+    )
+
+
+def iter_windows(
+    contig: str, ref_size: int, cfg: HCConfig
+) -> Iterable[Tuple[Interval, Interval]]:
+    """(origin, padded) window pairs (haplotypecaller.hpp:125-151).
+
+    First window: [0, region+padding).  Later: [begin-padding, end+padding).
+    The padded interval is clamped to the contig for safety; the origin
+    interval is NOT clamped (event filtering uses it as a half-open bound,
+    and the reference behaves identically because events can't start past
+    the contig end)."""
+    windows_number = (ref_size + cfg.region_size - 1) // cfg.region_size
+    origin = Interval(contig, 0, cfg.region_size)
+    padded = Interval(contig, 0, cfg.region_size + cfg.padding_size)
+    for _ in range(windows_number):
+        clamped = Interval(contig, padded.begin, min(padded.end, ref_size))
+        yield origin, clamped
+        origin = Interval(contig, origin.begin + cfg.region_size, origin.end + cfg.region_size)
+        padded = Interval(
+            contig, origin.begin - cfg.padding_size, origin.end + cfg.padding_size
+        )
+
+
+def call_region(
+    reads: List[SAMRecord],
+    window_ref: str,
+    padded_region: Interval,
+    origin_region: Interval,
+    cfg: HCConfig,
+    pairhmm_engine: PairHMMEngine,
+    assemble_fn: AssembleFn,
+) -> RegionResult:
+    """haplotypecaller.hpp:83-107 for one window."""
+    reads = filter_reads(reads, cfg)
+    reads = hard_clip_reads(reads, padded_region, cfg)
+    result = RegionResult(origin_region, padded_region, len(reads), 0, [])
+    if not reads:
+        return result
+
+    haplotypes = assemble_fn(reads, window_ref, cfg)
+    result.n_haplotypes = len(haplotypes)
+    if len(haplotypes) <= 1:
+        return result
+
+    result.cell_updates = sum(len(r) for r in reads) * sum(len(h) for h in haplotypes)
+    likelihoods, kept = compute_likelihoods(reads, haplotypes, cfg, pairhmm_engine)
+    result.variants = assign_genotype_likelihoods(
+        kept, haplotypes, likelihoods, window_ref, padded_region, origin_region, cfg
+    )
+    return result
+
+
+def compute_likelihoods(
+    reads: List[SAMRecord],
+    haplotypes: List[Haplotype],
+    cfg: HCConfig,
+    pairhmm_engine: PairHMMEngine,
+) -> Tuple[np.ndarray, List[SAMRecord]]:
+    """Engine dispatch + the normalization/poorly-modeled-read filter that
+    the reference applies inside IntelPairHMM::compute_likelihoods."""
+    from ..ops.pairhmm_oracle import normalize_and_filter
+
+    matrix = pairhmm_engine(reads, haplotypes)
+    filtered, kept_indices = normalize_and_filter(
+        matrix,
+        [len(r) for r in reads],
+        cfg.max_best_alt_likelihood_difference,
+        cfg.expected_error_rate_per_base,
+        cfg.log10_quality_per_base,
+        cfg.max_expected_error_per_read,
+    )
+    kept_reads = [reads[i] for i in kept_indices]
+    return filtered, kept_reads
+
+
+def call(
+    sam_path: str,
+    fasta_path: str,
+    out_path: Optional[str],
+    cfg: HCConfig = DEFAULT_CONFIG,
+    pairhmm_engine: Optional[PairHMMEngine] = None,
+    assemble_fn: Optional[AssembleFn] = None,
+    region_filter: Optional[Callable[[int], bool]] = None,
+) -> List[RegionResult]:
+    """End-to-end SAM + FASTA -> VCF.  Returns per-region results; writes the
+    VCF if ``out_path`` is given."""
+    from ..ops.engines import make_pairhmm_engine, make_assemble_fn
+
+    if pairhmm_engine is None:
+        pairhmm_engine = make_pairhmm_engine(cfg)
+    if assemble_fn is None:
+        assemble_fn = make_assemble_fn(cfg)
+
+    fasta = read_fasta(fasta_path)
+    ref = fasta.seq
+    buckets = load_reads_by_start(read_sam(sam_path), len(ref))
+
+    results: List[RegionResult] = []
+    for index, (origin, padded) in enumerate(iter_windows(fasta.name, len(ref), cfg)):
+        if region_filter is not None and not region_filter(index):
+            continue
+        reads = downsample_window(buckets, padded.begin, padded.end, cfg)
+        if not reads:
+            results.append(RegionResult(origin, padded, 0, 0, []))
+            continue
+        window_ref = ref[padded.begin : padded.end]
+        results.append(
+            call_region(reads, window_ref, padded, origin, cfg, pairhmm_engine, assemble_fn)
+        )
+
+    if out_path is not None:
+        write_vcf(out_path, fasta.name, len(ref), results, cfg)
+    return results
+
+
+def write_vcf(
+    out_path: str,
+    contig: str,
+    contig_length: int,
+    results: Sequence[RegionResult],
+    cfg: HCConfig,
+) -> None:
+    with open(out_path, "w") as handle:
+        handle.write(vcf_header(contig, contig_length, cfg))
+        for region in results:
+            for variant in region.variants:
+                handle.write(variant.to_vcf_row())

@@ -1,0 +1,297 @@
+"""Single-sample diploid exact genotyper.
+
+Mirrors hc::Genetyper (reference genotyper/genotyper.hpp) including:
+
+* event extraction by walking each haplotype's SW CIGAR against the padded
+  window reference (SNPs from M-mismatches, left-anchored indels;
+  genotyper.hpp:35-111);
+* spanning-deletion '*' replacement (:141-156);
+* compatible-allele resolution against the longest REF (:158-193), alleles
+  ordered [ref] + sorted(alts) (std::set<string> lexicographic);
+* haplotype->allele mapping with later allele indices overwriting earlier
+  assignments for multi-event haplotypes (:195-232);
+* marginalization over reads overlapping the longest event ±2: per-read max
+  likelihood over the haplotypes of each allele (:234-274);
+* diploid genotype likelihoods: hom = lik + log10(2) per read, het =
+  approximate_log10_sum_log10(lik1, lik2); summed over reads minus
+  n*log10(2) (:276-328);
+* GQ = round(-10*(second_best-best)) capped at 99 (:330-362); emit unless
+  hom-ref, unless 0/x het with GQ < 50, skip sites with > 7 alleles
+  (:379-395).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..config import HCConfig
+from ..io.sam import SAMRecord
+from ..utils.interval import Interval
+from ..utils.quality import approximate_log10_sum_log10
+from .haplotype import Haplotype, Variant
+
+SPAN_DEL = "*"
+_LOG10_2 = math.log10(2.0)
+_LOWEST = -float(np.finfo(np.float64).max)  # std::numeric_limits<double>::lowest
+
+
+def process_cigar_for_initial_events(
+    haplotype: Haplotype, ref: str, padded_region: Interval
+) -> None:
+    """genotyper.hpp:35-111."""
+    contig = padded_region.contig
+    padded_begin = padded_region.begin
+    ref_pos = haplotype.alignment_begin_wrt_ref
+    hap_pos = 0
+    hap = haplotype.bases
+    for length, op in haplotype.cigar:
+        if op == "M":
+            for offset in range(length):
+                if ref[ref_pos + offset] != hap[hap_pos + offset]:
+                    begin = padded_begin + ref_pos + offset
+                    haplotype.event_map[begin] = Variant(
+                        location=Interval(contig, begin, begin + 1),
+                        ref=ref[ref_pos + offset],
+                        alt=hap[hap_pos + offset],
+                    )
+            ref_pos += length
+            hap_pos += length
+        elif op == "I":
+            if ref_pos > 0:
+                begin = padded_begin + ref_pos - 1
+                anchor = ref[ref_pos - 1]
+                haplotype.event_map[begin] = Variant(
+                    location=Interval(contig, begin, begin + 1),
+                    ref=anchor,
+                    alt=anchor + hap[hap_pos : hap_pos + length],
+                )
+            hap_pos += length
+        elif op == "D":
+            if ref_pos > 0:
+                begin = padded_begin + ref_pos - 1
+                haplotype.event_map[begin] = Variant(
+                    location=Interval(contig, begin, begin + length + 1),
+                    ref=ref[ref_pos - 1 : ref_pos + length],
+                    alt=ref[ref_pos - 1],
+                )
+            ref_pos += length
+        elif op == "S":
+            hap_pos += length
+        else:
+            raise ValueError(f"unsupported CIGAR op {op!r} from SW alignment")
+
+
+def _set_events_for_haplotypes(
+    haplotypes: List[Haplotype], ref: str, padded_region: Interval
+) -> List[int]:
+    event_begins: Set[int] = set()
+    for rank, h in enumerate(haplotypes):
+        h.rank = rank
+        h.event_map = {}
+        process_cigar_for_initial_events(h, ref, padded_region)
+        event_begins.update(h.event_map.keys())
+    return sorted(event_begins)
+
+
+def _get_events_from_haplotypes(
+    begin: int, haplotypes: List[Haplotype]
+) -> List[Variant]:
+    unique: Dict[Tuple, Variant] = {}
+    for h in haplotypes:
+        for event in h.get_overlapping_events(begin):
+            unique.setdefault(event.sort_key(), event)
+    return [unique[key] for key in sorted(unique)]
+
+
+def _replace_span_dels(
+    events: List[Variant], ref_allele: str, begin: int, contig: str
+) -> List[Variant]:
+    return [
+        event
+        if event.location.begin == begin
+        else Variant(
+            location=Interval(contig, begin, begin + 1), ref=ref_allele, alt=SPAN_DEL
+        )
+        for event in events
+    ]
+
+
+def _get_compatible_alternate_allele(ref_allele: str, event: Variant) -> str:
+    if event.alt == SPAN_DEL:
+        return SPAN_DEL
+    return event.alt + ref_allele[len(event.ref) :]
+
+
+def _get_compatible_alleles(
+    events: List[Variant],
+) -> Tuple[List[str], Interval]:
+    longest_event = events[0]
+    # determine_reference_allele: first REF of maximal length (:158-162)
+    best_len = max(len(e.ref) for e in events)
+    ref_allele = next(e.ref for e in events if len(e.ref) == best_len)
+    alts: Set[str] = set()
+    for event in events:
+        if event.size > longest_event.size:
+            longest_event = event
+        if event.ref == ref_allele:
+            alts.add(event.alt)
+        else:
+            alts.add(_get_compatible_alternate_allele(ref_allele, event))
+    alleles = [ref_allele] + sorted(alts)
+    return alleles, longest_event.location
+
+
+def _get_allele_mapper(
+    alleles: List[str], begin: int, haplotypes: List[Haplotype]
+) -> Dict[int, List[int]]:
+    result: Dict[int, List[int]] = {0: []}
+    ref_allele = alleles[0]
+
+    def get_index(allele: str) -> int:
+        return alleles.index(allele)
+
+    for h in haplotypes:
+        spanning = h.get_overlapping_events(begin)
+        if not spanning:
+            result[0].append(h.rank)
+        for event in spanning:
+            if event.location.begin == begin:
+                if len(event.ref) == len(ref_allele):
+                    result.setdefault(get_index(event.alt), []).append(h.rank)
+                elif len(event.ref) < len(ref_allele):
+                    idx = get_index(_get_compatible_alternate_allele(ref_allele, event))
+                    result.setdefault(idx, []).append(h.rank)
+            else:
+                result.setdefault(get_index(SPAN_DEL), []).append(h.rank)
+    return result
+
+
+def _get_haplotype_mapper(
+    allele_mapper: Dict[int, List[int]], haplotype_count: int
+) -> List[int]:
+    haplotype_mapper = [0] * haplotype_count
+    for allele_index in sorted(allele_mapper):  # std::map iteration order
+        for h in allele_mapper[allele_index]:
+            haplotype_mapper[h] = allele_index
+    return haplotype_mapper
+
+
+def _marginalize(
+    haplotype_mapper: List[int],
+    allele_count: int,
+    reads: Sequence[SAMRecord],
+    likelihoods: np.ndarray,  # (n_reads, n_haps)
+    overlap: Interval,
+) -> np.ndarray:
+    keep = [i for i, read in enumerate(reads) if read.interval.overlaps(overlap)]
+    allele_lik = np.full((len(keep), allele_count), _LOWEST)
+    for r, old in enumerate(keep):
+        for h, allele_index in enumerate(haplotype_mapper):
+            lik = likelihoods[old][h]
+            if lik > allele_lik[r, allele_index]:
+                allele_lik[r, allele_index] = lik
+    return allele_lik
+
+
+def _calculate_genotype_likelihoods(
+    allele_lik: np.ndarray, allele_count: int
+) -> List[float]:
+    n_reads = allele_lik.shape[0]
+    denominator = n_reads * _LOG10_2
+    result: List[float] = []
+    for a1 in range(allele_count):
+        for a2 in range(a1, allele_count):
+            if a1 == a2:
+                total = 0.0
+                for r in range(n_reads):
+                    total += allele_lik[r, a1] + _LOG10_2
+            else:
+                total = 0.0
+                for r in range(n_reads):
+                    total += approximate_log10_sum_log10(
+                        allele_lik[r, a1], allele_lik[r, a2]
+                    )
+            result.append(total - denominator)
+    return result
+
+
+def _gq_and_max_index(genotypes: List[float], max_gq: int) -> Tuple[int, int]:
+    """genotyper.hpp:330-362 (note >= lets later ties win the max slot)."""
+    if genotypes[0] > genotypes[1]:
+        second, best, best_index = genotypes[1], genotypes[0], 0
+    else:
+        second, best, best_index = genotypes[0], genotypes[1], 1
+    for i in range(2, len(genotypes)):
+        g = genotypes[i]
+        if g >= best:
+            second, best, best_index = best, g, i
+        elif g > second:
+            second = g
+    # std::round = half away from zero (argument is non-negative here);
+    # Python round() is banker's rounding, so use floor(x + 0.5).
+    gq = int(math.floor(-10.0 * (second - best) + 0.5))
+    return best_index, min(gq, max_gq)
+
+
+def _genotype_alleles(allele_count: int, genotype_index: int) -> Tuple[int, int]:
+    """allele_index_cache (genotyper.hpp:22-33): pairs (a1<=a2) in order."""
+    index = 0
+    for a1 in range(allele_count):
+        for a2 in range(a1, allele_count):
+            if index == genotype_index:
+                return a1, a2
+            index += 1
+    raise IndexError(genotype_index)
+
+
+def assign_genotype_likelihoods(
+    reads: Sequence[SAMRecord],
+    haplotypes: List[Haplotype],
+    likelihoods: np.ndarray,  # (n_reads, n_haps) float64
+    ref: str,
+    padded_region: Interval,
+    origin_region: Interval,
+    cfg: HCConfig,
+) -> List[Variant]:
+    """genotyper.hpp:369-398."""
+    event_begins = _set_events_for_haplotypes(haplotypes, ref, padded_region)
+    variants: List[Variant] = []
+    for begin in event_begins:
+        if begin < origin_region.begin or begin >= origin_region.end:
+            continue
+        events = _get_events_from_haplotypes(begin, haplotypes)
+        events = _replace_span_dels(
+            events, ref[begin - padded_region.begin], begin, origin_region.contig
+        )
+        alleles, alleles_loc = _get_compatible_alleles(events)
+        allele_count = len(alleles)
+        if allele_count > cfg.max_allele_count:
+            continue
+        allele_mapper = _get_allele_mapper(alleles, begin, haplotypes)
+        haplotype_mapper = _get_haplotype_mapper(allele_mapper, len(haplotypes))
+        allele_lik = _marginalize(
+            haplotype_mapper,
+            allele_count,
+            reads,
+            likelihoods,
+            alleles_loc.expand_within_contig(cfg.allele_extension),
+        )
+        genotype_lik = _calculate_genotype_likelihoods(allele_lik, allele_count)
+        genotype_index, gq = _gq_and_max_index(genotype_lik, cfg.max_genotype_quality)
+        if genotype_index == 0:
+            continue
+        gt = _genotype_alleles(allele_count, genotype_index)
+        if gt[0] == 0 and gq < cfg.min_heterozygosity_quality:
+            continue
+        variants.append(
+            Variant(
+                location=alleles_loc,
+                alleles=tuple(alleles),
+                gt=gt,
+                gq=gq,
+            )
+        )
+    return variants

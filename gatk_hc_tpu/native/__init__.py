@@ -1,0 +1,285 @@
+"""ctypes bindings for the C++ host runtime (libhcnative.so).
+
+Build with ``python -m gatk_hc_tpu.native.build`` (or ``make -C
+gatk_hc_tpu/native``).  Every native function has a pure-Python fallback in
+the package, and the test suite differential-checks the two.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libhcnative.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        if not os.path.exists(_LIB_PATH):
+            from .build import build
+
+            build()
+        _lib = ctypes.CDLL(_LIB_PATH)
+        _configure(_lib)
+        _push_tables(_lib)
+    return _lib
+
+
+def _push_tables(lib: ctypes.CDLL) -> None:
+    """Overwrite native tables with the numpy-computed ones so every engine
+    shares bit-identical numeric context."""
+    from ..utils import quality as Q
+
+    c = lambda a, t: np.ascontiguousarray(a).ctypes.data_as(ctypes.POINTER(t))
+    lib.hc_load_tables(
+        c(Q.PH2PR_F32, ctypes.c_float), c(Q.PH2PR_F64, ctypes.c_double),
+        c(Q.MATCH_TO_MATCH_F32, ctypes.c_float),
+        c(Q.MATCH_TO_MATCH_F64, ctypes.c_double),
+        c(Q.JACOBIAN_F32, ctypes.c_float), c(Q.JACOBIAN_F64, ctypes.c_double),
+    )
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+
+    lib.hc_sw_align.restype = ctypes.c_int32
+    lib.hc_sw_align.argtypes = [
+        u8p, ctypes.c_int32,  # ref
+        u8p, ctypes.c_int32,  # alt
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # params
+        ctypes.c_int32,  # max mismatches for all-match fast path
+        ctypes.c_char_p, ctypes.c_int32,  # cigar out buffer
+        i32p,  # alignment offset out
+    ]
+
+    lib.hc_pairhmm_f32.restype = None
+    lib.hc_pairhmm_f32.argtypes = [
+        u8p, u8p, i32p, ctypes.c_int32,  # reads, quals, lens, stride
+        u8p, i32p, ctypes.c_int32,  # haps, lens, stride
+        i32p, i32p, ctypes.c_int64,  # pair indices
+        ctypes.c_int32, ctypes.c_int32,  # gop, gcp
+        f32p,  # out raw f32 probs
+    ]
+    lib.hc_pairhmm_f64.restype = None
+    lib.hc_pairhmm_f64.argtypes = list(lib.hc_pairhmm_f32.argtypes[:-1]) + [f64p]
+
+    lib.hc_assemble.restype = ctypes.c_int32
+    lib.hc_assemble.argtypes = [
+        u8p, ctypes.c_int64,  # ref
+        u8p, u8p, i64p, ctypes.c_int32,  # read seqs, quals, offsets, n_reads
+        i32p,  # config ints
+        u8p, ctypes.c_int64,  # out hap bases arena
+        i64p,  # out hap offsets (n+1)
+        f64p,  # out scores
+        ctypes.c_int32,  # max haplotypes
+    ]
+
+    lib.hc_load_tables.restype = None
+    lib.hc_load_tables.argtypes = [f32p, f64p, f32p, f64p, f32p, f64p]
+    lib.hc_table_probe.restype = None
+    lib.hc_table_probe.argtypes = [f32p, f64p, f32p, f64p, f32p, f64p]
+
+
+# ---------------------------------------------------------------------------
+# Public wrappers
+
+
+def sw_align_native(ref: str, alt: str, params, max_mismatches: int = 2):
+    from ..utils.cigar import parse_cigar
+
+    lib = _load()
+    ref_b = np.frombuffer(ref.encode(), dtype=np.uint8)
+    alt_b = np.frombuffer(alt.encode(), dtype=np.uint8)
+    buf = ctypes.create_string_buffer(2 * max(len(ref), len(alt)) + 16)
+    offset = ctypes.c_int32(0)
+    rc = lib.hc_sw_align(
+        ref_b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(ref_b),
+        alt_b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(alt_b),
+        params.w_match, params.w_mismatch, params.w_open, params.w_extend,
+        max_mismatches,
+        buf, len(buf),
+        ctypes.byref(offset),
+    )
+    if rc != 0:
+        raise RuntimeError(f"hc_sw_align failed with rc={rc}")
+    return int(offset.value), parse_cigar(buf.value.decode())
+
+
+def pairhmm_raw_native(
+    read_bases: np.ndarray,  # (n_reads, read_stride) uint8, 0-padded
+    read_quals: np.ndarray,
+    read_lens: np.ndarray,  # (n_reads,) int32
+    hap_bases: np.ndarray,  # (n_haps, hap_stride) uint8
+    hap_lens: np.ndarray,
+    pair_read: np.ndarray,  # (n_pairs,) int32
+    pair_hap: np.ndarray,
+    gop: int,
+    gcp: int,
+    dtype=np.float32,
+) -> np.ndarray:
+    lib = _load()
+    n_pairs = len(pair_read)
+    out = np.zeros(n_pairs, dtype=dtype)
+    fn = lib.hc_pairhmm_f32 if dtype == np.float32 else lib.hc_pairhmm_f64
+    cptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    fn(
+        cptr(read_bases, ctypes.c_uint8), cptr(read_quals, ctypes.c_uint8),
+        cptr(read_lens, ctypes.c_int32), read_bases.shape[1],
+        cptr(hap_bases, ctypes.c_uint8), cptr(hap_lens, ctypes.c_int32),
+        hap_bases.shape[1],
+        cptr(pair_read, ctypes.c_int32), cptr(pair_hap, ctypes.c_int32), n_pairs,
+        gop, gcp,
+        cptr(out, ctypes.c_float if dtype == np.float32 else ctypes.c_double),
+    )
+    return out
+
+
+def table_probe_native():
+    """Return native-computed sample table values for bit-equality tests."""
+    lib = _load()
+    ph32 = np.zeros(128, dtype=np.float32)
+    ph64 = np.zeros(128, dtype=np.float64)
+    mm32 = np.zeros(((254 + 1) * (254 + 2)) // 2, dtype=np.float32)
+    mm64 = np.zeros_like(mm32, dtype=np.float64)
+    jac32 = np.zeros(80001, dtype=np.float32)
+    jac64 = np.zeros(80001, dtype=np.float64)
+    c = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    lib.hc_table_probe(
+        c(ph32, ctypes.c_float), c(ph64, ctypes.c_double),
+        c(mm32, ctypes.c_float), c(mm64, ctypes.c_double),
+        c(jac32, ctypes.c_float), c(jac64, ctypes.c_double),
+    )
+    return ph32, ph64, mm32, mm64, jac32, jac64
+
+
+# ---------------------------------------------------------------------------
+# Engine factories used by ops/engines.py
+
+
+def _flatten_reads(reads):
+    n = len(reads)
+    stride = max((len(r.seq) for r in reads), default=1)
+    bases = np.zeros((n, stride), dtype=np.uint8)
+    quals = np.zeros((n, stride), dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int32)
+    for i, r in enumerate(reads):
+        b = np.frombuffer(r.seq.encode(), dtype=np.uint8)
+        q = np.frombuffer(r.qual.encode(), dtype=np.uint8)
+        bases[i, : len(b)] = b
+        quals[i, : len(q)] = q
+        lens[i] = len(b)
+    return bases, quals, lens
+
+
+def _flatten_haps(haps):
+    n = len(haps)
+    stride = max((len(h.bases) for h in haps), default=1)
+    bases = np.zeros((n, stride), dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int32)
+    for i, h in enumerate(haps):
+        b = np.frombuffer(h.bases.encode(), dtype=np.uint8)
+        bases[i, : len(b)] = b
+        lens[i] = len(b)
+    return bases, lens
+
+
+def native_pairhmm_engine(cfg):
+    from ..ops.pairhmm_oracle import finalize_log10
+
+    def engine(reads, haplotypes):
+        rb, rq, rl = _flatten_reads(reads)
+        hb, hl = _flatten_haps(haplotypes)
+        n_r, n_h = len(reads), len(haplotypes)
+        pair_read = np.repeat(np.arange(n_r, dtype=np.int32), n_h)
+        pair_hap = np.tile(np.arange(n_h, dtype=np.int32), n_r)
+        probs = pairhmm_raw_native(
+            rb, rq, rl, hb, hl, pair_read, pair_hap, cfg.gop_char, cfg.gcp_char
+        )
+
+        def rescue(indices):
+            return pairhmm_raw_native(
+                rb, rq, rl, hb, hl,
+                pair_read[indices], pair_hap[indices],
+                cfg.gop_char, cfg.gcp_char, np.float64,
+            )
+
+        return finalize_log10(probs, rescue).reshape(n_r, n_h)
+
+    return engine
+
+
+def native_assemble_fn(cfg):
+    from ..models.haplotype import Haplotype
+    from ..ops.sw import sw_align
+
+    def assemble(reads, ref, config):
+        lib = _load()
+        ref_b = np.frombuffer(ref.encode(), dtype=np.uint8)
+        seq_blob = "".join(r.seq for r in reads).encode()
+        qual_blob = "".join(r.qual for r in reads).encode()
+        offsets = np.zeros(len(reads) + 1, dtype=np.int64)
+        np.cumsum([len(r.seq) for r in reads], out=offsets[1:])
+        seqs = np.frombuffer(seq_blob, dtype=np.uint8)
+        quals = np.frombuffer(qual_blob, dtype=np.uint8)
+        cfg_ints = np.array(
+            [
+                config.initial_kmer_size,
+                config.kmer_size_iteration_increase,
+                config.max_kmer_iterations,
+                config.max_unique_kmers_to_discard,
+                config.prune_factor,
+                config.min_base_quality_to_use,
+                config.max_num_haplotypes,
+            ],
+            dtype=np.int32,
+        )
+        max_h = config.max_num_haplotypes
+        arena = np.zeros(max_h * (len(ref) + 64), dtype=np.uint8)
+        hap_offsets = np.zeros(max_h + 1, dtype=np.int64)
+        scores = np.zeros(max_h, dtype=np.float64)
+        c = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+        n = lib.hc_assemble(
+            c(ref_b, ctypes.c_uint8), len(ref_b),
+            c(seqs, ctypes.c_uint8), c(quals, ctypes.c_uint8),
+            c(offsets, ctypes.c_int64), len(reads),
+            c(cfg_ints, ctypes.c_int32),
+            c(arena, ctypes.c_uint8), len(arena),
+            c(hap_offsets, ctypes.c_int64),
+            c(scores, ctypes.c_double),
+            max_h,
+        )
+        if n < 0:
+            raise RuntimeError(f"hc_assemble failed rc={n}")
+        haplotypes = []
+        for i in range(n):
+            bases = arena[hap_offsets[i] : hap_offsets[i + 1]].tobytes().decode()
+            h = Haplotype(bases, scores[i])
+            if config.sw_engine == "native":
+                h.alignment_begin_wrt_ref, h.cigar = sw_align_native(
+                    ref, bases, config.sw_params, config.sw_max_mismatches_all_match
+                )
+            else:
+                h.alignment_begin_wrt_ref, h.cigar = sw_align(
+                    ref, bases, config.sw_params, config.sw_max_mismatches_all_match
+                )
+            haplotypes.append(h)
+        return haplotypes
+
+    return assemble

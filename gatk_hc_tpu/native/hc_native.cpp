@@ -1,0 +1,726 @@
+// gatk_hc_tpu native host runtime.
+//
+// C++17, no external dependencies.  Exposes a flat C ABI consumed via
+// ctypes (see __init__.py).  Components:
+//   * numeric context tables (ph2pr / jacobian / matchToMatch), same
+//     formulas as the reference's Context.h so the Python tables match
+//     bit-for-bit (verified by tests/test_native.py);
+//   * PairHMM forward engine, float32-with-FTZ and float64, replicating the
+//     reference main path's semantics (raw-ASCII quality indexing, Intel
+//     recurrence order, final sumM+sumX over the last row);
+//   * Smith-Waterman with backtrack replicating the reference's AVX2
+//     engine's scoring, tie-breaking and CIGAR emission semantics;
+//   * read-threading De Bruijn assembler (dup-kmer fresh vertices,
+//     last-base chain threading, backward count propagation, pruned cycle
+//     check, exhaustive pruned path enumeration, log10 edge scores).
+//
+// This is a clean-room implementation against documented behavior
+// (SURVEY.md §2/§3); no reference code is copied.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <set>
+#include <string>
+#include <string_view>
+#include <unordered_map>
+#include <vector>
+
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#define HC_HAVE_SSE 1
+#endif
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Numeric context
+
+constexpr int kMaxQual = 254;
+constexpr double kMaxJacobianTolerance = 8.0;
+constexpr double kJacobianStep = 1e-4;
+constexpr double kJacobianInvStep = 1.0 / kJacobianStep;
+constexpr int kJacobianSize = static_cast<int>(kMaxJacobianTolerance / kJacobianStep) + 1;
+constexpr int kMatchToMatchSize = ((kMaxQual + 1) * (kMaxQual + 2)) >> 1;
+
+struct Tables {
+  double ph2pr64[128];
+  float ph2pr32[128];
+  double jacobian64[kJacobianSize];
+  float jacobian32[kJacobianSize];
+  double m2m64[kMatchToMatchSize];
+  float m2m32[kMatchToMatchSize];
+
+  static double approx_log10_sum_log10(double small, double big) {
+    if (small > big) std::swap(small, big);
+    if (std::isinf(small) || std::isinf(big)) return big;
+    double diff = big - small;
+    if (diff >= kMaxJacobianTolerance) return big;
+    double d = diff * kJacobianInvStep;
+    int ind = d > 0.0 ? static_cast<int>(d + 0.5) : static_cast<int>(d - 0.5);
+    static const Tables& t = instance();
+    return big + t.jacobian64[ind];
+  }
+
+  Tables() {
+    for (int x = 0; x < 128; ++x) {
+      ph2pr64[x] = std::pow(10.0, -x / 10.0);
+      ph2pr32[x] = static_cast<float>(ph2pr64[x]);
+    }
+    for (int k = 0; k < kJacobianSize; ++k) {
+      jacobian64[k] = std::log10(1.0 + std::pow(10.0, -k * kJacobianStep));
+      jacobian32[k] = static_cast<float>(jacobian64[k]);
+    }
+    const double inv_ln10 = 1.0 / std::log(10.0);
+    int offset = 0;
+    for (int i = 0; i <= kMaxQual; ++i) {
+      for (int j = 0; j <= i; ++j) {
+        // Inline the jacobian lookup to avoid instance() recursion during
+        // construction.
+        double small = -0.1 * i, big = -0.1 * j;
+        if (small > big) std::swap(small, big);
+        double diff = big - small;
+        double log10_sum = big;
+        if (diff < kMaxJacobianTolerance) {
+          double d = diff * kJacobianInvStep;
+          int ind = d > 0.0 ? static_cast<int>(d + 0.5) : static_cast<int>(d - 0.5);
+          log10_sum = big + jacobian64[ind];
+        }
+        double m2m_log10 = std::log1p(-std::min(1.0, std::pow(10.0, log10_sum))) * inv_ln10;
+        m2m64[offset + j] = std::pow(10.0, m2m_log10);
+        m2m32[offset + j] = static_cast<float>(m2m64[offset + j]);
+      }
+      offset += i + 1;
+    }
+  }
+
+  static Tables& mutable_instance() {
+    static Tables tables;
+    return tables;
+  }
+
+  static const Tables& instance() { return mutable_instance(); }
+};
+
+inline uint8_t base_code(uint8_t b) {
+  switch (b) {
+    case 'A': return 0;
+    case 'C': return 1;
+    case 'T': return 2;
+    case 'G': return 3;
+    case 'N': return 4;
+    default: return 0;  // matches the reference's zero-initialized table
+  }
+}
+
+struct FtzScope {
+#ifdef HC_HAVE_SSE
+  unsigned int saved;
+  FtzScope() : saved(_MM_GET_FLUSH_ZERO_MODE()) {
+    _MM_SET_FLUSH_ZERO_MODE(_MM_FLUSH_ZERO_ON);
+  }
+  ~FtzScope() { _MM_SET_FLUSH_ZERO_MODE(saved); }
+#endif
+};
+
+// ---------------------------------------------------------------------------
+// PairHMM forward (one pair), templated on float/double.
+
+template <typename T>
+double pairhmm_one(const uint8_t* rs, const uint8_t* rq, int rlen,
+                   const uint8_t* hap, int hlen, int gop, int gcp) {
+  const Tables& tab = Tables::instance();
+  const bool is_f32 = sizeof(T) == 4;
+  const T* ph2pr;
+  T p_mm;
+  if constexpr (sizeof(T) == 4) {
+    ph2pr = reinterpret_cast<const T*>(tab.ph2pr32);
+    p_mm = static_cast<T>(tab.m2m32[(((gop & 127) * ((gop & 127) + 1)) >> 1) + (gop & 127)]);
+  } else {
+    ph2pr = reinterpret_cast<const T*>(tab.ph2pr64);
+    p_mm = static_cast<T>(tab.m2m64[(((gop & 127) * ((gop & 127) + 1)) >> 1) + (gop & 127)]);
+  }
+  (void)is_f32;
+  const T p_gapm = T(1.0) - ph2pr[gcp & 127];
+  const T p_mx = ph2pr[gop & 127];
+  const T p_xx = ph2pr[gcp & 127];
+  const T p_my = ph2pr[gop & 127];
+  const T p_yy = ph2pr[gcp & 127];
+
+  T initial;
+  if constexpr (sizeof(T) == 4) {
+    initial = std::ldexp(1.0f, 120);
+  } else {
+    initial = std::ldexp(1.0, 1020);
+  }
+  const T init_y = initial / static_cast<T>(hlen);
+
+  const int C = hlen;
+  std::vector<T> M_prev(C + 1), X_prev(C + 1), Y_prev(C + 1);
+  std::vector<T> M_cur(C + 1), X_cur(C + 1), Y_cur(C + 1);
+  for (int c = 0; c <= C; ++c) {
+    M_prev[c] = T(0);
+    X_prev[c] = T(0);
+    Y_prev[c] = init_y;
+  }
+  std::vector<uint8_t> hap_codes(C);
+  for (int c = 0; c < C; ++c) hap_codes[c] = base_code(hap[c]);
+
+  T sum_m = T(0), sum_x = T(0);
+  for (int r = 1; r <= rlen; ++r) {
+    const uint8_t rcode = base_code(rs[r - 1]);
+    const T q = ph2pr[rq[r - 1] & 127];
+    const T one_minus_q = T(1.0) - q;
+    const T q_div3 = q / T(3.0);
+    M_cur[0] = T(0);
+    X_cur[0] = T(0);
+    Y_cur[0] = T(0);
+    for (int c = 1; c <= C; ++c) {
+      const uint8_t hcode = hap_codes[c - 1];
+      const bool match = rcode == hcode || rcode == 4 || hcode == 4;
+      const T distm = match ? one_minus_q : q_div3;
+      const T t1 = M_prev[c - 1] * p_mm;
+      const T t2 = X_prev[c - 1] * p_gapm;
+      const T t3 = Y_prev[c - 1] * p_gapm;
+      M_cur[c] = ((t1 + t2) + t3) * distm;
+      X_cur[c] = M_prev[c] * p_mx + X_prev[c] * p_xx;
+      Y_cur[c] = M_cur[c - 1] * p_my + Y_cur[c - 1] * p_yy;
+    }
+    if (r == rlen) {
+      for (int c = 1; c <= C; ++c) sum_m = sum_m + M_cur[c];
+      for (int c = 1; c <= C; ++c) sum_x = sum_x + X_cur[c];
+    }
+    std::swap(M_prev, M_cur);
+    std::swap(X_prev, X_cur);
+    std::swap(Y_prev, Y_cur);
+  }
+  return static_cast<double>(sum_m + sum_x);
+}
+
+// ---------------------------------------------------------------------------
+// Smith-Waterman (reference AVX2-engine semantics, SOFTCLIP overhang)
+
+constexpr int SW_MATCH = 0;
+constexpr int SW_INSERT = 1;
+constexpr int SW_DELETE = 2;
+constexpr int SW_INSERT_EXT = 4;
+constexpr int SW_DELETE_EXT = 8;
+constexpr int64_t SW_MIN_CUTOFF = -100000000;
+constexpr int64_t SW_LOW_INIT = INT64_MIN / 4;
+
+struct SWResult {
+  int offset = 0;
+  std::string cigar;
+};
+
+int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
+                  int w_match, int w_mismatch, int w_open, int w_extend,
+                  int max_mismatches, SWResult* out) {
+  // all-match fast path (intel_smithwaterman.hpp:47-58)
+  if (n == m) {
+    int mismatches = 0;
+    for (int i = 0; i < n && mismatches <= max_mismatches; ++i)
+      if (ref[i] != alt[i]) ++mismatches;
+    if (mismatches <= max_mismatches) {
+      out->offset = 0;
+      out->cigar = std::to_string(n) + "M";
+      return 0;
+    }
+  }
+  std::vector<int64_t> H((n + 1) * (m + 1));
+  std::vector<uint8_t> bt((n + 1) * (m + 1), 0);
+  std::vector<int64_t> F_prev(m + 1, SW_LOW_INIT);
+  auto Hat = [&](int i, int j) -> int64_t& { return H[i * (m + 1) + j]; };
+  for (int j = 0; j <= m; ++j) Hat(0, j) = 0;
+
+  for (int i = 1; i <= n; ++i) {
+    Hat(i, 0) = 0;
+    int64_t E = SW_LOW_INIT;  // E[i][0]
+    for (int j = 1; j <= m; ++j) {
+      const int64_t h_left = Hat(i, j - 1);
+      const int64_t e_open = h_left + w_open;
+      const int64_t e_ext = E + w_extend;
+      const bool ins_ext = !(e_open > e_ext);
+      const int64_t e11 = std::max(e_open, e_ext);
+
+      const int64_t h_top = Hat(i - 1, j);
+      const int64_t f_open = h_top + w_open;
+      const int64_t f_ext = F_prev[j] + w_extend;
+      const bool del_ext = !(f_open > f_ext);
+      const int64_t f11 = std::max(f_open, f_ext);
+
+      const int64_t m11 =
+          Hat(i - 1, j - 1) + (ref[i - 1] == alt[j - 1] ? w_match : w_mismatch);
+      int64_t h11 = std::max(SW_MIN_CUTOFF, m11);
+      uint8_t code = SW_MATCH;
+      if (e11 > h11) {
+        code = SW_INSERT;
+        h11 = e11;
+      }
+      if (f11 > h11) {
+        code = SW_DELETE;
+        h11 = f11;
+      }
+      if (ins_ext) code |= SW_INSERT_EXT;
+      if (del_ext) code |= SW_DELETE_EXT;
+      Hat(i, j) = h11;
+      bt[i * (m + 1) + j] = code;
+      E = e11;
+      F_prev[j] = f11;
+    }
+  }
+
+  // start-cell selection, anti-diagonal scan order (PairWiseSW.h:200-227)
+  int64_t max_score = INT64_MIN;
+  int max_i = 0, max_j = 0;
+  for (int anti = 1; anti <= n + m; ++anti) {
+    if (anti >= n + 1) {  // bottom row cell (n, anti-n)
+      const int j = anti - n;
+      const int64_t score = Hat(n, j);
+      if (score > max_score ||
+          (score == max_score && std::abs(n - j) < std::abs(max_i - max_j))) {
+        max_score = score;
+        max_i = n;
+        max_j = j;
+      }
+    }
+    if (anti >= m + 1) {  // last column cell (anti-m, m)
+      const int i = anti - m;
+      const int64_t score = Hat(i, m);
+      if (score > max_score ||
+          (score == max_score &&
+           (max_j == m || std::abs(i - m) <= std::abs(max_i - max_j)))) {
+        max_score = score;
+        max_i = i;
+        max_j = m;
+      }
+    }
+  }
+
+  // backtrack walk (getCIGAR, PairWiseSW.h:240-415)
+  std::vector<std::pair<int, int>> raw;  // (op, len), newest last
+  int i = max_i, j = max_j;
+  if (j < m) raw.emplace_back(9, m - j);  // soft clip
+  int state = 0;
+  while (i > 0 && j > 0) {
+    const int btr = bt[i * (m + 1) + j];
+    if (state == SW_INSERT_EXT) {
+      --j;
+      raw.back().second++;
+      state = btr & SW_INSERT_EXT;
+    } else if (state == SW_DELETE_EXT) {
+      --i;
+      raw.back().second++;
+      state = btr & SW_DELETE_EXT;
+    } else {
+      switch (btr & 3) {
+        case SW_MATCH:
+          --i; --j;
+          raw.emplace_back(SW_MATCH, 1);
+          state = 0;
+          break;
+        case SW_INSERT:
+          --j;
+          raw.emplace_back(SW_INSERT, 1);
+          state = btr & SW_INSERT_EXT;
+          break;
+        default:
+          --i;
+          raw.emplace_back(SW_DELETE, 1);
+          state = btr & SW_DELETE_EXT;
+          break;
+      }
+    }
+  }
+  if (j > 0) raw.emplace_back(9, j);
+  out->offset = i;
+
+  // run-length merge then reverse
+  std::vector<std::pair<int, int>> merged;
+  for (auto [op, len] : raw) {
+    if (!merged.empty() && merged.back().first == op)
+      merged.back().second += len;
+    else
+      merged.emplace_back(op, len);
+  }
+  std::string cigar;
+  for (auto it = merged.rbegin(); it != merged.rend(); ++it) {
+    cigar += std::to_string(it->second);
+    switch (it->first) {
+      case SW_MATCH: cigar += 'M'; break;
+      case SW_INSERT: cigar += 'I'; break;
+      case SW_DELETE: cigar += 'D'; break;
+      default: cigar += 'S'; break;
+    }
+  }
+  out->cigar = std::move(cigar);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Read-threading De Bruijn assembler
+
+struct Assembly {
+  int k;
+  int prune_factor;
+  std::vector<std::string_view> kmers;        // vertex -> kmer
+  std::vector<std::vector<int>> out_edges;    // vertex -> edge ids
+  std::vector<std::vector<int>> in_edges;
+  std::vector<int> e_src, e_dst, e_count;
+  std::vector<uint8_t> e_is_ref;
+  std::unordered_map<std::string_view, int> unique_kmers;
+  std::set<std::string_view> dup_kmers;
+  int source = 0, sink = 0;
+
+  int create_vertex(std::string_view kmer) {
+    int vid = static_cast<int>(kmers.size());
+    kmers.push_back(kmer);
+    out_edges.emplace_back();
+    in_edges.emplace_back();
+    if (dup_kmers.find(kmer) == dup_kmers.end()) unique_kmers.emplace(kmer, vid);
+    return vid;
+  }
+
+  int get_vertex(std::string_view kmer) {
+    auto it = unique_kmers.find(kmer);
+    if (it != unique_kmers.end()) return it->second;
+    return create_vertex(kmer);
+  }
+
+  void create_edge(int u, int v, bool is_ref) {
+    int eid = static_cast<int>(e_src.size());
+    e_src.push_back(u);
+    e_dst.push_back(v);
+    e_count.push_back(1);
+    e_is_ref.push_back(is_ref);
+    out_edges[u].push_back(eid);
+    in_edges[v].push_back(eid);
+  }
+
+  void increase_counts_backwards(int v, std::string_view kmer) {
+    while (!kmer.empty()) {
+      if (in_edges[v].size() != 1) return;
+      const int eid = in_edges[v][0];
+      const int u = e_src[eid];
+      if (kmers[u].back() != kmer.back()) return;
+      ++e_count[eid];
+      v = u;
+      kmer.remove_suffix(1);
+    }
+  }
+
+  int extend_chain(int u, std::string_view kmer, bool is_ref) {
+    const char last = kmer.back();
+    for (int eid : out_edges[u]) {
+      const int v = e_dst[eid];
+      if (kmers[v].back() == last) {
+        ++e_count[eid];
+        return v;
+      }
+    }
+    const int v = get_vertex(kmer);
+    create_edge(u, v, is_ref);
+    return v;
+  }
+
+  void add_seq(std::string_view seq, bool is_ref) {
+    int v = get_vertex(seq.substr(0, k));
+    increase_counts_backwards(v, seq.substr(0, k - 1));
+    if (is_ref) source = v;
+    for (size_t i = 1; i + k <= seq.size(); ++i)
+      v = extend_chain(v, seq.substr(i, k), is_ref);
+    if (is_ref) sink = v;
+  }
+
+  bool edge_passes(int eid) const {
+    return e_is_ref[eid] || e_count[eid] >= prune_factor ||
+           out_edges[e_src[eid]].size() == 1;
+  }
+
+  bool has_cycles() const {
+    enum { WHITE, GRAY, BLACK };
+    std::vector<uint8_t> color(kmers.size(), WHITE);
+    std::vector<std::pair<int, size_t>> stack;
+    for (size_t root = 0; root < kmers.size(); ++root) {
+      if (color[root] != WHITE) continue;
+      color[root] = GRAY;
+      stack.clear();
+      stack.emplace_back(static_cast<int>(root), 0);
+      while (!stack.empty()) {
+        auto& [v, pos] = stack.back();
+        int next = -1;
+        while (pos < out_edges[v].size()) {
+          const int eid = out_edges[v][pos++];
+          if (!edge_passes(eid)) continue;
+          const int w = e_dst[eid];
+          if (color[w] == GRAY) return true;
+          if (color[w] == WHITE) {
+            next = w;
+            break;
+          }
+        }
+        if (next < 0) {
+          color[v] = BLACK;
+          stack.pop_back();
+        } else {
+          color[next] = GRAY;
+          stack.emplace_back(next, 0);
+        }
+      }
+    }
+    return false;
+  }
+
+  // exhaustive pruned DFS source->sink
+  bool find_paths(std::vector<std::vector<int>>* paths, size_t max_paths) const {
+    std::vector<int> path;
+    std::vector<uint8_t> on_path(kmers.size(), 0);
+    // explicit stack of (vertex, edge cursor)
+    std::vector<std::pair<int, size_t>> stack;
+    stack.emplace_back(source, 0);
+    path.push_back(source);
+    on_path[source] = 1;
+    if (source == sink) paths->push_back(path);
+    while (!stack.empty()) {
+      auto& [v, pos] = stack.back();
+      int next = -1;
+      while (pos < out_edges[v].size()) {
+        const int eid = out_edges[v][pos++];
+        if (!edge_passes(eid)) continue;
+        const int w = e_dst[eid];
+        if (!on_path[w]) {
+          next = w;
+          break;
+        }
+      }
+      if (next < 0) {
+        on_path[v] = 0;
+        path.pop_back();
+        stack.pop_back();
+      } else {
+        path.push_back(next);
+        on_path[next] = 1;
+        stack.emplace_back(next, 0);
+        if (next == sink) {
+          if (paths->size() >= max_paths) return false;
+          paths->push_back(path);
+        }
+      }
+    }
+    return true;
+  }
+
+  int edge_between(int u, int v) const {
+    for (int eid : out_edges[u])
+      if (e_dst[eid] == v) return eid;
+    return -1;
+  }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+
+extern "C" {
+
+// Overwrite the native tables with caller-provided values so Python/numpy
+// remains the single numeric source of truth (last-ulp libm differences in
+// the f64 tables otherwise break bit-equality between engines).
+void hc_load_tables(const float* ph32, const double* ph64, const float* mm32,
+                    const double* mm64, const float* jac32,
+                    const double* jac64) {
+  Tables& t = Tables::mutable_instance();
+  std::memcpy(t.ph2pr32, ph32, sizeof(t.ph2pr32));
+  std::memcpy(t.ph2pr64, ph64, sizeof(t.ph2pr64));
+  std::memcpy(t.m2m32, mm32, sizeof(t.m2m32));
+  std::memcpy(t.m2m64, mm64, sizeof(t.m2m64));
+  std::memcpy(t.jacobian32, jac32, sizeof(t.jacobian32));
+  std::memcpy(t.jacobian64, jac64, sizeof(t.jacobian64));
+}
+
+void hc_table_probe(float* ph32, double* ph64, float* mm32, double* mm64,
+                    float* jac32, double* jac64) {
+  const Tables& t = Tables::instance();
+  std::memcpy(ph32, t.ph2pr32, sizeof(t.ph2pr32));
+  std::memcpy(ph64, t.ph2pr64, sizeof(t.ph2pr64));
+  std::memcpy(mm32, t.m2m32, sizeof(t.m2m32));
+  std::memcpy(mm64, t.m2m64, sizeof(t.m2m64));
+  std::memcpy(jac32, t.jacobian32, sizeof(t.jacobian32));
+  std::memcpy(jac64, t.jacobian64, sizeof(t.jacobian64));
+}
+
+int32_t hc_sw_align(const uint8_t* ref, int32_t ref_len, const uint8_t* alt,
+                    int32_t alt_len, int32_t w_match, int32_t w_mismatch,
+                    int32_t w_open, int32_t w_extend, int32_t max_mismatches,
+                    char* cigar_out, int32_t cigar_cap, int32_t* offset_out) {
+  if (ref_len <= 0 || alt_len <= 0) return -1;
+  SWResult result;
+  const int rc = sw_align_impl(ref, ref_len, alt, alt_len, w_match, w_mismatch,
+                               w_open, w_extend, max_mismatches, &result);
+  if (rc != 0) return rc;
+  if (static_cast<int32_t>(result.cigar.size()) + 1 > cigar_cap) return -2;
+  std::memcpy(cigar_out, result.cigar.c_str(), result.cigar.size() + 1);
+  *offset_out = result.offset;
+  return 0;
+}
+
+void hc_pairhmm_f32(const uint8_t* reads, const uint8_t* quals,
+                    const int32_t* read_lens, int32_t read_stride,
+                    const uint8_t* haps, const int32_t* hap_lens,
+                    int32_t hap_stride, const int32_t* pair_read,
+                    const int32_t* pair_hap, int64_t n_pairs, int32_t gop,
+                    int32_t gcp, float* out) {
+  FtzScope ftz;
+  for (int64_t p = 0; p < n_pairs; ++p) {
+    const int32_t r = pair_read[p];
+    const int32_t h = pair_hap[p];
+    out[p] = static_cast<float>(pairhmm_one<float>(
+        reads + static_cast<int64_t>(r) * read_stride,
+        quals + static_cast<int64_t>(r) * read_stride, read_lens[r],
+        haps + static_cast<int64_t>(h) * hap_stride, hap_lens[h], gop, gcp));
+  }
+}
+
+void hc_pairhmm_f64(const uint8_t* reads, const uint8_t* quals,
+                    const int32_t* read_lens, int32_t read_stride,
+                    const uint8_t* haps, const int32_t* hap_lens,
+                    int32_t hap_stride, const int32_t* pair_read,
+                    const int32_t* pair_hap, int64_t n_pairs, int32_t gop,
+                    int32_t gcp, double* out) {
+  FtzScope ftz;
+  for (int64_t p = 0; p < n_pairs; ++p) {
+    const int32_t r = pair_read[p];
+    const int32_t h = pair_hap[p];
+    out[p] = pairhmm_one<double>(
+        reads + static_cast<int64_t>(r) * read_stride,
+        quals + static_cast<int64_t>(r) * read_stride, read_lens[r],
+        haps + static_cast<int64_t>(h) * hap_stride, hap_lens[h], gop, gcp);
+  }
+}
+
+// cfg ints: [initial_kmer, kmer_increase, max_iterations, max_unique_kmers,
+//            prune_factor, min_base_quality, max_haplotypes]
+int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
+                    const uint8_t* quals, const int64_t* offsets,
+                    int32_t n_reads, const int32_t* cfg, uint8_t* out_bases,
+                    int64_t out_cap, int64_t* out_offsets, double* out_scores,
+                    int32_t max_out) {
+  const int initial_kmer = cfg[0];
+  const int kmer_increase = cfg[1];
+  const int max_iterations = cfg[2];
+  const size_t max_unique = cfg[3];
+  const int prune_factor = cfg[4];
+  const int min_qual = cfg[5];
+  const size_t max_haplotypes = cfg[6];
+
+  const std::string_view ref_view(reinterpret_cast<const char*>(ref), ref_len);
+
+  struct Hap {
+    std::string bases;
+    double score;
+  };
+  std::vector<Hap> haplotypes;
+
+  for (int iteration = 0; iteration < max_iterations; ++iteration) {
+    const int kmer_size = initial_kmer + iteration * kmer_increase;
+    if (ref_len < kmer_size) continue;
+
+    // usable read segments (graph_wrapper.hpp:266-286)
+    std::vector<std::string_view> segments;
+    for (int rr = 0; rr < n_reads; ++rr) {
+      const char* seq = reinterpret_cast<const char*>(seqs) + offsets[rr];
+      const char* qual = reinterpret_cast<const char*>(quals) + offsets[rr];
+      const int64_t len = offsets[rr + 1] - offsets[rr];
+      int64_t start = -1;
+      for (int64_t i = 0; i <= len; ++i) {
+        const bool usable =
+            i < len && seq[i] != 'N' && static_cast<uint8_t>(qual[i]) >= min_qual;
+        if (!usable) {
+          if (start >= 0 && i - start >= kmer_size)
+            segments.emplace_back(seq + start, i - start);
+          start = -1;
+        } else if (start < 0) {
+          start = i;
+        }
+      }
+    }
+
+    Assembly graph;
+    graph.k = kmer_size;
+    graph.prune_factor = prune_factor;
+
+    auto collect_dups = [&](std::string_view seq) {
+      std::set<std::string_view> seen;
+      for (size_t i = 0; i + kmer_size <= seq.size(); ++i) {
+        auto kmer = seq.substr(i, kmer_size);
+        if (!seen.insert(kmer).second) graph.dup_kmers.insert(kmer);
+      }
+    };
+    collect_dups(ref_view);
+    for (auto seg : segments) collect_dups(seg);
+
+    graph.add_seq(ref_view, true);
+    for (auto seg : segments) graph.add_seq(seg, false);
+
+    if (graph.unique_kmers.size() > max_unique) continue;
+    if (graph.has_cycles()) continue;
+
+    std::vector<std::vector<int>> paths;
+    if (!graph.find_paths(&paths, 200000)) return -3;  // path explosion
+
+    // scores
+    std::set<int> vertices_on_paths;
+    std::set<int> on_path_edges;
+    for (const auto& path : paths) {
+      for (int v : path) vertices_on_paths.insert(v);
+      for (size_t i = 1; i < path.size(); ++i)
+        on_path_edges.insert(graph.edge_between(path[i - 1], path[i]));
+    }
+    std::unordered_map<int, double> edge_score;
+    for (int v : vertices_on_paths) {
+      double sum = 0;
+      std::vector<int> edges;
+      for (int eid : graph.out_edges[v])
+        if (on_path_edges.count(eid)) {
+          edges.push_back(eid);
+          sum += graph.e_count[eid];
+        }
+      for (int eid : edges)
+        edge_score[eid] = std::log10(graph.e_count[eid] / sum);
+    }
+
+    haplotypes.clear();
+    for (const auto& path : paths) {
+      std::string seq(graph.kmers[path[0]]);
+      double score = 0;
+      for (size_t i = 1; i < path.size(); ++i) {
+        seq += graph.kmers[path[i]].back();
+        score += edge_score[graph.edge_between(path[i - 1], path[i])];
+      }
+      haplotypes.push_back({std::move(seq), score});
+    }
+    std::stable_sort(haplotypes.begin(), haplotypes.end(),
+                     [](const Hap& a, const Hap& b) { return a.score > b.score; });
+    if (haplotypes.size() > max_haplotypes) haplotypes.resize(max_haplotypes);
+
+    if (!haplotypes.empty()) break;  // accepted this kmer size
+  }
+
+  const int32_t n = static_cast<int32_t>(std::min<size_t>(haplotypes.size(), max_out));
+  int64_t cursor = 0;
+  out_offsets[0] = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    const auto& h = haplotypes[i];
+    if (cursor + static_cast<int64_t>(h.bases.size()) > out_cap) return -2;
+    std::memcpy(out_bases + cursor, h.bases.data(), h.bases.size());
+    cursor += h.bases.size();
+    out_offsets[i + 1] = cursor;
+    out_scores[i] = h.score;
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -1,0 +1,65 @@
+"""End-to-end: chrM fixture -> VCF golden-file equality + engine agreement."""
+
+import dataclasses
+import os
+
+import pytest
+
+from gatk_hc_tpu.config import DEFAULT_CONFIG
+from gatk_hc_tpu.models.caller import call, iter_windows
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "..", "fixtures")
+SAM = os.path.join(FIXTURES, "chrM.sam")
+FASTA = os.path.join(FIXTURES, "chrM.fa")
+GOLDEN = os.path.join(FIXTURES, "chrM.golden.vcf")
+
+needs_fixture = pytest.mark.skipif(
+    not os.path.exists(SAM), reason="fixture not generated"
+)
+
+
+class TestWindows:
+    def test_window_geometry(self):
+        # haplotypecaller.hpp:125-151: first window only end-padded
+        windows = list(iter_windows("chrM", 16569, DEFAULT_CONFIG))
+        assert len(windows) == (16569 + 244) // 245
+        origin0, padded0 = windows[0]
+        assert (origin0.begin, origin0.end) == (0, 245)
+        assert (padded0.begin, padded0.end) == (0, 330)
+        origin1, padded1 = windows[1]
+        assert (origin1.begin, origin1.end) == (245, 490)
+        assert (padded1.begin, padded1.end) == (160, 575)
+        # last padded window clamped to the contig
+        assert windows[-1][1].end == 16569
+
+
+@needs_fixture
+class TestEndToEnd:
+    def test_native_matches_golden(self, tmp_path):
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, pairhmm_engine="native", assembler_engine="native"
+        )
+        out = tmp_path / "chrM.vcf"
+        results = call(SAM, FASTA, str(out), cfg)
+        assert out.read_text() == open(GOLDEN).read()
+        assert sum(len(r.variants) for r in results) == 35
+
+    def test_python_engines_match_native(self):
+        # The pure-Python oracle pipeline and the C++ pipeline must agree
+        # byte-for-byte (sampled regions: full python run is slow).
+        cfg_native = dataclasses.replace(
+            DEFAULT_CONFIG, pairhmm_engine="native", assembler_engine="native"
+        )
+        cfg_python = dataclasses.replace(
+            DEFAULT_CONFIG,
+            pairhmm_engine="python",
+            assembler_engine="python",
+            sw_engine="python",
+        )
+        keep = lambda i: i in (0, 2, 3, 11, 30)
+        r_native = call(SAM, FASTA, None, cfg_native, region_filter=keep)
+        r_python = call(SAM, FASTA, None, cfg_python, region_filter=keep)
+        rows_native = [v.to_vcf_row() for r in r_native for v in r.variants]
+        rows_python = [v.to_vcf_row() for r in r_python for v in r.variants]
+        assert rows_native == rows_python
+        assert rows_native  # non-trivial

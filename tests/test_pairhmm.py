@@ -1,0 +1,122 @@
+"""PairHMM: oracle invariants + Python-vs-C++ differential (bit-exact)."""
+
+import numpy as np
+import pytest
+
+from gatk_hc_tpu.ops import pairhmm_oracle as oracle
+from gatk_hc_tpu.utils import quality as Q
+from tests.conftest import mutate, random_dna
+
+
+def to_bytes(s):
+    return np.frombuffer(s.encode(), dtype=np.uint8)
+
+
+def make_pair(rng, read_len=30, hap_len=60, n_snp=1):
+    hap = random_dna(rng, hap_len)
+    start = rng.randint(0, hap_len - read_len)
+    read = mutate(rng, hap[start : start + read_len], n_snp=n_snp)[:read_len]
+    quals = "".join(chr(rng.randint(33 + 20, 33 + 40)) for _ in range(len(read)))
+    return read, quals, hap
+
+
+class TestOracle:
+    def test_perfect_match_likelihood_near_zero(self, rng):
+        read, _, hap = make_pair(rng, 25, 50, n_snp=0)
+        quals = "I" * len(read)
+        lik = oracle.pairhmm_log10_batch(
+            [(to_bytes(read), to_bytes(quals))], [to_bytes(hap)]
+        )[0, 0]
+        # forward prob sums over start positions: ~ 1/haplen for a perfect
+        # match, so log10 ~ -log10(50) = -1.70
+        assert abs(lik - np.log10(1 / 50)) < 0.05
+
+    def test_mismatches_reduce_likelihood(self, rng):
+        read, quals, hap = make_pair(rng, 30, 60, n_snp=0)
+        bad_read = mutate(rng, read, n_snp=3)[:30]
+        args = lambda r: ([(to_bytes(r), to_bytes(quals))], [to_bytes(hap)])
+        good = oracle.pairhmm_log10_batch(*args(read))[0, 0]
+        bad = oracle.pairhmm_log10_batch(*args(bad_read))[0, 0]
+        assert bad < good
+
+    def test_f32_f64_agree_roughly(self, rng):
+        read, quals, hap = make_pair(rng, 20, 40, n_snp=1)
+        p32 = oracle.pairhmm_prob(
+            to_bytes(read), to_bytes(quals), to_bytes(hap), dtype=np.float32
+        )
+        p64 = oracle.pairhmm_prob(
+            to_bytes(read), to_bytes(quals), to_bytes(hap), dtype=np.float64
+        )
+        l32 = np.log10(p32) - float(Q.LOG10_INITIAL_CONSTANT_F32)
+        l64 = np.log10(p64) - Q.LOG10_INITIAL_CONSTANT_F64
+        assert abs(l32 - l64) < 1e-3
+
+    def test_n_matches_everything(self, rng):
+        hap = random_dna(rng, 40)
+        read = "N" * 20
+        quals = "I" * 20
+        lik = oracle.pairhmm_log10_batch(
+            [(to_bytes(read), to_bytes(quals))], [to_bytes(hap)]
+        )[0, 0]
+        # every start position "matches": forward mass ~ 21 alignments / 40
+        assert np.log10(20 / 40) < lik < 0.0
+
+    def test_normalize_and_filter(self):
+        lik = np.array([[-1.0, -10.0], [-50.0, -60.0]])
+        filtered, kept = oracle.normalize_and_filter(lik, [100, 100])
+        # read 0 kept, alt floored to best-4.5
+        assert list(kept) == [0]
+        assert filtered[0, 0] == -1.0
+        assert filtered[0, 1] == -5.5
+
+    def test_scalar_reference_differs_from_main_path(self, rng):
+        # documents the raw-ASCII quirk: the scalar (dead-code) oracle and the
+        # Intel main path disagree by construction
+        read, quals, hap = make_pair(rng, 20, 40, n_snp=1)
+        scalar = oracle.scalar_reference_log10(
+            to_bytes(read), to_bytes(quals), 60, to_bytes(hap)
+        )
+        main = oracle.pairhmm_log10_batch(
+            [(to_bytes(read), to_bytes(quals))], [to_bytes(hap)]
+        )[0, 0]
+        assert np.isfinite(scalar) and np.isfinite(main)
+        # same order of magnitude but not equal
+        assert abs(scalar - main) > 1e-6
+
+
+class TestNativePairHMM:
+    def _native(self):
+        native = pytest.importorskip("gatk_hc_tpu.native")
+        if not native.available():
+            pytest.skip("native library unavailable")
+        return native
+
+    def test_tables_bit_equal(self):
+        native = self._native()
+        ph32, ph64, mm32, mm64, jac32, jac64 = native.table_probe_native()
+        np.testing.assert_array_equal(ph32, Q.PH2PR_F32)
+        np.testing.assert_array_equal(ph64, Q.PH2PR_F64)
+        np.testing.assert_array_equal(mm32, Q.MATCH_TO_MATCH_F32)
+        np.testing.assert_array_equal(mm64, Q.MATCH_TO_MATCH_F64)
+        np.testing.assert_array_equal(jac32, Q.JACOBIAN_F32)
+        np.testing.assert_array_equal(jac64, Q.JACOBIAN_F64)
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_matches_oracle_bitexact(self, rng, dtype):
+        native = self._native()
+        for trial in range(10):
+            read, quals, hap = make_pair(
+                rng, rng.randint(10, 40), rng.randint(30, 80), rng.randint(0, 3)
+            )
+            rb, rq, hb = to_bytes(read), to_bytes(quals), to_bytes(hap)
+            want = oracle.pairhmm_prob(rb, rq, hb, dtype=dtype)
+            read_b = rb[None, :].copy()
+            qual_b = rq[None, :].copy()
+            hap_b = hb[None, :].copy()
+            got = native.pairhmm_raw_native(
+                read_b, qual_b, np.array([len(rb)], dtype=np.int32),
+                hap_b, np.array([len(hb)], dtype=np.int32),
+                np.zeros(1, dtype=np.int32), np.zeros(1, dtype=np.int32),
+                ord("I"), ord("+"), dtype,
+            )[0]
+            assert dtype(want) == got, f"trial {trial}: {want} != {got}"

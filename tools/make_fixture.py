@@ -1,0 +1,148 @@
+"""Generate the chrM test fixture: synthetic reference + simulated reads.
+
+The upstream repo documents a chrM.sam/chrM.fa workflow (README.md:12) but
+bundles no data, so the fixture is synthesized deterministically:
+
+* a random 16,569bp "chrM" contig (the real chrM length), fixed seed;
+* a diploid donor: haplotype A = reference, haplotype B = reference with
+  planted SNPs/insertions/deletions at known spacing;
+* paired-end-style 151bp reads sampled uniformly with sequencing errors,
+  Phred-encoded qualities, and proper SAM fields (FLAG/RNEXT='='/TLEN).
+
+Usage:  python tools/make_fixture.py [outdir] [--depth N] [--length L]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gatk_hc_tpu.io.fasta import FastaRecord, write_fasta
+
+BASES = "ACGT"
+CHRM_LEN = 16569
+READ_LEN = 151
+
+
+def make_reference(rng: random.Random, length: int) -> str:
+    return "".join(rng.choice(BASES) for _ in range(length))
+
+
+def plant_variants(rng: random.Random, ref: str):
+    """Return (alt haplotype, list of (ref_pos, kind, payload)).
+
+    Variants are spaced >= 300bp apart so most windows hold at most one
+    event, with a few dense clusters for multi-allele coverage.
+    """
+    variants = []
+    pos = 500
+    while pos < len(ref) - 500:
+        kind = rng.choice(["snp", "snp", "snp", "ins", "del"])
+        if kind == "snp":
+            alt_base = rng.choice([b for b in BASES if b != ref[pos]])
+            variants.append((pos, "snp", alt_base))
+        elif kind == "ins":
+            ins = "".join(rng.choice(BASES) for _ in range(rng.randint(1, 4)))
+            variants.append((pos, "ins", ins))
+        else:
+            variants.append((pos, "del", rng.randint(1, 4)))
+        pos += rng.randint(300, 700)
+
+    # build alt haplotype + coordinate map alt->ref
+    alt_parts = []
+    cursor = 0
+    for pos, kind, payload in variants:
+        alt_parts.append(ref[cursor:pos])
+        if kind == "snp":
+            alt_parts.append(payload)
+            cursor = pos + 1
+        elif kind == "ins":
+            alt_parts.append(ref[pos] + payload)
+            cursor = pos + 1
+        else:
+            alt_parts.append(ref[pos])  # anchor base kept, next `payload` deleted
+            cursor = pos + 1 + payload
+    alt_parts.append(ref[cursor:])
+    return "".join(alt_parts), variants
+
+
+def simulate_reads(
+    rng: random.Random,
+    contig: str,
+    hap_a: str,
+    hap_b: str,
+    depth: int,
+    error_rate: float = 0.001,
+):
+    """Sample reads from both haplotypes; yields SAM lines sorted by POS."""
+    reads = []
+    genome_len = len(hap_a)
+    n_reads = depth * genome_len // READ_LEN
+    for i in range(n_reads):
+        hap = hap_a if rng.random() < 0.5 else hap_b
+        start = rng.randint(0, len(hap) - READ_LEN)
+        bases = list(hap[start : start + READ_LEN])
+        quals = []
+        for j in range(READ_LEN):
+            q = rng.randint(28, 40)
+            quals.append(chr(q + 33))
+            if rng.random() < error_rate:
+                bases[j] = rng.choice([b for b in BASES if b != bases[j]])
+                quals[j] = chr(rng.randint(5, 20) + 33)
+        # approximate POS: for hap B the coordinates shift by indels; reads
+        # are "aligned" by their sampled start which is close enough for the
+        # windowed caller (it re-assembles locally anyway).
+        pos = min(start, genome_len - 1) + 1
+        flag = 99 if rng.random() < 0.5 else 163
+        mate_pos = min(pos + rng.randint(150, 350), genome_len)
+        reads.append(
+            (
+                pos,
+                f"sim{i:06d}\t{flag}\t{contig}\t{pos}\t60\t{READ_LEN}M\t=\t"
+                f"{mate_pos}\t{mate_pos - pos + READ_LEN}\t"
+                f"{''.join(bases)}\t{''.join(quals)}",
+            )
+        )
+    reads.sort(key=lambda item: item[0])
+    return [line for _, line in reads]
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("outdir", nargs="?", default="fixtures")
+    parser.add_argument("--depth", type=int, default=30)
+    parser.add_argument("--length", type=int, default=CHRM_LEN)
+    parser.add_argument("--seed", type=int, default=20260816)
+    parser.add_argument("--name", default="chrM")
+    args = parser.parse_args()
+
+    rng = random.Random(args.seed)
+    ref = make_reference(rng, args.length)
+    alt, variants = plant_variants(rng, ref)
+    sam_lines = simulate_reads(rng, args.name, ref, alt, args.depth)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    write_fasta(
+        os.path.join(args.outdir, f"{args.name}.fa"),
+        [FastaRecord(args.name, "synthetic fixture", ref)],
+    )
+    with open(os.path.join(args.outdir, f"{args.name}.sam"), "w") as handle:
+        handle.write(f"@HD\tVN:1.6\tSO:coordinate\n")
+        handle.write(f"@SQ\tSN:{args.name}\tLN:{len(ref)}\n")
+        for line in sam_lines:
+            handle.write(line + "\n")
+    with open(os.path.join(args.outdir, f"{args.name}.truth.txt"), "w") as handle:
+        for pos, kind, payload in variants:
+            handle.write(f"{pos}\t{kind}\t{payload}\n")
+    print(
+        f"wrote {args.name}.fa ({len(ref)}bp), {args.name}.sam "
+        f"({len(sam_lines)} reads), {len(variants)} planted variants"
+    )
+
+
+if __name__ == "__main__":
+    main()
