@@ -59,11 +59,17 @@ def main(argv=None) -> int:
         region_size=args.region_size,
         padding_size=args.padding_size,
     )
-    from .models.caller import call
+    from .models.caller import call, call_batched
 
     start = time.perf_counter()
     try:
-        results = call(args.input, args.reference, args.output, cfg)
+        if cfg.pairhmm_engine in ("pallas", "jax"):
+            from .parallel.compile_cache import enable_compile_cache
+
+            enable_compile_cache()
+            results = call_batched(args.input, args.reference, args.output, cfg)
+        else:
+            results = call(args.input, args.reference, args.output, cfg)
     except FileNotFoundError as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 2

@@ -172,6 +172,93 @@ def call(
     return results
 
 
+def call_batched(
+    sam_path: str,
+    fasta_path: str,
+    out_path: Optional[str],
+    cfg: HCConfig = DEFAULT_CONFIG,
+    assemble_fn: Optional[AssembleFn] = None,
+    region_filter: Optional[Callable[[int], bool]] = None,
+    runner=None,
+) -> List[RegionResult]:
+    """Two-phase pipeline for device engines: assemble ALL regions on the
+    host first, dispatch PairHMM for all regions in a few large device
+    batches (ops/runner.py), then genotype.  Amortizes per-dispatch
+    host<->device latency across the whole contig."""
+    from ..ops.engines import make_assemble_fn
+    from ..ops.pairhmm_oracle import normalize_and_filter
+    from ..ops.runner import PairHMMJob, PallasPairHMMRunner
+
+    if assemble_fn is None:
+        assemble_fn = make_assemble_fn(cfg)
+    if runner is None:
+        runner = PallasPairHMMRunner(cfg)
+
+    fasta = read_fasta(fasta_path)
+    ref = fasta.seq
+    buckets = load_reads_by_start(read_sam(sam_path), len(ref))
+
+    # phase A: host assembly per region
+    pending = []  # (result, reads, haplotypes, job)
+    results: List[RegionResult] = []
+    for index, (origin, padded) in enumerate(iter_windows(fasta.name, len(ref), cfg)):
+        if region_filter is not None and not region_filter(index):
+            continue
+        reads = downsample_window(buckets, padded.begin, padded.end, cfg)
+        result = RegionResult(origin, padded, 0, 0, [])
+        results.append(result)
+        if not reads:
+            continue
+        window_ref = ref[padded.begin : padded.end]
+        reads = filter_reads(reads, cfg)
+        reads = hard_clip_reads(reads, padded, cfg)
+        result.n_reads = len(reads)
+        if not reads:
+            continue
+        haplotypes = assemble_fn(reads, window_ref, cfg)
+        result.n_haplotypes = len(haplotypes)
+        if len(haplotypes) <= 1:
+            continue
+        result.cell_updates = sum(len(r) for r in reads) * sum(
+            len(h) for h in haplotypes
+        )
+        read_arrays = [
+            (
+                np.frombuffer(r.seq.encode(), dtype=np.uint8),
+                np.frombuffer(r.qual.encode(), dtype=np.uint8),
+            )
+            for r in reads
+        ]
+        hap_arrays = [
+            np.frombuffer(h.bases.encode(), dtype=np.uint8) for h in haplotypes
+        ]
+        job = PairHMMJob(read_arrays, hap_arrays)
+        pending.append((result, reads, haplotypes, window_ref, job))
+
+    # phase B: device PairHMM over all regions
+    runner.run([p[4] for p in pending])
+
+    # phase C: normalization + genotyping per region
+    for result, reads, haplotypes, window_ref, job in pending:
+        filtered, kept_indices = normalize_and_filter(
+            job.result,
+            [len(r) for r in reads],
+            cfg.max_best_alt_likelihood_difference,
+            cfg.expected_error_rate_per_base,
+            cfg.log10_quality_per_base,
+            cfg.max_expected_error_per_read,
+        )
+        kept_reads = [reads[i] for i in kept_indices]
+        result.variants = assign_genotype_likelihoods(
+            kept_reads, haplotypes, filtered, window_ref,
+            result.padded, result.origin, cfg,
+        )
+
+    if out_path is not None:
+        write_vcf(out_path, fasta.name, len(ref), results, cfg)
+    return results
+
+
 def write_vcf(
     out_path: str,
     contig: str,

@@ -1,0 +1,306 @@
+"""PairHMM forward as a TPU Pallas kernel — the production device path.
+
+Design (TPU-first, cf. SURVEY.md §7 step 5):
+
+* **Pair-per-lane batching.**  Each kernel block processes LANES=128
+  (read, hap) pairs; the grid walks pair blocks.  This mirrors the
+  reference's OpenMP *inter-pair* axis (intel_pairhmm.hpp:128-131) instead
+  of wasting vector lanes on short intra-pair anti-diagonals.
+* **Striped anti-diagonal sweep on sublanes.**  Rows are processed in
+  stripes of height H (sublanes); within a stripe an anti-diagonal wavefront
+  runs over columns, carrying last-row values to the next stripe through a
+  VMEM carry buffer — the same dependency structure as the reference's AVX
+  kernel (avx-pairhmm-template.h:200-209) but vectorized across 128 pairs.
+* **Exact fp semantics.**  Every cell evaluates the reference recurrence
+  with separate mul/add (TPU measured unfused), divisions are precomputed on
+  host (TPU f32 divide is reciprocal-based), and the TPU's flush-to-zero
+  matches the reference's FTZ mode.  Per-cell results are bit-identical to
+  the C++/NumPy engines; the final sum accumulates the last row in column
+  order.
+
+Shapes are static per (R_pad, C_pad, H) bucket; XLA compiles a handful of
+variants that are reused across all regions.
+
+Carry-buffer index map (stripe height H, steps t = 1..C+H):
+  carryM/X[j] = previous stripe's last-row M/X at column j-(H-1)
+  carryY[j]   = previous stripe's last-row Y at column j-H
+  reads at j = t+H, writes at j = t  (read-before-write per index)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import HCConfig
+from .batching import PairBatch, all_pairs, pack_pairs
+from .pairhmm_jax import batch_to_device_args, transition_constants
+
+LANES = 128
+
+
+def _kernel(
+    trans_ref,  # (1, 8) f32 SMEM: p_mm, p_gapm, p_mx, p_xx, p_my, p_yy, 0, 0
+    rs_ref,  # (R, L) i32 read base codes, transposed
+    omq_ref,  # (R, L) f32 1 - q
+    q3_ref,  # (R, L) f32 q / 3
+    hap_ref,  # (C, L) i32 hap base codes, transposed
+    rlen_ref,  # (1, L) i32
+    clen_ref,  # (1, L) i32
+    inity_ref,  # (1, L) f32
+    out_ref,  # (1, L) f32 raw forward probability
+    carry_ref,  # (3, C + 2H + 1, L) f32 VMEM scratch: M, X, Y carries
+    *,
+    r_pad: int,
+    c_pad: int,
+    stripe: int,
+):
+    H = stripe
+    R, C, L = r_pad, c_pad, LANES
+    f32 = jnp.float32
+
+    p_mm = trans_ref[0, 0]
+    p_gapm = trans_ref[0, 1]
+    p_mx = trans_ref[0, 2]
+    p_xx = trans_ref[0, 3]
+    p_my = trans_ref[0, 4]
+    p_yy = trans_ref[0, 5]
+
+    init_y = inity_ref[...]  # (1, L)
+    rlen = rlen_ref[...]  # (1, L)
+    clen = clen_ref[...]  # (1, L)
+
+    # derive zeros from loaded data so loop-carried vectors have a concrete
+    # (non-replicated) layout — Mosaic rejects replicated-constant carries
+    zeros = omq_ref[0:H, :] * f32(0.0)
+    izeros = rs_ref[0:H, :] * 0
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (H, L), 0)
+    is_row0 = row_iota == 0
+
+    # initialize carries: M/X zero, Y init_y everywhere (row-0 boundary)
+    carry_ref[0] = jnp.zeros((C + 2 * H + 1, L), f32)
+    carry_ref[1] = jnp.zeros((C + 2 * H + 1, L), f32)
+    carry_ref[2] = jnp.broadcast_to(init_y, (C + 2 * H + 1, L))
+
+    def insert_row0(rolled, value_row):  # value_row: (1, L)
+        return jnp.where(is_row0, jnp.broadcast_to(value_row, (H, L)), rolled)
+
+    clen_b = jnp.broadcast_to(clen, (H, L))
+    rlen_b = jnp.broadcast_to(rlen, (H, L))
+    n_stripes = R // H
+
+    def stripe_body(s, accs):
+        acc_m, acc_x = accs
+        rs_s = rs_ref[pl.ds(s * H, H), :]  # (H, L)
+        omq_s = omq_ref[pl.ds(s * H, H), :]
+        q3_s = q3_ref[pl.ds(s * H, H), :]
+        # matrix row of sublane i in this stripe is s*H + i + 1
+        mat_row = row_iota + (s * H + 1)
+        capture_row = mat_row == rlen_b
+
+        Ms1_init = insert_row0(zeros, carry_ref[0, pl.ds(H, 1), :])
+        Xs1_init = insert_row0(zeros, carry_ref[1, pl.ds(H, 1), :])
+        # stripe 0: row-0 boundary Y(0, 0) = init_y enters via Ys2
+        Ys2_init = jnp.where(
+            (s == 0) & is_row0, jnp.broadcast_to(init_y, (H, L)), zeros
+        )
+
+        def step(t, state):
+            (Ms2, Xs2, Ys2, Ms1, Xs1, Mu1, Yu1, hw, a_m, a_x) = state
+            # hap window: hw[i] = hap code at column t - i
+            hw = insert_row0(
+                pltpu.roll(hw, shift=1, axis=0),
+                hap_ref[pl.ds(t - 1, 1), :],
+            )
+            match = (rs_s == hw) | (rs_s == 4) | (hw == 4)
+            distm = jnp.where(match, omq_s, q3_s)
+
+            t1 = Ms2 * p_mm
+            t2 = Xs2 * p_gapm
+            t3 = Ys2 * p_gapm
+            M_t = ((t1 + t2) + t3) * distm
+            X_t = Ms1 * p_mx + Xs1 * p_xx
+            Y_t = Mu1 * p_my + Yu1 * p_yy
+
+            # capture last-row cells while 1 <= c <= clen
+            c_of_row = t - row_iota
+            take = capture_row & (c_of_row >= 1) & (c_of_row <= clen_b)
+            a_m = a_m + jnp.where(take, M_t, f32(0.0))
+            a_x = a_x + jnp.where(take, X_t, f32(0.0))
+
+            # shifts with carry through VMEM (the reference's _vector_shift
+            # schedule: shift M_t, X_t, and the OLD unshifted Y_t_1)
+            def shift(vec, buf_idx):
+                carry_in = carry_ref[buf_idx, pl.ds(t + H, 1), :]  # (1, L)
+                carry_ref[buf_idx, pl.ds(t, 1), :] = vec[H - 1 : H, :]
+                return insert_row0(pltpu.roll(vec, shift=1, axis=0), carry_in)
+
+            Ms_new = shift(M_t, 0)
+            Xs_new = shift(X_t, 1)
+            Ys_new = shift(Yu1, 2)
+
+            return (Ms1, Xs1, Ys_new, Ms_new, Xs_new, M_t, Y_t, hw, a_m, a_x)
+
+        state = (
+            zeros, zeros, Ys2_init,  # Ms2, Xs2, Ys2
+            Ms1_init, Xs1_init,  # Ms1, Xs1
+            zeros, zeros,  # Mu1 (unshifted M_{t-1}), Yu1
+            izeros,  # hap window
+            acc_m, acc_x,
+        )
+        state = jax.lax.fori_loop(1, C + H + 1, step, state)
+        return (state[8], state[9])
+
+    acc_m, acc_x = jax.lax.fori_loop(0, n_stripes, stripe_body, (zeros, zeros))
+    total = acc_m + acc_x
+    out_ref[...] = jnp.sum(total, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_pad", "c_pad", "stripe", "interpret")
+)
+def pairhmm_pallas_unique(
+    read_u8: jnp.ndarray,  # (NR, R_pad) uint8 ASCII bases, 0-padded
+    qual_u8: jnp.ndarray,  # (NR, R_pad) uint8 ASCII quals
+    read_lens: jnp.ndarray,  # (NR,) i32
+    hap_u8: jnp.ndarray,  # (NH, C_pad) uint8 ASCII bases
+    hap_lens: jnp.ndarray,  # (NH,) i32
+    hap_init_y: jnp.ndarray,  # (NH,) f32 INITIAL/haplen (host-computed)
+    pair_read: jnp.ndarray,  # (B,) i32
+    pair_hap: jnp.ndarray,  # (B,) i32
+    base_table: jnp.ndarray,  # (256,) i32
+    ph2pr_omq: jnp.ndarray,  # (128,) f32: 1 - ph2pr[q]
+    ph2pr_q3: jnp.ndarray,  # (128,) f32: ph2pr[q] / 3
+    trans: Tuple,
+    r_pad: int,
+    c_pad: int,
+    stripe: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Device-side pair expansion + Pallas kernel, one jit.
+
+    Ships only unique reads/haps as uint8 over the (slow) host link and
+    gathers per-pair tensors on device — the TPU analogue of the reference's
+    testcase pointer table (intel_pairhmm.hpp:154-203).
+    """
+    rb = jnp.take(read_u8, pair_read, axis=0)  # (B, R) u8
+    qb = jnp.take(qual_u8, pair_read, axis=0)
+    hb = jnp.take(hap_u8, pair_hap, axis=0)  # (B, C) u8
+    read_codes = jnp.take(base_table, rb.astype(jnp.int32), axis=0)
+    hap_codes = jnp.take(base_table, hb.astype(jnp.int32), axis=0)
+    q_idx = (qb & 127).astype(jnp.int32)
+    read_omq = jnp.take(ph2pr_omq, q_idx, axis=0)
+    read_q3 = jnp.take(ph2pr_q3, q_idx, axis=0)
+    rlens = jnp.take(read_lens, pair_read)
+    clens = jnp.take(hap_lens, pair_hap)
+    init_y = jnp.take(hap_init_y, pair_hap)
+    return _pallas_forward(
+        read_codes, read_omq, read_q3, rlens, hap_codes, clens, init_y,
+        trans, r_pad, c_pad, stripe, interpret,
+    )
+
+
+def _pallas_forward(
+    read_codes, read_omq, read_q3, read_lens, hap_codes, hap_lens, init_y,
+    trans, r_pad, c_pad, stripe, interpret,
+) -> jnp.ndarray:
+    B = read_codes.shape[0]
+    assert B % LANES == 0, "pair batch must be a multiple of 128"
+    assert r_pad % stripe == 0, "r_pad must be a multiple of the stripe height"
+    n_blocks = B // LANES
+
+    trans_arr = jnp.array([list(trans) + [0.0, 0.0]], dtype=jnp.float32)
+
+    # transpose to (seq, B): rows/columns on sublanes, pairs on lanes
+    rs_t = read_codes.T
+    omq_t = read_omq.T
+    q3_t = read_q3.T
+    hap_t = hap_codes.T
+
+    kernel = functools.partial(_kernel, r_pad=r_pad, c_pad=c_pad, stripe=stripe)
+    block = lambda rows: pl.BlockSpec(
+        (rows, LANES), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    grid_flops = 10 * r_pad * c_pad * LANES
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            block(r_pad),
+            block(r_pad),
+            block(r_pad),
+            block(c_pad),
+            block(1),
+            block(1),
+            block(1),
+        ],
+        out_specs=block(1),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, c_pad + 2 * stripe + 1, LANES), jnp.float32)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=grid_flops, bytes_accessed=B * (3 * r_pad + c_pad) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        trans_arr,
+        rs_t,
+        omq_t,
+        q3_t,
+        hap_t,
+        read_lens[None, :].astype(jnp.int32),
+        hap_lens[None, :].astype(jnp.int32),
+        init_y[None, :],
+    )
+    return out[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_pad", "c_pad", "stripe", "interpret")
+)
+def pairhmm_pallas_batch(
+    read_codes: jnp.ndarray,  # (B, R_pad) i32
+    read_omq: jnp.ndarray,  # (B, R_pad) f32
+    read_q3: jnp.ndarray,  # (B, R_pad) f32
+    read_lens: jnp.ndarray,  # (B,) i32
+    hap_codes: jnp.ndarray,  # (B, C_pad) i32
+    hap_lens: jnp.ndarray,  # (B,) i32
+    init_y: jnp.ndarray,  # (B,) f32
+    trans: Tuple,  # 6 scalars
+    r_pad: int,
+    c_pad: int,
+    stripe: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-pair-expanded entry point (tests + small batches)."""
+    return _pallas_forward(
+        read_codes, read_omq, read_q3, read_lens, hap_codes, hap_lens,
+        init_y, trans, r_pad, c_pad, stripe, interpret,
+    )
+
+
+def pallas_pairhmm_engine(cfg: HCConfig):
+    """Per-region engine: a single-job dispatch through the batched runner
+    (the cross-region runner in ops/runner.py is the production path)."""
+    from .engines import _to_arrays
+    from .runner import PairHMMJob, PallasPairHMMRunner
+
+    runner = PallasPairHMMRunner(cfg)
+
+    def engine(reads, haplotypes):
+        read_arrays, hap_arrays = _to_arrays(reads, haplotypes)
+        job = PairHMMJob(read_arrays, hap_arrays)
+        runner.run([job])
+        return job.result
+
+    return engine

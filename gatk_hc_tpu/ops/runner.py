@@ -1,0 +1,224 @@
+"""Cross-region PairHMM dispatch runner — the production device path.
+
+The region pipeline produces many small (reads × haps) jobs; dispatching each
+separately would drown in per-call host↔device latency.  The runner:
+
+1. groups jobs greedily until a dispatch fills up (pair budget / unique-read
+   budget / unique-hap budget);
+2. ships each group's UNIQUE reads and haplotypes once, as uint8, into
+   fixed-shape tables (bucketed so XLA compiles only a few programs);
+3. expands (read, hap) pairs on device (gathers) and runs the Pallas kernel;
+4. scatters raw f32 probabilities back to per-job read-major matrices and
+   finalizes log10 likelihoods with the host float64 rescue path.
+
+This is the TPU equivalent of the reference's flat testcase batch + OpenMP
+loop (intel_pairhmm.hpp:115-203).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import HCConfig
+from ..utils.quality import BASE_TABLE, INITIAL_CONSTANT_F32, PH2PR_F32
+
+ReadArray = Tuple[np.ndarray, np.ndarray]  # (bases u8, quals u8)
+
+
+@dataclasses.dataclass
+class PairHMMJob:
+    """One region's likelihood request."""
+
+    reads: Sequence[ReadArray]
+    haps: Sequence[np.ndarray]
+    # filled by the runner: read-major log10 matrix (n_reads, n_haps)
+    result: Optional[np.ndarray] = None
+
+
+def _bucket(value: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    raise ValueError(f"value {value} exceeds largest bucket {buckets[-1]}")
+
+
+class PallasPairHMMRunner:
+    """Batches PairHMMJobs into fixed-shape Pallas dispatches."""
+
+    READ_BUCKETS = (256, 512, 1024, 2048)
+    HAP_BUCKETS = (32, 128, 512)
+
+    def __init__(self, cfg: HCConfig, pair_budget: int = 4096,
+                 interpret: Optional[bool] = None):
+        import jax
+
+        from .pairhmm_jax import transition_constants
+
+        self.cfg = cfg
+        # dispatches are (pair_budget,) pair vectors feeding a LANES-wide
+        # grid; keep it a multiple of the lane width
+        self.pair_budget = max(128, ((pair_budget + 127) // 128) * 128)
+        self.r_pad = self._round_stripe(cfg.read_pad_buckets[-1])
+        self.c_pad = cfg.hap_pad_buckets[-1]
+        self.trans = transition_constants(cfg.gop_char, cfg.gcp_char)
+        self.interpret = (
+            jax.default_backend() not in ("tpu", "axon")
+            if interpret is None
+            else interpret
+        )
+        self._base_table = BASE_TABLE.astype(np.int32)
+        ph2pr = PH2PR_F32
+        self._omq_table = (np.float32(1.0) - ph2pr).astype(np.float32)
+        self._q3_table = (ph2pr / np.float32(3.0)).astype(np.float32)
+
+    def _round_stripe(self, r: int) -> int:
+        h = self.cfg.stripe_height
+        return ((r + h - 1) // h) * h
+
+    # ------------------------------------------------------------------
+    def run(self, jobs: Sequence[PairHMMJob]) -> None:
+        """Compute results for all jobs in-place."""
+        groups = self._plan_groups(jobs)
+        for group in groups:
+            self._run_group(jobs, group)
+
+    def _plan_groups(self, jobs: Sequence[PairHMMJob]) -> List[List[int]]:
+        groups: List[List[int]] = []
+        current: List[int] = []
+        pairs = reads = haps = 0
+        for idx, job in enumerate(jobs):
+            jp = len(job.reads) * len(job.haps)
+            if jp == 0:
+                job.result = np.zeros((len(job.reads), len(job.haps)))
+                continue
+            if jp > self.pair_budget:
+                # oversized region: its own group (multiple dispatches inside)
+                if current:
+                    groups.append(current)
+                    current, pairs, reads, haps = [], 0, 0, 0
+                groups.append([idx])
+                continue
+            if (
+                current
+                and (
+                    pairs + jp > self.pair_budget
+                    or reads + len(job.reads) > self.READ_BUCKETS[-1]
+                    or haps + len(job.haps) > self.HAP_BUCKETS[-1]
+                )
+            ):
+                groups.append(current)
+                current, pairs, reads, haps = [], 0, 0, 0
+            current.append(idx)
+            pairs += jp
+            reads += len(job.reads)
+            haps += len(job.haps)
+        if current:
+            groups.append(current)
+        return groups
+
+    def _run_group(self, jobs: Sequence[PairHMMJob], group: List[int]) -> None:
+        # build unique tables
+        n_reads = sum(len(jobs[g].reads) for g in group)
+        n_haps = sum(len(jobs[g].haps) for g in group)
+        nr_pad = _bucket(n_reads, self.READ_BUCKETS)
+        nh_pad = _bucket(n_haps, self.HAP_BUCKETS)
+
+        read_u8 = np.zeros((nr_pad, self.r_pad), dtype=np.uint8)
+        qual_u8 = np.zeros((nr_pad, self.r_pad), dtype=np.uint8)
+        read_lens = np.ones(nr_pad, dtype=np.int32)
+        hap_u8 = np.zeros((nh_pad, self.c_pad), dtype=np.uint8)
+        hap_lens = np.ones(nh_pad, dtype=np.int32)
+
+        read_base_idx: Dict[int, int] = {}
+        hap_base_idx: Dict[int, int] = {}
+        ri = hi = 0
+        for g in group:
+            read_base_idx[g] = ri
+            for bases, quals in jobs[g].reads:
+                n = min(len(bases), self.r_pad)
+                read_u8[ri, :n] = bases[:n]
+                qual_u8[ri, :n] = quals[:n]
+                read_lens[ri] = n
+                ri += 1
+            hap_base_idx[g] = hi
+            for hap in jobs[g].haps:
+                n = min(len(hap), self.c_pad)
+                hap_u8[hi, :n] = hap[:n]
+                hap_lens[hi] = n
+                hi += 1
+        hap_init_y = (
+            INITIAL_CONSTANT_F32 / hap_lens.astype(np.float32)
+        ).astype(np.float32)
+
+        # pair lists (read-major per job, jobs in group order)
+        pair_read: List[int] = []
+        pair_hap: List[int] = []
+        spans: List[Tuple[int, int, int, int]] = []  # (job, start, nr, nh)
+        for g in group:
+            nr, nh = len(jobs[g].reads), len(jobs[g].haps)
+            spans.append((g, len(pair_read), nr, nh))
+            rb, hb = read_base_idx[g], hap_base_idx[g]
+            for r in range(nr):
+                for h in range(nh):
+                    pair_read.append(rb + r)
+                    pair_hap.append(hb + h)
+
+        total = len(pair_read)
+        n_dispatch = max(1, -(-total // self.pair_budget))
+        probs = np.zeros(n_dispatch * self.pair_budget, dtype=np.float32)
+        pr = np.zeros(n_dispatch * self.pair_budget, dtype=np.int32)
+        ph = np.zeros(n_dispatch * self.pair_budget, dtype=np.int32)
+        pr[:total] = pair_read
+        ph[:total] = pair_hap
+        probs_parts = []
+        for d in range(n_dispatch):
+            sl = slice(d * self.pair_budget, (d + 1) * self.pair_budget)
+            probs_parts.append(
+                self._dispatch(
+                    read_u8, qual_u8, read_lens, hap_u8, hap_lens,
+                    hap_init_y, pr[sl], ph[sl],
+                )
+            )
+        probs = np.concatenate(probs_parts)[:total]
+
+        # scatter back + finalize with f64 rescue
+        from .pairhmm_oracle import finalize_log10
+
+        for g, start, nr, nh in spans:
+            job = jobs[g]
+            raw = probs[start : start + nr * nh]
+
+            def rescue(indices, job=job, nh=nh):
+                from .pairhmm_jax import _host_f64_rescue
+
+                local_read = (indices // nh).astype(np.int64)
+                local_hap = (indices % nh).astype(np.int64)
+                return _host_f64_rescue(
+                    self.cfg, list(job.reads), list(job.haps),
+                    local_read, local_hap,
+                )
+
+            job.result = finalize_log10(raw, rescue).reshape(nr, nh)
+
+    def _dispatch(self, read_u8, qual_u8, read_lens, hap_u8, hap_lens,
+                  hap_init_y, pair_read, pair_hap) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from .pairhmm_pallas import pairhmm_pallas_unique
+
+        out = pairhmm_pallas_unique(
+            jnp.asarray(read_u8), jnp.asarray(qual_u8), jnp.asarray(read_lens),
+            jnp.asarray(hap_u8), jnp.asarray(hap_lens), jnp.asarray(hap_init_y),
+            jnp.asarray(pair_read), jnp.asarray(pair_hap),
+            jnp.asarray(self._base_table),
+            jnp.asarray(self._omq_table), jnp.asarray(self._q3_table),
+            self.trans,
+            r_pad=self.r_pad,
+            c_pad=self.c_pad,
+            stripe=self.cfg.stripe_height,
+            interpret=self.interpret,
+        )
+        return np.asarray(out)
