@@ -1,0 +1,137 @@
+"""Benchmark harness.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): PairHMM cell-updates/s per chip on the
+single-region batched config (1k synthetic 151bp reads x 16 haplotypes),
+measured on the production Pallas path including host->device transfer of
+the uint8 tables and result readback.  vs_baseline is the ratio against the
+reference-equivalent CPU engine (this repo's C++ scalar PairHMM, same
+semantics as the reference's AVX path, measured on this host) — the upstream
+repo publishes no numbers and cannot be built here (no Boost), see
+BASELINE.md.
+
+Extra context fields: e2e chrM wall-clock + the CPU baseline measurement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N_READS = 1024
+N_HAPS = 16
+READ_LEN = 151
+HAP_LEN = 415  # padded-window reference length (245 + 2*85)
+
+
+def make_workload(seed: int = 20260816):
+    """Realistic region shape: the 16 haplotypes are all small variations of
+    one window reference (as real assembly candidates are), so every
+    (read, hap) pair aligns decently — like production regions, where the
+    f64 rescue path fires rarely."""
+    rng = random.Random(seed)
+    bases = "ACGT"
+    base_hap = "".join(rng.choice(bases) for _ in range(HAP_LEN))
+    haps = []
+    for _ in range(N_HAPS):
+        hap = bytearray(base_hap.encode())
+        for _ in range(rng.randint(0, 3)):  # a few SNPs per candidate
+            hap[rng.randrange(HAP_LEN)] = ord(rng.choice(bases))
+        haps.append(np.frombuffer(bytes(hap), dtype=np.uint8))
+    reads = []
+    for i in range(N_READS):
+        hap = haps[i % N_HAPS]
+        start = rng.randint(0, HAP_LEN - READ_LEN)
+        read = bytearray(hap[start : start + READ_LEN])
+        for _ in range(rng.randint(0, 4)):
+            read[rng.randrange(READ_LEN)] = ord(rng.choice(bases))
+        quals = bytes(rng.randint(53, 73) for _ in range(READ_LEN))
+        reads.append((np.frombuffer(bytes(read), dtype=np.uint8),
+                      np.frombuffer(quals, dtype=np.uint8)))
+    return reads, haps
+
+
+def bench_cpu_baseline(reads, haps, max_pairs: int = 256) -> float:
+    """Reference-equivalent C++ engine, single thread (this host has 1 core,
+    matching how the reference would run here)."""
+    from gatk_hc_tpu import native
+
+    n = min(max_pairs, len(reads) * len(haps))
+    rb = np.zeros((len(reads), READ_LEN), dtype=np.uint8)
+    rq = np.zeros_like(rb)
+    rl = np.full(len(reads), READ_LEN, dtype=np.int32)
+    for i, (b, q) in enumerate(reads):
+        rb[i], rq[i] = b, q
+    hb = np.stack(haps)
+    hl = np.full(len(haps), HAP_LEN, dtype=np.int32)
+    pr = (np.arange(n) // len(haps)).astype(np.int32)
+    ph = (np.arange(n) % len(haps)).astype(np.int32)
+    t0 = time.perf_counter()
+    native.pairhmm_raw_native(rb, rq, rl, hb, hl, pr, ph, ord("I"), ord("+"))
+    dt = time.perf_counter() - t0
+    return n * READ_LEN * HAP_LEN / dt
+
+
+def bench_device(reads, haps, reps: int = 8):
+    """Production Pallas path over the full 1024x16 pair set."""
+    from gatk_hc_tpu.config import DEFAULT_CONFIG
+    from gatk_hc_tpu.ops.runner import PairHMMJob, PallasPairHMMRunner
+    from gatk_hc_tpu.parallel.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = dataclasses.replace(DEFAULT_CONFIG)
+    runner = PallasPairHMMRunner(cfg, pair_budget=16384)
+    job = PairHMMJob(reads, haps)
+    runner.run([job])  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        runner.run([PairHMMJob(reads, haps)])
+    dt = (time.perf_counter() - t0) / reps
+    cells = len(reads) * len(haps) * READ_LEN * HAP_LEN
+    return cells / dt
+
+
+def bench_e2e_chrm() -> float:
+    from gatk_hc_tpu.config import DEFAULT_CONFIG
+    from gatk_hc_tpu.models.caller import call_batched
+
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    sam = os.path.join(fixtures, "chrM.sam")
+    fasta = os.path.join(fixtures, "chrM.fa")
+    if not os.path.exists(sam):
+        return float("nan")
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, pairhmm_engine="pallas", assembler_engine="native"
+    )
+    t0 = time.perf_counter()
+    call_batched(sam, fasta, "/tmp/bench_chrM.vcf", cfg)
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    reads, haps = make_workload()
+    cpu_cells_per_s = bench_cpu_baseline(reads, haps)
+    device_cells_per_s = bench_device(reads, haps)
+    e2e_s = bench_e2e_chrm()
+    result = {
+        "metric": "pairhmm_cell_updates_per_s_per_chip",
+        "value": round(device_cells_per_s),
+        "unit": "cells/s",
+        "vs_baseline": round(device_cells_per_s / cpu_cells_per_s, 2),
+        "baseline_cpu_cells_per_s": round(cpu_cells_per_s),
+        "e2e_chrM_wall_s": round(e2e_s, 3),
+        "workload": f"{N_READS}x{N_HAPS} pairs, {READ_LEN}bp reads, {HAP_LEN}bp haps",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

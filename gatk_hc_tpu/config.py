@@ -103,9 +103,9 @@ class HCConfig:
     # only a handful of shapes.  Read rows pad to multiples of the stripe
     # height; hap columns pad to lane-friendly buckets.
     pair_batch: int = 128                  # pairs per device tile (lanes)
-    stripe_height: int = 8                 # sublanes per stripe (f32 tile)
-    read_pad_buckets: Tuple[int, ...] = (64, 128, 200)
-    hap_pad_buckets: Tuple[int, ...] = (128, 256, 384, 512)
+    stripe_height: int = 32                # sublanes per stripe (tuned on v5e)
+    read_pad_buckets: Tuple[int, ...] = (96, 160, 224)   # stripe multiples
+    hap_pad_buckets: Tuple[int, ...] = (256, 384, 512)
 
     # --- Engine selection ---
     # "pallas": TPU Pallas kernel;  "jax": pure-jnp fallback;

@@ -61,8 +61,6 @@ class PallasPairHMMRunner:
         # dispatches are (pair_budget,) pair vectors feeding a LANES-wide
         # grid; keep it a multiple of the lane width
         self.pair_budget = max(128, ((pair_budget + 127) // 128) * 128)
-        self.r_pad = self._round_stripe(cfg.read_pad_buckets[-1])
-        self.c_pad = cfg.hap_pad_buckets[-1]
         self.trans = transition_constants(cfg.gop_char, cfg.gcp_char)
         self.interpret = (
             jax.default_backend() not in ("tpu", "axon")
@@ -78,12 +76,35 @@ class PallasPairHMMRunner:
         h = self.cfg.stripe_height
         return ((r + h - 1) // h) * h
 
+    def _pads_for_group(self, jobs, group):
+        """Per-group padded shapes: tightest bucket over the group's actual
+        lengths (fewer wasted cells than one global shape)."""
+        max_r = max(
+            (len(b) for g in group for b, _ in jobs[g].reads), default=1
+        )
+        max_c = max((len(h) for g in group for h in jobs[g].haps), default=1)
+        r_pad = next(
+            (b for b in self.cfg.read_pad_buckets if max_r <= b),
+            self._round_stripe(max_r),
+        )
+        r_pad = self._round_stripe(r_pad)
+        c_pad = next(
+            (b for b in self.cfg.hap_pad_buckets if max_c <= b),
+            ((max_c + 127) // 128) * 128,
+        )
+        return r_pad, c_pad
+
     # ------------------------------------------------------------------
     def run(self, jobs: Sequence[PairHMMJob]) -> None:
-        """Compute results for all jobs in-place."""
+        """Compute results for all jobs in-place.
+
+        Two passes: submit every dispatch first (device work queues up and
+        overlaps with host-side table building), then drain results and
+        finalize — per-dispatch host<->device latency overlaps."""
         groups = self._plan_groups(jobs)
-        for group in groups:
-            self._run_group(jobs, group)
+        submitted = [self._submit_group(jobs, group) for group in groups]
+        for group, (outs, spans) in zip(groups, submitted):
+            self._finalize_group(jobs, outs, spans)
 
     def _plan_groups(self, jobs: Sequence[PairHMMJob]) -> List[List[int]]:
         groups: List[List[int]] = []
@@ -119,17 +140,18 @@ class PallasPairHMMRunner:
             groups.append(current)
         return groups
 
-    def _run_group(self, jobs: Sequence[PairHMMJob], group: List[int]) -> None:
+    def _submit_group(self, jobs: Sequence[PairHMMJob], group: List[int]):
         # build unique tables
+        r_pad, c_pad = self._pads_for_group(jobs, group)
         n_reads = sum(len(jobs[g].reads) for g in group)
         n_haps = sum(len(jobs[g].haps) for g in group)
         nr_pad = _bucket(n_reads, self.READ_BUCKETS)
         nh_pad = _bucket(n_haps, self.HAP_BUCKETS)
 
-        read_u8 = np.zeros((nr_pad, self.r_pad), dtype=np.uint8)
-        qual_u8 = np.zeros((nr_pad, self.r_pad), dtype=np.uint8)
+        read_u8 = np.zeros((nr_pad, r_pad), dtype=np.uint8)
+        qual_u8 = np.zeros((nr_pad, r_pad), dtype=np.uint8)
         read_lens = np.ones(nr_pad, dtype=np.int32)
-        hap_u8 = np.zeros((nh_pad, self.c_pad), dtype=np.uint8)
+        hap_u8 = np.zeros((nh_pad, c_pad), dtype=np.uint8)
         hap_lens = np.ones(nh_pad, dtype=np.int32)
 
         read_base_idx: Dict[int, int] = {}
@@ -138,14 +160,14 @@ class PallasPairHMMRunner:
         for g in group:
             read_base_idx[g] = ri
             for bases, quals in jobs[g].reads:
-                n = min(len(bases), self.r_pad)
+                n = min(len(bases), r_pad)
                 read_u8[ri, :n] = bases[:n]
                 qual_u8[ri, :n] = quals[:n]
                 read_lens[ri] = n
                 ri += 1
             hap_base_idx[g] = hi
             for hap in jobs[g].haps:
-                n = min(len(hap), self.c_pad)
+                n = min(len(hap), c_pad)
                 hap_u8[hi, :n] = hap[:n]
                 hap_lens[hi] = n
                 hi += 1
@@ -168,21 +190,24 @@ class PallasPairHMMRunner:
 
         total = len(pair_read)
         n_dispatch = max(1, -(-total // self.pair_budget))
-        probs = np.zeros(n_dispatch * self.pair_budget, dtype=np.float32)
         pr = np.zeros(n_dispatch * self.pair_budget, dtype=np.int32)
         ph = np.zeros(n_dispatch * self.pair_budget, dtype=np.int32)
         pr[:total] = pair_read
         ph[:total] = pair_hap
-        probs_parts = []
+        outs = []
         for d in range(n_dispatch):
             sl = slice(d * self.pair_budget, (d + 1) * self.pair_budget)
-            probs_parts.append(
+            outs.append(
                 self._dispatch(
                     read_u8, qual_u8, read_lens, hap_u8, hap_lens,
-                    hap_init_y, pr[sl], ph[sl],
+                    hap_init_y, pr[sl], ph[sl], r_pad, c_pad,
                 )
             )
-        probs = np.concatenate(probs_parts)[:total]
+        return (outs, (spans, total))
+
+    def _finalize_group(self, jobs, outs, spans_total) -> None:
+        spans, total = spans_total
+        probs = np.concatenate([np.asarray(o) for o in outs])[:total]
 
         # scatter back + finalize with f64 rescue
         from .pairhmm_oracle import finalize_log10
@@ -204,21 +229,21 @@ class PallasPairHMMRunner:
             job.result = finalize_log10(raw, rescue).reshape(nr, nh)
 
     def _dispatch(self, read_u8, qual_u8, read_lens, hap_u8, hap_lens,
-                  hap_init_y, pair_read, pair_hap) -> np.ndarray:
+                  hap_init_y, pair_read, pair_hap, r_pad, c_pad):
+        """Submit one device dispatch; returns the (lazy) device array."""
         import jax.numpy as jnp
 
         from .pairhmm_pallas import pairhmm_pallas_unique
 
-        out = pairhmm_pallas_unique(
+        return pairhmm_pallas_unique(
             jnp.asarray(read_u8), jnp.asarray(qual_u8), jnp.asarray(read_lens),
             jnp.asarray(hap_u8), jnp.asarray(hap_lens), jnp.asarray(hap_init_y),
             jnp.asarray(pair_read), jnp.asarray(pair_hap),
             jnp.asarray(self._base_table),
             jnp.asarray(self._omq_table), jnp.asarray(self._q3_table),
             self.trans,
-            r_pad=self.r_pad,
-            c_pad=self.c_pad,
-            stripe=self.cfg.stripe_height,
+            r_pad=r_pad,
+            c_pad=c_pad,
+            stripe=min(self.cfg.stripe_height, r_pad),
             interpret=self.interpret,
         )
-        return np.asarray(out)
