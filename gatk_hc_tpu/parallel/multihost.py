@@ -1,0 +1,167 @@
+"""Multi-host scale-out: region sharding + variant gathering.
+
+Reference analogue: none — the reference is a single-node OpenMP program
+(SURVEY.md §5).  Design per SURVEY.md §7 step 7:
+
+* ``jax.distributed`` over DCN; each host parses its own SAM shard
+  (FASTA and config replicated);
+* regions are partitioned contiguously across processes, so each host's
+  assembler feeds only its own chips;
+* per-region variant rows encode to a flat fixed-width record array
+  (device-friendly, cf. the reference's unused Boost-serialization hooks,
+  sam.hpp:51-65) and gather to every host with
+  ``multihost_utils.process_allgather``; process 0 writes the single VCF in
+  region order.
+
+Runs unchanged in single-process mode (trivial partition, no-op gather).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import HCConfig
+from ..models.haplotype import Variant
+from ..utils.interval import Interval
+
+# flat record: begin, gt1, gt2, gq, n_alleles, then allele blob offsets
+_MAX_ALLELES = 8
+_MAX_ALLELE_LEN = 64
+
+
+def distributed_init(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Initialize jax.distributed when running multi-host; no-op otherwise.
+    Returns (process_index, process_count)."""
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def partition_regions(n_regions: int, process_index: int, process_count: int):
+    """Contiguous block partition; block i -> process i."""
+    per = -(-n_regions // process_count)
+    start = process_index * per
+    return range(start, min(start + per, n_regions))
+
+
+def encode_variants(region_ids: Sequence[int], variants: Sequence[Variant]):
+    """Variants -> (int32 table, uint8 allele blob) fixed-width records."""
+    n = len(variants)
+    table = np.zeros((n, 6 + _MAX_ALLELES), dtype=np.int32)
+    blob = np.zeros((n, _MAX_ALLELES, _MAX_ALLELE_LEN), dtype=np.uint8)
+    for i, (rid, v) in enumerate(zip(region_ids, variants)):
+        alleles = v.alleles[:_MAX_ALLELES]
+        table[i, :6] = (
+            rid, v.location.begin, v.location.end, v.gt[0], v.gt[1], v.gq
+        )
+        for a, allele in enumerate(alleles):
+            encoded = allele.encode()[:_MAX_ALLELE_LEN]
+            table[i, 6 + a] = len(encoded)
+            blob[i, a, : len(encoded)] = np.frombuffer(encoded, dtype=np.uint8)
+    return table, blob
+
+
+def decode_variants(table: np.ndarray, blob: np.ndarray, contig: str):
+    """Inverse of encode_variants -> [(region_id, Variant)] sorted by
+    (region, begin)."""
+    out = []
+    for i in range(table.shape[0]):
+        rid, begin, end, gt1, gt2, gq = (int(x) for x in table[i, :6])
+        alleles = []
+        for a in range(_MAX_ALLELES):
+            ln = int(table[i, 6 + a])
+            if ln == 0 and a > 0:
+                break
+            alleles.append(blob[i, a, :ln].tobytes().decode())
+        out.append(
+            (
+                rid,
+                Variant(
+                    location=Interval(contig, begin, end),
+                    alleles=tuple(alleles),
+                    gt=(gt1, gt2),
+                    gq=gq,
+                ),
+            )
+        )
+    out.sort(key=lambda item: (item[0], item[1].location.begin))
+    return out
+
+
+def gather_variants(
+    region_ids: Sequence[int], variants: Sequence[Variant], contig: str
+):
+    """All-gather variant records across processes (no-op single-process)."""
+    import jax
+
+    table, blob = encode_variants(region_ids, variants)
+    if jax.process_count() == 1:
+        return decode_variants(table, blob, contig)
+    from jax.experimental import multihost_utils
+
+    # pad to a common max count across processes
+    counts = multihost_utils.process_allgather(np.array([table.shape[0]]))
+    max_n = int(np.max(counts))
+    pad = max_n - table.shape[0]
+    table_p = np.pad(table, ((0, pad), (0, 0)), constant_values=-1)
+    blob_p = np.pad(blob, ((0, pad), (0, 0), (0, 0)))
+    tables = multihost_utils.process_allgather(table_p)
+    blobs = multihost_utils.process_allgather(blob_p)
+    tables = tables.reshape(-1, table.shape[1])
+    blobs = blobs.reshape(-1, _MAX_ALLELES, _MAX_ALLELE_LEN)
+    valid = tables[:, 0] >= 0
+    return decode_variants(tables[valid], blobs[valid], contig)
+
+
+def run_multihost(
+    sam_path: str,
+    fasta_path: str,
+    out_path: Optional[str],
+    cfg: HCConfig,
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Whole-pipeline multi-host entry: shard regions, call, gather, write."""
+    from ..io.fasta import read_fasta
+    from ..models.caller import call_batched, iter_windows, vcf_header, write_vcf
+
+    pidx, pcount = distributed_init(coordinator, num_processes, process_id)
+    fasta = read_fasta(fasta_path)
+    n_regions = (len(fasta.seq) + cfg.region_size - 1) // cfg.region_size
+    mine = set(partition_regions(n_regions, pidx, pcount))
+
+    results = call_batched(
+        sam_path, fasta_path, None, cfg, region_filter=lambda i: i in mine
+    )
+    region_ids: List[int] = []
+    variants: List[Variant] = []
+    # results arrive in region order for our contiguous block
+    base = min(mine) if mine else 0
+    for offset, region in enumerate(results):
+        for v in region.variants:
+            region_ids.append(base + offset)
+            variants.append(v)
+
+    merged = gather_variants(region_ids, variants, fasta.name)
+    if out_path is not None and pidx == 0:
+        with open(out_path, "w") as handle:
+            handle.write(vcf_header(fasta.name, len(fasta.seq), cfg))
+            for _, variant in merged:
+                handle.write(variant.to_vcf_row())
+    return merged

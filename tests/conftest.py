@@ -6,12 +6,26 @@ exercised without TPU hardware (set before any jax import).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 virtual devices: the sandbox exports JAX_PLATFORMS=axon
+# (real TPU tunnel) and its sitecustomize imports jax at interpreter start,
+# so env vars set here are too late — use jax.config, which still applies
+# before first backend use in the test process.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
+# the terminal exports --xla_allow_excess_precision=true, which lets XLA:CPU
+# contract mul+add into FMA and breaks bit-exact comparisons vs the oracle
+flags = flags.replace("--xla_allow_excess_precision=true", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+os.environ["XLA_FLAGS"] = flags.strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # older jax: the XLA_FLAGS fallback above covers it
 
 import random
 

