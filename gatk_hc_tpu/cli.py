@@ -1,8 +1,9 @@
 """Command-line interface, mirroring the reference binary's flags
 (src/main.cpp:6-16): -I/--input SAM, -O/--output VCF, -R/--reference FASTA.
 
-Extensions over the reference: engine selection, region windows, downsample
-mode, and scale-out controls.
+Extensions over the reference: engine selection, deterministic downsampling,
+interval restriction (-L), verbosity, stage timing stats, checkpoint/resume
+manifests, multi-host execution, and assembly-graph dumps.
 """
 
 from __future__ import annotations
@@ -25,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-O", "--output", required=True, help="output VCF path")
     parser.add_argument("-R", "--reference", required=True, help="reference FASTA")
     parser.add_argument(
+        "-L", "--intervals", default=None,
+        help="restrict calling to contig:begin-end (0-based half-open)",
+    )
+    parser.add_argument(
         "--pairhmm",
         default=DEFAULT_CONFIG.pairhmm_engine,
         choices=("pallas", "jax", "native", "python"),
@@ -45,7 +50,52 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--region-size", type=int, default=DEFAULT_CONFIG.region_size)
     parser.add_argument("--padding-size", type=int, default=DEFAULT_CONFIG.padding_size)
     parser.add_argument("--stats", action="store_true", help="print run stats as JSON")
+    parser.add_argument(
+        "-v", "--verbose", action="count", default=0,
+        help="-v: reference-style progress lines; -vv: debug",
+    )
+    parser.add_argument(
+        "--manifest", default=None,
+        help="region-manifest JSONL for checkpoint/resume",
+    )
+    parser.add_argument(
+        "--dump-graph", type=int, default=None, metavar="REGION",
+        help="write graph.dot for the given region index and exit",
+    )
+    # multi-host
+    parser.add_argument("--coordinator", default=None, help="jax.distributed coordinator host:port")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     return parser
+
+
+def _dump_graph(args, cfg) -> int:
+    from .io.fasta import read_fasta
+    from .io.sam import load_reads_by_start, read_sam
+    from .models.assembler import build_debug_graph, graph_to_dot
+    from .models.caller import iter_windows
+    from .models.downsampler import downsample_window
+    from .models.read_clipper import hard_clip_reads
+    from .models.read_filters import filter_reads
+
+    fasta = read_fasta(args.reference)
+    buckets = load_reads_by_start(read_sam(args.input), len(fasta.seq))
+    for index, (origin, padded) in enumerate(
+        iter_windows(fasta.name, len(fasta.seq), cfg)
+    ):
+        if index != args.dump_graph:
+            continue
+        reads = downsample_window(buckets, padded.begin, padded.end, cfg)
+        reads = hard_clip_reads(filter_reads(reads, cfg), padded, cfg)
+        graph = build_debug_graph(
+            reads, fasta.seq[padded.begin : padded.end], cfg.initial_kmer_size, cfg
+        )
+        with open(args.output, "w") as handle:
+            handle.write(graph_to_dot(graph))
+        print(f"wrote assembly graph for region {index} to {args.output}")
+        return 0
+    print(f"error: region {args.dump_graph} not found", file=sys.stderr)
+    return 2
 
 
 def main(argv=None) -> int:
@@ -59,17 +109,62 @@ def main(argv=None) -> int:
         region_size=args.region_size,
         padding_size=args.padding_size,
     )
-    from .models.caller import call, call_batched
+    if args.dump_graph is not None:
+        return _dump_graph(args, cfg)
+
+    from .models.caller import call, call_batched, iter_windows
+    from .utils.logging import HCLogger, RunCounters, StageTimers, maybe_profile
+
+    logger = HCLogger(verbosity=args.verbose)
+    timers = StageTimers()
+    counters = RunCounters()
+
+    region_filter = None
+    if args.intervals:
+        from .utils.interval import Interval
+
+        target = Interval.parse(args.intervals)
+        from .io.fasta import read_fasta
+
+        contig_len = len(read_fasta(args.reference).seq)
+        windows = list(iter_windows(target.contig, contig_len, cfg))
+        wanted = {
+            i for i, (origin, _) in enumerate(windows)
+            if origin.overlaps(Interval(target.contig, target.begin, min(target.end, 2**62)))
+        }
+        region_filter = lambda i: i in wanted
+
+    manifest = None
+    if args.manifest:
+        from .parallel.checkpoint import RegionManifest
+
+        manifest = RegionManifest(args.manifest)
 
     start = time.perf_counter()
     try:
-        if cfg.pairhmm_engine in ("pallas", "jax"):
+        if args.num_processes and args.num_processes > 1:
+            from .parallel.multihost import run_multihost
+
+            run_multihost(
+                args.input, args.reference, args.output, cfg,
+                args.coordinator, args.num_processes, args.process_id,
+            )
+            results = []
+        elif cfg.pairhmm_engine in ("pallas", "jax"):
             from .parallel.compile_cache import enable_compile_cache
 
             enable_compile_cache()
-            results = call_batched(args.input, args.reference, args.output, cfg)
+            with maybe_profile():
+                results = call_batched(
+                    args.input, args.reference, args.output, cfg,
+                    region_filter=region_filter, logger=logger,
+                    timers=timers, counters=counters, manifest=manifest,
+                )
         else:
-            results = call(args.input, args.reference, args.output, cfg)
+            results = call(
+                args.input, args.reference, args.output, cfg,
+                region_filter=region_filter,
+            )
     except FileNotFoundError as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 2
@@ -77,18 +172,16 @@ def main(argv=None) -> int:
     n_variants = sum(len(r.variants) for r in results)
     cells = sum(r.cell_updates for r in results)
     if args.stats:
-        print(
-            json.dumps(
-                {
-                    "regions": len(results),
-                    "variants": n_variants,
-                    "cell_updates": cells,
-                    "wall_s": round(elapsed, 3),
-                    "cells_per_s": round(cells / elapsed) if elapsed else 0,
-                    "engine": cfg.pairhmm_engine,
-                }
-            )
-        )
+        stats = {
+            "regions": len(results),
+            "variants": n_variants,
+            "cell_updates": cells,
+            "wall_s": round(elapsed, 3),
+            "cells_per_s": round(cells / elapsed) if elapsed else 0,
+            "engine": cfg.pairhmm_engine,
+            "stages": timers.summary(),
+        }
+        print(json.dumps(stats))
     print(f"HaplotypeCaller done. {n_variants} variants in {elapsed:.2f}s")
     return 0
 

@@ -230,6 +230,45 @@ class _Graph:
         return haplotypes
 
 
+def graph_to_dot(graph: "_Graph") -> str:
+    """Graphviz dump mirroring GraphWrapper::print (graph_wrapper.hpp:322-346):
+    ref edges red, below-prune-factor edges dotted grey, vertices labeled by
+    their k-mer (sources) or last base."""
+    lines = ["digraph assembly_graphs {"]
+    for eid in range(len(graph.e_src)):
+        u, v = graph.e_src[eid], graph.e_dst[eid]
+        count = graph.e_count[eid]
+        if graph.e_is_ref[eid]:
+            style = f"[label={count},color=red];"
+        elif count < graph.cfg.prune_factor:
+            style = f"[label={count},style=dotted,color=grey];"
+        else:
+            style = f"[label={count}];"
+        lines.append(f"{u} -> {v} {style}")
+    for vid, kmer in enumerate(graph.kmers):
+        label = kmer if not graph.in_edges[vid] else kmer[-1]
+        lines.append(f"{vid} [label={label},shape=box]")
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def build_debug_graph(
+    reads: Sequence[SAMRecord], ref: str, kmer_size: int, cfg: HCConfig
+) -> "_Graph":
+    """Build (but don't path-search) the graph for diagnostics dumps."""
+    graph = _Graph(kmer_size, cfg)
+    segments: List[str] = []
+    for read in reads:
+        segments.extend(usable_read_segments(read, kmer_size, cfg))
+    graph.dup_kmers |= get_dup_kmers(ref, kmer_size)
+    for seg in segments:
+        graph.dup_kmers |= get_dup_kmers(seg, kmer_size)
+    graph.add_seq(ref, True)
+    for seg in segments:
+        graph.add_seq(seg, False)
+    return graph
+
+
 def get_dup_kmers(seq: str, k: int) -> Set[str]:
     """k-mers occurring more than once within one sequence
     (graph_wrapper.hpp:251-261)."""

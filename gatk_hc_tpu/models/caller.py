@@ -25,6 +25,7 @@ from ..config import DEFAULT_CONFIG, HCConfig
 from ..io.fasta import read_fasta
 from ..io.sam import SAMRecord, load_reads_by_start, read_sam
 from ..utils.interval import Interval
+from ..utils.logging import NULL_LOGGER, HCLogger, RunCounters, StageTimers
 from .downsampler import downsample_window
 from .genotyper import assign_genotype_likelihoods
 from .haplotype import Haplotype, Variant
@@ -45,6 +46,7 @@ class RegionResult:
     variants: List[Variant]
     # raw PairHMM work volume for the benchmark counters
     cell_updates: int = 0
+    region_id: int = -1
 
 
 def vcf_header(contig: str, contig_length: int, cfg: HCConfig) -> str:
@@ -180,6 +182,10 @@ def call_batched(
     assemble_fn: Optional[AssembleFn] = None,
     region_filter: Optional[Callable[[int], bool]] = None,
     runner=None,
+    logger: HCLogger = NULL_LOGGER,
+    timers: Optional[StageTimers] = None,
+    counters: Optional[RunCounters] = None,
+    manifest=None,
 ) -> List[RegionResult]:
     """Two-phase pipeline for device engines: assemble ALL regions on the
     host first, dispatch PairHMM for all regions in a few large device
@@ -193,35 +199,56 @@ def call_batched(
         assemble_fn = make_assemble_fn(cfg)
     if runner is None:
         runner = PallasPairHMMRunner(cfg)
+    timers = timers or StageTimers()
+    counters = counters or RunCounters()
 
-    fasta = read_fasta(fasta_path)
-    ref = fasta.seq
-    buckets = load_reads_by_start(read_sam(sam_path), len(ref))
+    with timers.stage("parse"):
+        fasta = read_fasta(fasta_path)
+        ref = fasta.seq
+        buckets = load_reads_by_start(read_sam(sam_path), len(ref))
+        counters.reads_parsed = sum(len(b) for b in buckets)
 
     # phase A: host assembly per region
-    pending = []  # (result, reads, haplotypes, job)
+    pending = []  # (result, reads, haplotypes, window_ref, job)
     results: List[RegionResult] = []
     for index, (origin, padded) in enumerate(iter_windows(fasta.name, len(ref), cfg)):
         if region_filter is not None and not region_filter(index):
             continue
-        reads = downsample_window(buckets, padded.begin, padded.end, cfg)
         result = RegionResult(origin, padded, 0, 0, [])
         results.append(result)
-        if not reads:
+        counters.regions += 1
+        if manifest is not None and manifest.is_done(index):
+            result.variants = manifest.variants_for(index)
+            counters.variants += len(result.variants)
             continue
-        window_ref = ref[padded.begin : padded.end]
-        reads = filter_reads(reads, cfg)
-        reads = hard_clip_reads(reads, padded, cfg)
+        result.region_id = index
+        with timers.stage("downsample_clip"):
+            reads = downsample_window(buckets, padded.begin, padded.end, cfg)
+            if not reads:
+                counters.regions_skipped += 1
+                logger.region_ignored(origin, padded)
+                continue
+            window_ref = ref[padded.begin : padded.end]
+            reads = filter_reads(reads, cfg)
+            reads = hard_clip_reads(reads, padded, cfg)
         result.n_reads = len(reads)
+        counters.reads_used += len(reads)
         if not reads:
+            counters.regions_skipped += 1
             continue
-        haplotypes = assemble_fn(reads, window_ref, cfg)
+        logger.region_start(origin, padded, len(reads))
+        with timers.stage("assemble"):
+            haplotypes = assemble_fn(reads, window_ref, cfg)
         result.n_haplotypes = len(haplotypes)
+        counters.haplotypes += len(haplotypes)
+        logger.haplotypes_found(len(haplotypes))
         if len(haplotypes) <= 1:
             continue
         result.cell_updates = sum(len(r) for r in reads) * sum(
             len(h) for h in haplotypes
         )
+        counters.pairs += len(reads) * len(haplotypes)
+        counters.cell_updates += result.cell_updates
         read_arrays = [
             (
                 np.frombuffer(r.seq.encode(), dtype=np.uint8),
@@ -236,26 +263,33 @@ def call_batched(
         pending.append((result, reads, haplotypes, window_ref, job))
 
     # phase B: device PairHMM over all regions
-    runner.run([p[4] for p in pending])
+    with timers.stage("pairhmm"):
+        runner.run([p[4] for p in pending])
 
     # phase C: normalization + genotyping per region
-    for result, reads, haplotypes, window_ref, job in pending:
-        filtered, kept_indices = normalize_and_filter(
-            job.result,
-            [len(r) for r in reads],
-            cfg.max_best_alt_likelihood_difference,
-            cfg.expected_error_rate_per_base,
-            cfg.log10_quality_per_base,
-            cfg.max_expected_error_per_read,
-        )
-        kept_reads = [reads[i] for i in kept_indices]
-        result.variants = assign_genotype_likelihoods(
-            kept_reads, haplotypes, filtered, window_ref,
-            result.padded, result.origin, cfg,
-        )
+    with timers.stage("genotype"):
+        for result, reads, haplotypes, window_ref, job in pending:
+            filtered, kept_indices = normalize_and_filter(
+                job.result,
+                [len(r) for r in reads],
+                cfg.max_best_alt_likelihood_difference,
+                cfg.expected_error_rate_per_base,
+                cfg.log10_quality_per_base,
+                cfg.max_expected_error_per_read,
+            )
+            kept_reads = [reads[i] for i in kept_indices]
+            result.variants = assign_genotype_likelihoods(
+                kept_reads, haplotypes, filtered, window_ref,
+                result.padded, result.origin, cfg,
+            )
+            counters.variants += len(result.variants)
+            if manifest is not None:
+                manifest.record(result.region_id, result.variants)
 
-    if out_path is not None:
-        write_vcf(out_path, fasta.name, len(ref), results, cfg)
+    with timers.stage("io"):
+        if out_path is not None:
+            write_vcf(out_path, fasta.name, len(ref), results, cfg)
+    logger.done()
     return results
 
 

@@ -1,0 +1,167 @@
+"""Genotyper unit tests: event extraction, allele resolution, GT/GQ."""
+
+import math
+
+import numpy as np
+import pytest
+
+from gatk_hc_tpu.config import DEFAULT_CONFIG
+from gatk_hc_tpu.io.sam import SAMRecord
+from gatk_hc_tpu.models.genotyper import (
+    _calculate_genotype_likelihoods,
+    _genotype_alleles,
+    _get_compatible_alleles,
+    _gq_and_max_index,
+    _replace_span_dels,
+    assign_genotype_likelihoods,
+    process_cigar_for_initial_events,
+)
+from gatk_hc_tpu.models.haplotype import Haplotype, Variant
+from gatk_hc_tpu.utils.cigar import parse_cigar
+from gatk_hc_tpu.utils.interval import Interval
+
+
+def make_read(pos, seq, qual=None, rname="chrM"):
+    return SAMRecord(
+        qname="r", flag=99, rname=rname, pos=pos, mapq=60,
+        cigar=parse_cigar(f"{len(seq)}M"), rnext="=", pnext=pos, tlen=len(seq),
+        seq=seq, qual=qual or ("I" * len(seq)),
+    )
+
+
+class TestEventExtraction:
+    REF = "AAACCCGGGTTTAAACCCGGG"
+    REGION = Interval("chrM", 100, 100 + len(REF))
+
+    def test_snp(self):
+        hap = Haplotype(self.REF[:9] + "A" + self.REF[10:])
+        hap.cigar = parse_cigar(f"{len(self.REF)}M")
+        process_cigar_for_initial_events(hap, self.REF, self.REGION)
+        assert list(hap.event_map) == [109]
+        event = hap.event_map[109]
+        assert (event.ref, event.alt) == ("T", "A")
+        assert event.location == Interval("chrM", 109, 110)
+
+    def test_insertion_left_anchored(self):
+        hap = self.REF[:10] + "GGG" + self.REF[10:]
+        h = Haplotype(hap)
+        h.cigar = parse_cigar("10M3I11M")
+        process_cigar_for_initial_events(h, self.REF, self.REGION)
+        event = h.event_map[109]
+        assert (event.ref, event.alt) == ("T", "TGGG")
+        assert event.location == Interval("chrM", 109, 110)
+
+    def test_deletion_left_anchored(self):
+        h = Haplotype(self.REF[:10] + self.REF[13:])
+        h.cigar = parse_cigar("10M3D8M")
+        process_cigar_for_initial_events(h, self.REF, self.REGION)
+        event = h.event_map[109]
+        assert (event.ref, event.alt) == ("TTTA", "T")
+        assert event.location == Interval("chrM", 109, 113)
+
+    def test_softclip_consumes_hap_only(self):
+        h = Haplotype("NNN" + self.REF)
+        h.cigar = parse_cigar(f"3S{len(self.REF)}M")
+        process_cigar_for_initial_events(h, self.REF, self.REGION)
+        assert h.event_map == {}
+
+    def test_insertion_at_ref_pos_zero_skipped(self):
+        # ref_pos == 0 -> no left anchor -> event dropped (genotyper.hpp:75)
+        h = Haplotype("GG" + self.REF)
+        h.cigar = parse_cigar(f"2I{len(self.REF)}M")
+        process_cigar_for_initial_events(h, self.REF, self.REGION)
+        assert h.event_map == {}
+
+
+class TestAlleleResolution:
+    def test_span_del_replacement(self):
+        events = [
+            Variant(Interval("chrM", 100, 104), ref="ACGT", alt="A"),
+            Variant(Interval("chrM", 102, 103), ref="G", alt="C"),
+        ]
+        replaced = _replace_span_dels(events, "G", 102, "chrM")
+        assert replaced[0].alt == "*"
+        assert replaced[0].ref == "G"
+        assert replaced[1].alt == "C"
+
+    def test_compatible_alleles_mixed_snp_del(self):
+        # at the same begin: a deletion (REF=TTTA) and a SNP (REF=T)
+        events = sorted(
+            [
+                Variant(Interval("chrM", 109, 113), ref="TTTA", alt="T"),
+                Variant(Interval("chrM", 109, 110), ref="T", alt="A"),
+            ],
+            key=lambda v: v.sort_key(),
+        )
+        alleles, loc = _get_compatible_alleles(events)
+        # longest REF wins; SNP's ALT extends with the ref tail
+        assert alleles[0] == "TTTA"
+        assert set(alleles[1:]) == {"T", "ATTA"}
+        assert loc == Interval("chrM", 109, 113)
+
+
+class TestGenotypeLikelihoods:
+    def test_diploid_indexing(self):
+        assert _genotype_alleles(2, 0) == (0, 0)
+        assert _genotype_alleles(2, 1) == (0, 1)
+        assert _genotype_alleles(2, 2) == (1, 1)
+        assert _genotype_alleles(3, 4) == (1, 2)
+
+    def test_hom_het_composition(self):
+        # two reads, allele 0 lik -1, allele 1 lik -2
+        lik = np.array([[-1.0, -2.0], [-1.0, -2.0]])
+        gls = _calculate_genotype_likelihoods(lik, 2)
+        # hom0: sum(-1 + log2) - 2log2 = -2 - log2... compute directly
+        log2 = math.log10(2)
+        assert gls[0] == pytest.approx(2 * (-1 + log2) - 2 * log2)
+        assert gls[2] == pytest.approx(2 * (-2 + log2) - 2 * log2)
+        # het: approximate_log10_sum_log10(-1, -2) each
+        from gatk_hc_tpu.utils.quality import approximate_log10_sum_log10
+
+        want = 2 * approximate_log10_sum_log10(-1.0, -2.0) - 2 * log2
+        assert gls[1] == pytest.approx(want)
+
+    def test_gq_rounding_half_away_from_zero(self):
+        # gap of 0.05 -> -10*(second-best) = 0.5 -> GQ 1 (std::round), not 0
+        index, gq = _gq_and_max_index([-1.05, -1.0], 99)
+        assert index == 1
+        assert gq == 1
+
+    def test_gq_cap(self):
+        index, gq = _gq_and_max_index([-50.0, -1.0], 99)
+        assert gq == 99
+
+    def test_later_tie_wins_max(self):
+        # genotyper.hpp:348: >= lets later equal values take the max slot
+        index, gq = _gq_and_max_index([-1.0, -1.0, -1.0], 99)
+        assert index == 2
+        assert gq == 0
+
+
+class TestEndToEndGenotyping:
+    def test_het_snp_call(self):
+        ref = ("ACGTACGGTACCGATTACAG" * 6)[:100]
+        pos = 50
+        alt = ref[:pos] + ("A" if ref[pos] != "A" else "C") + ref[pos + 1 :]
+        padded = Interval("chrM", 0, 100)
+        origin = Interval("chrM", 0, 100)
+        h_ref = Haplotype(ref)
+        h_ref.cigar = parse_cigar("100M")
+        h_alt = Haplotype(alt)
+        h_alt.cigar = parse_cigar("100M")
+        haps = [h_ref, h_alt]
+        reads = [make_read(1, ref[:80]), make_read(11, alt[10:90]),
+                 make_read(21, ref[20:100]), make_read(1, alt[:80])]
+        # likelihood matrix: reads match their origin hap strongly
+        lik = np.array(
+            [[-1.0, -9.0], [-9.0, -1.0], [-1.0, -9.0], [-9.0, -1.0]]
+        )
+        variants = assign_genotype_likelihoods(
+            reads, haps, lik, ref, padded, origin, DEFAULT_CONFIG
+        )
+        assert len(variants) == 1
+        v = variants[0]
+        assert v.location.begin == pos
+        assert v.gt == (0, 1)
+        assert v.alleles[0] == ref[pos]
+        assert v.alleles[1] == alt[pos]
