@@ -104,8 +104,11 @@ class HCConfig:
     # height; hap columns pad to lane-friendly buckets.
     pair_batch: int = 128                  # pairs per device tile (lanes)
     stripe_height: int = 32                # sublanes per stripe (tuned on v5e)
+    # Few, coarse buckets: each distinct (r_pad, c_pad) is a separate XLA
+    # program and the TPU AOT toolchain here costs minutes per compile
+    # (persistently cached; see tools/warm_cache.py).
     read_pad_buckets: Tuple[int, ...] = (96, 160, 224)   # stripe multiples
-    hap_pad_buckets: Tuple[int, ...] = (256, 384, 512)
+    hap_pad_buckets: Tuple[int, ...] = (512,)
 
     # --- Engine selection ---
     # "pallas": TPU Pallas kernel;  "jax": pure-jnp fallback;

@@ -153,3 +153,21 @@ def load_reads_by_start(
         if 0 <= start < ref_size:
             buckets[start].append(record)
     return buckets
+
+
+def load_reads_by_contig(
+    records: Iterable[SAMRecord], contig_sizes: "dict[str, int]"
+) -> "dict[str, List[List[SAMRecord]]]":
+    """Per-contig positional buckets (multi-contig generalization; the
+    reference handles exactly one contig)."""
+    buckets = {
+        name: [[] for _ in range(size)] for name, size in contig_sizes.items()
+    }
+    for record in records:
+        contig = buckets.get(record.rname)
+        if contig is None:
+            continue
+        start = record.alignment_begin
+        if 0 <= start < len(contig):
+            contig[start].append(record)
+    return buckets

@@ -22,8 +22,8 @@ from typing import Callable, Iterable, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import DEFAULT_CONFIG, HCConfig
-from ..io.fasta import read_fasta
-from ..io.sam import SAMRecord, load_reads_by_start, read_sam
+from ..io.fasta import read_all_fasta, read_fasta
+from ..io.sam import SAMRecord, load_reads_by_contig, load_reads_by_start, read_sam
 from ..utils.interval import Interval
 from ..utils.logging import NULL_LOGGER, HCLogger, RunCounters, StageTimers
 from .downsampler import downsample_window
@@ -203,15 +203,29 @@ def call_batched(
     counters = counters or RunCounters()
 
     with timers.stage("parse"):
-        fasta = read_fasta(fasta_path)
-        ref = fasta.seq
-        buckets = load_reads_by_start(read_sam(sam_path), len(ref))
-        counters.reads_parsed = sum(len(b) for b in buckets)
+        contigs = read_all_fasta(fasta_path)
+        for record in contigs:
+            record.seq = record.seq.upper()
+        contig_sizes = {c.name: len(c.seq) for c in contigs}
+        all_buckets = load_reads_by_contig(read_sam(sam_path), contig_sizes)
+        counters.reads_parsed = sum(
+            len(b) for buckets in all_buckets.values() for b in buckets
+        )
+
+    # global region index across contigs (contig-major, FASTA order)
+    def all_windows():
+        index = 0
+        for contig in contigs:
+            for origin, padded in iter_windows(contig.name, len(contig.seq), cfg):
+                yield index, contig, origin, padded
+                index += 1
 
     # phase A: host assembly per region
     pending = []  # (result, reads, haplotypes, window_ref, job)
     results: List[RegionResult] = []
-    for index, (origin, padded) in enumerate(iter_windows(fasta.name, len(ref), cfg)):
+    for index, contig, origin, padded in all_windows():
+        ref = contig.seq
+        buckets = all_buckets[contig.name]
         if region_filter is not None and not region_filter(index):
             continue
         result = RegionResult(origin, padded, 0, 0, [])
@@ -288,7 +302,7 @@ def call_batched(
 
     with timers.stage("io"):
         if out_path is not None:
-            write_vcf(out_path, fasta.name, len(ref), results, cfg)
+            write_vcf(out_path, contigs[0].name, len(contigs[0].seq), results, cfg)
     logger.done()
     return results
 

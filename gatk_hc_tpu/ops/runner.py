@@ -48,8 +48,11 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
 class PallasPairHMMRunner:
     """Batches PairHMMJobs into fixed-shape Pallas dispatches."""
 
-    READ_BUCKETS = (256, 512, 1024, 2048)
-    HAP_BUCKETS = (32, 128, 512)
+    # Fixed table shapes: every dispatch uses the same (NR, NH) so XLA sees
+    # ONE program per (r_pad, c_pad) — the TPU AOT toolchain here costs
+    # ~200s per compiled program (cached persistently thereafter).
+    READ_BUCKETS = (1024,)
+    HAP_BUCKETS = (128,)
 
     def __init__(self, cfg: HCConfig, pair_budget: int = 4096,
                  interpret: Optional[bool] = None):
