@@ -213,6 +213,64 @@ def pairhmm_pallas_unique(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("nr_pad", "nh_pad", "r_pad", "c_pad", "stripe", "interpret"),
+)
+def pairhmm_pallas_packed(
+    u8buf: jnp.ndarray,  # (2*nr_pad*r_pad + nh_pad*c_pad,) u8: reads|quals|haps
+    i32buf: jnp.ndarray,  # (nr_pad + 2*nh_pad,) i32: rlens|hlens|init_y bits
+    pairs: jnp.ndarray,  # (2, B) i32: pair_read, pair_hap
+    base_table: jnp.ndarray,  # (256,) i32  (device-resident constant)
+    ph2pr_omq: jnp.ndarray,  # (128,) f32  (device-resident constant)
+    ph2pr_q3: jnp.ndarray,  # (128,) f32  (device-resident constant)
+    trans: Tuple,
+    nr_pad: int,
+    nh_pad: int,
+    r_pad: int,
+    c_pad: int,
+    stripe: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Packed-transfer variant of ``pairhmm_pallas_unique``.
+
+    The relay link between host and chip charges per-transfer latency, so the
+    runner ships each dispatch group as exactly TWO host buffers (one uint8,
+    one int32) plus a per-dispatch pair-index array; everything is unpacked
+    on device inside this single jit.  init_y crosses as int32 bit patterns
+    so the f32 values stay bit-identical to the host's (TPU f32 division is
+    reciprocal-based and may differ in the last ulp).
+    """
+    nrr = nr_pad * r_pad
+    read_u8 = u8buf[:nrr].reshape(nr_pad, r_pad)
+    qual_u8 = u8buf[nrr : 2 * nrr].reshape(nr_pad, r_pad)
+    hap_u8 = u8buf[2 * nrr : 2 * nrr + nh_pad * c_pad].reshape(nh_pad, c_pad)
+    read_lens = i32buf[:nr_pad]
+    hap_lens = i32buf[nr_pad : nr_pad + nh_pad]
+    init_y = jax.lax.bitcast_convert_type(
+        i32buf[nr_pad + nh_pad : nr_pad + 2 * nh_pad], jnp.float32
+    )
+
+    rc_unique = jnp.take(base_table, read_u8.astype(jnp.int32), axis=0)
+    q_idx = (qual_u8 & 127).astype(jnp.int32)
+    omq_unique = jnp.take(ph2pr_omq, q_idx, axis=0)
+    q3_unique = jnp.take(ph2pr_q3, q_idx, axis=0)
+    hc_unique = jnp.take(base_table, hap_u8.astype(jnp.int32), axis=0)
+
+    pair_read, pair_hap = pairs[0], pairs[1]
+    read_codes = jnp.take(rc_unique, pair_read, axis=0)
+    read_omq = jnp.take(omq_unique, pair_read, axis=0)
+    read_q3 = jnp.take(q3_unique, pair_read, axis=0)
+    hap_codes = jnp.take(hc_unique, pair_hap, axis=0)
+    rlens = jnp.take(read_lens, pair_read)
+    clens = jnp.take(hap_lens, pair_hap)
+    iy = jnp.take(init_y, pair_hap)
+    return _pallas_forward(
+        read_codes, read_omq, read_q3, rlens, hap_codes, clens, iy,
+        trans, r_pad, c_pad, stripe, interpret,
+    )
+
+
 def _pallas_forward(
     read_codes, read_omq, read_q3, read_lens, hap_codes, hap_lens, init_y,
     trans, r_pad, c_pad, stripe, interpret,
