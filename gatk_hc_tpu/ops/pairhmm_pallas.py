@@ -44,6 +44,11 @@ from .batching import PairBatch, all_pairs, pack_pairs
 from .pairhmm_jax import batch_to_device_args, transition_constants
 
 LANES = 128
+_PPE_UNROLL = 32  # columns per inner-loop iteration in the ppe kernel
+# kernel selection when algo="auto": "ppe" | "striped" (env override for A/B)
+import os as _os
+
+DEFAULT_ALGO = _os.environ.get("GATK_HC_TPU_PALLAS_ALGO", "ppe")
 
 
 def _kernel(
@@ -163,6 +168,212 @@ def _kernel(
     out_ref[...] = jnp.sum(total, axis=0, keepdims=True)
 
 
+def _kernel_ppe(
+    trans_ref,  # (1, 8) f32 SMEM
+    rows_hbm,  # (nb, R, 3, 8, 128) i32 in ANY/HBM: [base mask | omq bits | q3 bits]
+    hap_ref,  # (1, C, 8, 128) i32 hap base masks, VMEM block
+    rlen_ref,  # (1, 8, 128) i32
+    clen_ref,  # (1, 8, 128) i32
+    inity_ref,  # (1, 8, 128) f32
+    out_ref,  # (1, 8, 128) f32 raw forward probability
+    mbuf,  # (C, 8, 128) f32 VMEM scratch: previous-row M
+    xbuf,  # (C, 8, 128) f32 VMEM scratch: previous-row X
+    ybuf,  # (C, 8, 128) f32 VMEM scratch: previous-row Y
+    cbuf,  # (C, 8, 128) f32 VMEM scratch: 1.0 where column <= clen else 0.0
+    rows_s,  # (2, 3, 8, 128) i32 VMEM scratch: double-buffered read rows
+    sem,  # DMA semaphores (2,)
+    *,
+    r_pad: int,
+    c_pad: int,
+):
+    """Pair-per-element PairHMM forward.
+
+    Every VPU element (sublane, lane) owns ONE (read, hap) pair — 1024 pairs
+    per grid block — and sweeps its DP matrix row-major.  Unlike the striped
+    anti-diagonal kernel there is no cross-sublane traffic at all: the
+    row-above values live in C-deep VMEM ring buffers, the left/diagonal
+    cells in vector registers.  Read rows stream from HBM with a
+    double-buffered async copy; base match uses one-hot codes (A=1, C=2,
+    G=4, T=8, N=15) so the reference's 3-way wildcard test
+    (pairhmm.hpp:98-111, N matches anything) is a single AND+compare.
+    Per-cell fp semantics and the final row-major sum order are identical
+    to the striped kernel (bit-exact vs the scalar oracle).
+    """
+    R, C = r_pad, c_pad
+    f32 = jnp.float32
+    i = pl.program_id(0)
+
+    p_mm = trans_ref[0, 0]
+    p_gapm = trans_ref[0, 1]
+    p_mx = trans_ref[0, 2]
+    p_xx = trans_ref[0, 3]
+    p_my = trans_ref[0, 4]
+    p_yy = trans_ref[0, 5]
+
+    def row_dma(slot, r):  # r: matrix row 1..R
+        return pltpu.make_async_copy(
+            rows_hbm.at[i, r - 1], rows_s.at[slot], sem.at[slot]
+        )
+
+    row_dma(0, 1).start()
+
+    inity = inity_ref[0]  # (8, 128)
+    rlen_b = rlen_ref[0]
+    clen_b = clen_ref[0]
+    zeros = inity * f32(0.0)  # concrete layout for loop carries
+
+    # row-0 boundary: M = X = 0, Y = init_y for every column
+    mbuf[...] = jnp.zeros((C, 8, LANES), f32)
+    xbuf[...] = jnp.zeros((C, 8, LANES), f32)
+    ybuf[...] = jnp.broadcast_to(inity, (C, 8, LANES))
+    # column-validity mask as f32 (row-invariant: hoisted out of the sweep;
+    # M*1.0 and sm+0.0 are exact, so capture semantics are unchanged)
+    col1 = (
+        jax.lax.broadcasted_iota(jnp.int32, (C, 8, LANES), 0) + 1
+    )  # matrix column of each slot
+    cbuf[...] = jnp.where(col1 <= clen_b[None], f32(1.0), f32(0.0))
+
+    def row_body(r, accs):
+        a_m, a_x = accs
+        slot = jax.lax.rem(r - 1, 2)
+
+        @pl.when(r < R)
+        def _():
+            row_dma(jax.lax.rem(r, 2), r + 1).start()
+
+        row_dma(slot, r).wait()
+        rows = rows_s[pl.ds(slot, 1)][0]  # (3, 8, 128) i32
+        rs_row = rows[0]
+        omq_row = pltpu.bitcast(rows[1], f32)
+        q3_row = pltpu.bitcast(rows[2], f32)
+        row_mask = rlen_b == r
+        # Y(0, c) = init_y is the only nonzero diagonal input at row 1
+        y_diag0 = jnp.where(r == 1, inity, zeros)
+
+        # unrolled by U columns per iteration: the scalar core's loop
+        # overhead over R*C iterations otherwise dominates; batched (U,8,128)
+        # buffer loads/stores amortize slice addressing too
+        U = _PPE_UNROLL
+
+        def chunk_body(k, st):
+            m_diag, x_diag, y_diag, m_left, y_left, sm_m, sm_x = st
+            c0 = k * U  # 0-based column offset; matrix columns c0+1..c0+U
+            hw_u = hap_ref[0, pl.ds(c0, U)]  # (U, 8, 128)
+            ma_u = mbuf[pl.ds(c0, U)]
+            xa_u = xbuf[pl.ds(c0, U)]
+            ya_u = ybuf[pl.ds(c0, U)]
+            cm_u = cbuf[pl.ds(c0, U)]
+            Ms, Xs, Ys = [], [], []
+            for j in range(U):
+                match = (rs_row & hw_u[j]) != 0
+                distm = jnp.where(match, omq_row, q3_row)
+                t1 = m_diag * p_mm
+                t2 = x_diag * p_gapm
+                t3 = y_diag * p_gapm
+                M_t = ((t1 + t2) + t3) * distm
+                X_t = ma_u[j] * p_mx + xa_u[j] * p_xx
+                Y_t = m_left * p_my + y_left * p_yy
+                sm_m = sm_m + M_t * cm_u[j]
+                sm_x = sm_x + X_t * cm_u[j]
+                Ms.append(M_t)
+                Xs.append(X_t)
+                Ys.append(Y_t)
+                m_diag, x_diag, y_diag = ma_u[j], xa_u[j], ya_u[j]
+                m_left, y_left = M_t, Y_t
+            mbuf[pl.ds(c0, U)] = jnp.stack(Ms)
+            xbuf[pl.ds(c0, U)] = jnp.stack(Xs)
+            ybuf[pl.ds(c0, U)] = jnp.stack(Ys)
+            return (m_diag, x_diag, y_diag, m_left, y_left, sm_m, sm_x)
+
+        st = jax.lax.fori_loop(
+            0, C // U, chunk_body,
+            (zeros, zeros, y_diag0, zeros, zeros, zeros, zeros),
+        )
+        # capture this row's masked column sums iff it is the final row
+        a_m = jnp.where(row_mask, st[5], a_m)
+        a_x = jnp.where(row_mask, st[6], a_x)
+        return (a_m, a_x)
+
+    a_m, a_x = jax.lax.fori_loop(1, R + 1, row_body, (zeros, zeros))
+    out_ref[0] = a_m + a_x
+
+
+def _pallas_forward_ppe(
+    read_codes, read_omq, read_q3, read_lens, hap_codes, hap_lens, init_y,
+    trans, r_pad, c_pad, interpret,
+) -> jnp.ndarray:
+    B = read_codes.shape[0]
+    assert B % (8 * LANES) == 0, "ppe kernel needs pair batches of 1024"
+    nb = B // (8 * LANES)
+    R, C = r_pad, c_pad
+    f32 = jnp.float32
+
+    # one-hot base masks: A=1 C=2 G=4 T=8, N=15 (matches anything)
+    def to_mask(codes):
+        return jnp.where(
+            codes == 4, jnp.int32(15), jnp.left_shift(jnp.int32(1), codes)
+        )
+
+    def to_blocks(a):  # (B, S) -> (nb, S, 8, 128)
+        return a.reshape(nb, 8, LANES, a.shape[1]).transpose(0, 3, 1, 2)
+
+    bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    rows_hbm = jnp.stack(
+        [
+            to_blocks(to_mask(read_codes)),
+            bits(to_blocks(read_omq)),
+            bits(to_blocks(read_q3)),
+        ],
+        axis=2,
+    )  # (nb, R, 3, 8, 128) i32
+    hap_blk = to_blocks(to_mask(hap_codes))  # (nb, C, 8, 128)
+    vec = lambda v: v.reshape(nb, 8, LANES)
+    trans_arr = jnp.array([list(trans) + [0.0, 0.0]], dtype=f32)
+
+    kernel = functools.partial(_kernel_ppe, r_pad=R, c_pad=C)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, C, 8, LANES), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, LANES), f32),
+        scratch_shapes=[
+            pltpu.VMEM((C, 8, LANES), f32),
+            pltpu.VMEM((C, 8, LANES), f32),
+            pltpu.VMEM((C, 8, LANES), f32),
+            pltpu.VMEM((C, 8, LANES), f32),
+            pltpu.VMEM((2, 3, 8, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * R * C * B,
+            bytes_accessed=B * (3 * R + C) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        trans_arr,
+        rows_hbm,
+        hap_blk,
+        vec(read_lens.astype(jnp.int32)),
+        vec(hap_lens.astype(jnp.int32)),
+        vec(init_y),
+    )
+    return out.reshape(B)
+
+
 @functools.partial(
     jax.jit, static_argnames=("r_pad", "c_pad", "stripe", "interpret")
 )
@@ -273,10 +484,23 @@ def pairhmm_pallas_packed(
 
 def _pallas_forward(
     read_codes, read_omq, read_q3, read_lens, hap_codes, hap_lens, init_y,
-    trans, r_pad, c_pad, stripe, interpret,
+    trans, r_pad, c_pad, stripe, interpret, algo: str = "auto",
 ) -> jnp.ndarray:
     B = read_codes.shape[0]
     assert B % LANES == 0, "pair batch must be a multiple of 128"
+    # pair-per-element kernel: faster (no cross-sublane traffic, no
+    # anti-diagonal ramp) but needs 1024-pair blocks and ~C*13KB of VMEM
+    use_ppe = algo == "ppe" or (
+        algo == "auto"
+        and DEFAULT_ALGO == "ppe"
+        and B % (8 * LANES) == 0
+        and c_pad <= 640
+    )
+    if use_ppe:
+        return _pallas_forward_ppe(
+            read_codes, read_omq, read_q3, read_lens, hap_codes, hap_lens,
+            init_y, trans, r_pad, c_pad, interpret,
+        )
     assert r_pad % stripe == 0, "r_pad must be a multiple of the stripe height"
     n_blocks = B // LANES
 
