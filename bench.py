@@ -91,10 +91,12 @@ def bench_device(reads, haps, n_jobs: int = 16):
 
     enable_compile_cache()
     cfg = dataclasses.replace(DEFAULT_CONFIG)
-    runner = PallasPairHMMRunner(cfg, pair_budget=16384)
+    runner = PallasPairHMMRunner(cfg)
     runner.run([PairHMMJob(reads, haps)])  # compile + warm
+    # the tunnelled TPU's effective throughput fluctuates minute-to-minute;
+    # several rounds + best-of gives the stable hardware number
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         jobs = [PairHMMJob(reads, haps) for _ in range(n_jobs)]
         t0 = time.perf_counter()
         runner.run(jobs)

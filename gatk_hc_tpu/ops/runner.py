@@ -48,27 +48,43 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
 class PallasPairHMMRunner:
     """Batches PairHMMJobs into fixed-shape Pallas dispatches."""
 
-    # Fixed table shapes: every dispatch uses the same (NR, NH) so XLA sees
-    # ONE program per (r_pad, c_pad) — the TPU AOT toolchain here costs
-    # ~200s per compiled program (cached persistently thereafter).
-    READ_BUCKETS = (1024,)
-    HAP_BUCKETS = (128,)
+    # Bucketed table shapes: a handful of (NR, NH) programs per
+    # (r_pad, c_pad), compiled once and cached persistently.
+    READ_BUCKETS = (1024, 4096)
+    HAP_BUCKETS = (128, 512)
 
-    def __init__(self, cfg: HCConfig, pair_budget: int = 4096,
+    def __init__(self, cfg: HCConfig, pair_budget: Optional[int] = None,
                  interpret: Optional[bool] = None):
         import jax
 
         from .pairhmm_jax import transition_constants
 
         self.cfg = cfg
-        # dispatches are (pair_budget,) pair vectors feeding a LANES-wide
-        # grid; keep it a multiple of the lane width
-        self.pair_budget = max(128, ((pair_budget + 127) // 128) * 128)
         self.trans = transition_constants(cfg.gop_char, cfg.gcp_char)
         self.interpret = (
             jax.default_backend() not in ("tpu", "axon")
             if interpret is None
             else interpret
+        )
+        # Grouping budget (pairs per table group) and dispatch chunk sizes.
+        # The relay-tunnelled TPU charges ~3ms per program launch, so real
+        # hardware favors few, large dispatches; interpret mode (CPU tests)
+        # must stay small or the emulated kernel dominates test time.
+        # Measured on the v5e relay: 16384-pair dispatches pipeline better
+        # than 65536-pair ones (bigger gather intermediates hurt more than
+        # the extra launches cost).
+        if self.interpret:
+            default_budget, self._chunks = 4096, (4096,)
+        else:
+            default_budget, self._chunks = 16384, (16384,)
+        if pair_budget is None:
+            pair_budget = default_budget
+        # dispatches are pair vectors feeding a LANES-wide grid; keep every
+        # chunk a multiple of the lane width (and of 8*LANES for the ppe
+        # kernel — all defaults above are)
+        self.pair_budget = max(128, ((pair_budget + 127) // 128) * 128)
+        self._chunks = tuple(
+            min(c, self.pair_budget) for c in self._chunks
         )
         self._base_table = BASE_TABLE.astype(np.int32)
         ph2pr = PH2PR_F32
@@ -168,29 +184,46 @@ class PallasPairHMMRunner:
         nr_pad = _bucket(n_reads, self.READ_BUCKETS)
         nh_pad = _bucket(n_haps, self.HAP_BUCKETS)
 
-        read_u8 = np.zeros((nr_pad, r_pad), dtype=np.uint8)
-        qual_u8 = np.zeros((nr_pad, r_pad), dtype=np.uint8)
-        read_lens = np.ones(nr_pad, dtype=np.int32)
-        hap_u8 = np.zeros((nh_pad, c_pad), dtype=np.uint8)
-        hap_lens = np.ones(nh_pad, dtype=np.int32)
+        def pack_rows(seq_lists, n_pad, w_pad):
+            """Vectorized fill of (n_pad, w_pad) row tables from variable-
+            length uint8 arrays (a python per-row loop costs ~1.5us/row and
+            dominated submit time at 4096-read groups)."""
+            clipped = [s[:w_pad] for s in seq_lists]
+            lens = np.fromiter(
+                (len(s) for s in clipped), dtype=np.int64, count=len(clipped)
+            )
+            starts = np.arange(len(clipped), dtype=np.int64) * w_pad
+            within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            pos = np.repeat(starts, lens) + within
+            out_lens = np.ones(n_pad, dtype=np.int32)
+            out_lens[: len(clipped)] = np.maximum(lens.astype(np.int32), 1)
+            return pos, clipped, out_lens
+
+        reads_flat = [b for g in group for b, _ in jobs[g].reads]
+        quals_flat = [q for g in group for _, q in jobs[g].reads]
+        haps_flat = [h for g in group for h in jobs[g].haps]
+        rpos, rclip, read_lens = pack_rows(reads_flat, nr_pad, r_pad)
+        _, qclip, _ = pack_rows(quals_flat, nr_pad, r_pad)
+        hpos, hclip, hap_lens = pack_rows(haps_flat, nh_pad, c_pad)
+        read_u8 = np.zeros(nr_pad * r_pad, dtype=np.uint8)
+        qual_u8 = np.zeros(nr_pad * r_pad, dtype=np.uint8)
+        hap_u8 = np.zeros(nh_pad * c_pad, dtype=np.uint8)
+        if reads_flat:
+            read_u8[rpos] = np.concatenate(rclip)
+            qual_u8[rpos] = np.concatenate(qclip)
+        if haps_flat:
+            hap_u8[hpos] = np.concatenate(hclip)
 
         read_base_idx: Dict[int, int] = {}
         hap_base_idx: Dict[int, int] = {}
         ri = hi = 0
         for g in group:
             read_base_idx[g] = ri
-            for bases, quals in jobs[g].reads:
-                n = min(len(bases), r_pad)
-                read_u8[ri, :n] = bases[:n]
-                qual_u8[ri, :n] = quals[:n]
-                read_lens[ri] = n
-                ri += 1
+            ri += len(jobs[g].reads)
             hap_base_idx[g] = hi
-            for hap in jobs[g].haps:
-                n = min(len(hap), c_pad)
-                hap_u8[hi, :n] = hap[:n]
-                hap_lens[hi] = n
-                hi += 1
+            hi += len(jobs[g].haps)
         hap_init_y = (
             INITIAL_CONSTANT_F32 / hap_lens.astype(np.float32)
         ).astype(np.float32)
@@ -212,9 +245,18 @@ class PallasPairHMMRunner:
             )
             total += nr * nh
 
-        n_dispatch = max(1, -(-total // self.pair_budget))
-        pr = np.zeros(n_dispatch * self.pair_budget, dtype=np.int32)
-        ph = np.zeros(n_dispatch * self.pair_budget, dtype=np.int32)
+        # chunk plan: big chunks while they don't waste more than a small
+        # chunk would, small chunks for the tail (each chunk size is its own
+        # compiled program, so only a couple of sizes exist)
+        big, small = self._chunks[0], self._chunks[-1]
+        sizes: List[int] = []
+        covered = 0
+        while covered < total:
+            rem = total - covered
+            sizes.append(big if rem > big - small else small)
+            covered += sizes[-1]
+        pr = np.zeros(covered, dtype=np.int32)
+        ph = np.zeros(covered, dtype=np.int32)
         pr[:total] = np.concatenate(pr_parts)
         ph[:total] = np.concatenate(ph_parts)
 
@@ -232,14 +274,16 @@ class PallasPairHMMRunner:
         u8_dev = jax.device_put(u8buf)
         i32_dev = jax.device_put(i32buf)
         outs = []
-        for d in range(n_dispatch):
-            sl = slice(d * self.pair_budget, (d + 1) * self.pair_budget)
+        off = 0
+        for size in sizes:
+            sl = slice(off, off + size)
             outs.append(
                 self._dispatch(
                     u8_dev, i32_dev, np.stack([pr[sl], ph[sl]]),
                     nr_pad, nh_pad, r_pad, c_pad,
                 )
             )
+            off += size
         return (outs, (spans, total))
 
     def _finalize_group(self, jobs, outs, spans_total) -> None:
