@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("first", "seeded"),
         help="one read per start position: deterministic rule",
     )
+    parser.add_argument(
+        "--data",
+        default=DEFAULT_CONFIG.data_engine,
+        choices=("auto", "native", "python"),
+        help="SAM parse + window prep: columnar C++ or per-record Python",
+    )
     parser.add_argument("--seed", type=int, default=DEFAULT_CONFIG.downsample_seed)
     parser.add_argument("--region-size", type=int, default=DEFAULT_CONFIG.region_size)
     parser.add_argument("--padding-size", type=int, default=DEFAULT_CONFIG.padding_size)
@@ -104,6 +110,7 @@ def main(argv=None) -> int:
         DEFAULT_CONFIG,
         pairhmm_engine=args.pairhmm,
         assembler_engine=args.assembler,
+        data_engine=args.data,
         downsample_mode=args.downsample,
         downsample_seed=args.seed,
         region_size=args.region_size,

@@ -115,6 +115,8 @@ class HCConfig:
     # "native": C++ host engine;    "python": slow exact reference oracle
     pairhmm_engine: str = "pallas"
     assembler_engine: str = "native"       # "native" | "python"
+    data_engine: str = "auto"              # "auto" | "native" | "python":
+    # columnar C++ SAM parse + window prep vs per-record Python objects
     sw_engine: str = "native"              # "native" | "python"
 
 

@@ -1,0 +1,216 @@
+"""Columnar read store — the production data path.
+
+Parses a SAM file once in C++ (native/hc_native.cpp::hc_sam_parse) into
+struct-of-arrays form, builds per-contig positional CSR indexes for the
+deterministic downsampler, and prepares each window's reads (filters +
+soft-clip reversion + interval hard clip) with one native call per window.
+
+This replaces the per-record Python objects of io/sam.py on the hot path —
+they remain the semantic oracle (tests/test_columnar.py checks the two
+pipelines produce identical reads for every window).  Mirrors the
+reference's C++ data layer: sam.hpp:100-114 (parse), haplotypecaller.hpp:
+24-50 (bucketing + downsampling), read_filter.hpp:8-38, read_clipper.hpp:
+32-91.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import HCConfig
+from ..utils.interval import Interval
+
+
+@dataclasses.dataclass
+class PreparedRead:
+    """A window-ready read: clipped bases/quals + post-revert alignment span.
+
+    Quacks like io/sam.py::SAMRecord for every downstream consumer (the
+    assembler and PairHMM engines read seq/qual; the genotyper reads
+    interval; likelihood normalization reads len)."""
+
+    seq: str
+    qual: str
+    rname: str
+    alignment_begin: int
+    alignment_end: int
+
+    @property
+    def interval(self) -> Interval:
+        return Interval(self.rname, self.alignment_begin, self.alignment_end)
+
+    def __len__(self) -> int:
+        return len(self.seq)
+
+
+def _splitmix64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized models/downsampler.py::_splitmix64 (must match bit-for-bit)."""
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+class _ContigIndex:
+    """Positional CSR over one contig's store rows (parse order preserved)."""
+
+    def __init__(self, store_rows: np.ndarray, begins: np.ndarray, size: int):
+        valid = (begins >= 0) & (begins < size)
+        rows = store_rows[valid]
+        begins = begins[valid]
+        order = np.argsort(begins, kind="stable")
+        self.rows = rows[order].astype(np.int64)
+        self.counts = np.bincount(begins, minlength=size).astype(np.int64)
+        self.starts = np.zeros(size + 1, dtype=np.int64)
+        np.cumsum(self.counts, out=self.starts[1:])
+        self.size = size
+
+    def select(self, begin: int, end: int, cfg: HCConfig) -> np.ndarray:
+        """Store rows of the downsampled reads in [begin, end), one per
+        non-empty start position, in position order (downsampler.py)."""
+        lo, hi = max(begin, 0), min(end, self.size)
+        if hi <= lo:
+            return np.empty(0, dtype=np.int64)
+        counts = self.counts[lo:hi]
+        positions = np.nonzero(counts)[0] + lo
+        if cfg.downsample_mode == "first":
+            offsets = np.zeros(len(positions), dtype=np.int64)
+        elif cfg.downsample_mode == "seeded":
+            h = _splitmix64_np(
+                (np.uint64(cfg.downsample_seed) * np.uint64(0x10001)
+                 + positions.astype(np.uint64))
+            )
+            offsets = (h % self.counts[positions].astype(np.uint64)).astype(
+                np.int64
+            )
+        else:
+            raise ValueError(
+                f"unknown downsample_mode {cfg.downsample_mode!r}"
+            )
+        return self.rows[self.starts[positions] + offsets]
+
+
+class ColumnarReadStore:
+    """The whole SAM file in struct-of-arrays form (C++ parsed)."""
+
+    def __init__(self, sam_path: str, contig_sizes: Dict[str, int]):
+        from .. import native
+
+        lib = native._load()
+        with open(sam_path, "rb") as handle:
+            buf = np.frombuffer(handle.read(), dtype=np.uint8)
+        names = list(contig_sizes)
+        blob = np.frombuffer(
+            "".join(names).encode(), dtype=np.uint8
+        ) if names else np.zeros(1, dtype=np.uint8)
+        offs = np.zeros(len(names) + 1, dtype=np.int64)
+        np.cumsum([len(n.encode()) for n in names], out=offs[1:])
+
+        c = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+        i64 = ctypes.c_int64
+        n_reads = np.zeros(1, np.int64)
+        n_ops = np.zeros(1, np.int64)
+        n_bytes = np.zeros(1, np.int64)
+        lib.hc_sam_scan(
+            c(buf, ctypes.c_uint8), i64(len(buf)),
+            c(n_reads, i64), c(n_ops, i64), c(n_bytes, i64),
+        )
+        n, ops, nbytes = int(n_reads[0]), int(n_ops[0]), int(n_bytes[0])
+        self.pos = np.zeros(n, np.int32)
+        self.flag = np.zeros(n, np.int32)
+        self.mapq = np.zeros(n, np.int32)
+        self.rnext_eq = np.zeros(n, np.uint8)
+        self.rname_id = np.zeros(n, np.int32)
+        self.cig_off = np.zeros(n + 1, np.int64)
+        self.cig_op = np.zeros(max(ops, 1), np.uint8)
+        self.cig_len = np.zeros(max(ops, 1), np.int32)
+        self.seq_off = np.zeros(n + 1, np.int64)
+        self.seq = np.zeros(max(nbytes, 1), np.uint8)
+        self.qual = np.zeros(max(nbytes, 1), np.uint8)
+        parsed = lib.hc_sam_parse(
+            c(buf, ctypes.c_uint8), i64(len(buf)),
+            c(blob, ctypes.c_uint8), c(offs, i64), ctypes.c_int32(len(names)),
+            c(self.pos, ctypes.c_int32), c(self.flag, ctypes.c_int32),
+            c(self.mapq, ctypes.c_int32), c(self.rnext_eq, ctypes.c_uint8),
+            c(self.rname_id, ctypes.c_int32),
+            c(self.cig_off, i64), c(self.cig_op, ctypes.c_uint8),
+            c(self.cig_len, ctypes.c_int32),
+            c(self.seq_off, i64), c(self.seq, ctypes.c_uint8),
+            c(self.qual, ctypes.c_uint8),
+        )
+        if parsed < 0:
+            raise ValueError(
+                f"malformed SAM line {-parsed} in {sam_path} "
+                "(fewer than 11 fields)"
+            )
+        assert parsed == n, (parsed, n)
+        self.n_reads = n
+        self._names = names
+        self._lib = lib
+        self._indexes: Dict[str, _ContigIndex] = {}
+        begins = self.pos.astype(np.int64) - 1
+        for cid, name in enumerate(names):
+            mask = self.rname_id == cid
+            self._indexes[name] = _ContigIndex(
+                np.nonzero(mask)[0], begins[mask], contig_sizes[name]
+            )
+
+    def prepare_window(
+        self, contig: str, begin: int, end: int, cfg: HCConfig
+    ):
+        """Downsample + filter + revert-softclip + hard-clip, one native call.
+
+        Returns (reads, n_downsampled) — the second value distinguishes
+        empty-after-downsample (logged as 'Ignore' by the driver,
+        haplotypecaller.hpp:145) from empty-after-filtering."""
+        sel = self._indexes[contig].select(begin, end, cfg)
+        if sel.size == 0:
+            return [], 0
+        cap = int(
+            (self.seq_off[sel + 1] - self.seq_off[sel]).sum()
+        )
+        out_seq = np.zeros(max(cap, 1), np.uint8)
+        out_qual = np.zeros(max(cap, 1), np.uint8)
+        out_off = np.zeros(len(sel) + 1, np.int64)
+        out_ab = np.zeros(len(sel), np.int64)
+        out_ae = np.zeros(len(sel), np.int64)
+        c = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+        i64 = ctypes.c_int64
+        kept = self._lib.hc_prepare_window(
+            c(self.pos, ctypes.c_int32), c(self.flag, ctypes.c_int32),
+            c(self.mapq, ctypes.c_int32), c(self.rnext_eq, ctypes.c_uint8),
+            c(self.cig_off, i64), c(self.cig_op, ctypes.c_uint8),
+            c(self.cig_len, ctypes.c_int32),
+            c(self.seq_off, i64), c(self.seq, ctypes.c_uint8),
+            c(self.qual, ctypes.c_uint8),
+            c(sel, i64), ctypes.c_int32(len(sel)),
+            ctypes.c_int32(cfg.min_mapping_quality),
+            ctypes.c_int32(cfg.min_read_length_after_trimming),
+            i64(begin), i64(end),
+            c(out_seq, ctypes.c_uint8), c(out_qual, ctypes.c_uint8),
+            c(out_off, i64), c(out_ab, i64), c(out_ae, i64),
+        )
+        seq_bytes = out_seq.tobytes()
+        qual_bytes = out_qual.tobytes()
+        reads = [
+            PreparedRead(
+                seq=seq_bytes[out_off[k] : out_off[k + 1]].decode("ascii"),
+                qual=qual_bytes[out_off[k] : out_off[k + 1]].decode("ascii"),
+                rname=contig,
+                alignment_begin=int(out_ab[k]),
+                alignment_end=int(out_ae[k]),
+            )
+            for k in range(kept)
+        ]
+        return reads, int(sel.size)
+
+
+def columnar_available() -> bool:
+    from .. import native
+
+    return native.available()

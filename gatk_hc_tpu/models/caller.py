@@ -202,15 +202,26 @@ def call_batched(
     timers = timers or StageTimers()
     counters = counters or RunCounters()
 
+    use_columnar = cfg.data_engine == "native"
+    if cfg.data_engine == "auto":
+        from .. import native
+
+        use_columnar = native.available()
     with timers.stage("parse"):
         contigs = read_all_fasta(fasta_path)
         for record in contigs:
             record.seq = record.seq.upper()
         contig_sizes = {c.name: len(c.seq) for c in contigs}
-        all_buckets = load_reads_by_contig(read_sam(sam_path), contig_sizes)
-        counters.reads_parsed = sum(
-            len(b) for buckets in all_buckets.values() for b in buckets
-        )
+        if use_columnar:
+            from ..io.columnar import ColumnarReadStore
+
+            store = ColumnarReadStore(sam_path, contig_sizes)
+            counters.reads_parsed = store.n_reads
+        else:
+            all_buckets = load_reads_by_contig(read_sam(sam_path), contig_sizes)
+            counters.reads_parsed = sum(
+                len(b) for buckets in all_buckets.values() for b in buckets
+            )
 
     # global region index across contigs (contig-major, FASTA order)
     def all_windows():
@@ -225,7 +236,6 @@ def call_batched(
     results: List[RegionResult] = []
     for index, contig, origin, padded in all_windows():
         ref = contig.seq
-        buckets = all_buckets[contig.name]
         if region_filter is not None and not region_filter(index):
             continue
         result = RegionResult(origin, padded, 0, 0, [])
@@ -237,14 +247,25 @@ def call_batched(
             continue
         result.region_id = index
         with timers.stage("downsample_clip"):
-            reads = downsample_window(buckets, padded.begin, padded.end, cfg)
-            if not reads:
-                counters.regions_skipped += 1
-                logger.region_ignored(origin, padded)
-                continue
+            if use_columnar:
+                reads, n_downsampled = store.prepare_window(
+                    contig.name, padded.begin, padded.end, cfg
+                )
+                if n_downsampled == 0:
+                    counters.regions_skipped += 1
+                    logger.region_ignored(origin, padded)
+                    continue
+            else:
+                reads = downsample_window(
+                    all_buckets[contig.name], padded.begin, padded.end, cfg
+                )
+                if not reads:
+                    counters.regions_skipped += 1
+                    logger.region_ignored(origin, padded)
+                    continue
+                reads = filter_reads(reads, cfg)
+                reads = hard_clip_reads(reads, padded, cfg)
             window_ref = ref[padded.begin : padded.end]
-            reads = filter_reads(reads, cfg)
-            reads = hard_clip_reads(reads, padded, cfg)
         result.n_reads = len(reads)
         counters.reads_used += len(reads)
         if not reads:

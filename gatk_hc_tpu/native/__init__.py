@@ -96,6 +96,28 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.hc_table_probe.restype = None
     lib.hc_table_probe.argtypes = [f32p, f64p, f32p, f64p, f32p, f64p]
 
+    lib.hc_sam_scan.restype = None
+    lib.hc_sam_scan.argtypes = [u8p, ctypes.c_int64, i64p, i64p, i64p]
+    lib.hc_sam_parse.restype = ctypes.c_int64
+    lib.hc_sam_parse.argtypes = [
+        u8p, ctypes.c_int64,  # SAM text
+        u8p, i64p, ctypes.c_int32,  # contig names blob/offsets/count
+        i32p, i32p, i32p, u8p, i32p,  # pos, flag, mapq, rnext_eq, rname_id
+        i64p, u8p, i32p,  # cigar offsets/ops/lens
+        i64p, u8p, u8p,  # seq offsets, seq, qual
+    ]
+    lib.hc_prepare_window.restype = ctypes.c_int32
+    lib.hc_prepare_window.argtypes = [
+        i32p, i32p, i32p, u8p,  # pos, flag, mapq, rnext_eq
+        i64p, u8p, i32p,  # cigar offsets/ops/lens
+        i64p, u8p, u8p,  # seq offsets, seq, qual
+        i64p, ctypes.c_int32,  # selected store rows, count
+        ctypes.c_int32, ctypes.c_int32,  # min_mapq, min_len
+        ctypes.c_int64, ctypes.c_int64,  # window begin/end
+        u8p, u8p, i64p,  # out seq/qual blobs + CSR offsets
+        i64p, i64p,  # out alignment begin/end
+    ]
+
 
 # ---------------------------------------------------------------------------
 # Public wrappers

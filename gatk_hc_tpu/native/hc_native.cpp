@@ -723,4 +723,223 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Columnar SAM data path (production fast path for io/sam.py +
+// models/downsampler.py + models/read_filters.py + models/read_clipper.py;
+// semantics differential-tested against the Python pipeline, which remains
+// the oracle).  Mirrors the reference's C++ data layer (sam.hpp:100-114,
+// read_filter.hpp:8-38, read_clipper.hpp:32-91) at columnar granularity.
+
+// Pass 1: count records / cigar ops / sequence bytes so Python can allocate.
+void hc_sam_scan(const uint8_t* buf, int64_t n, int64_t* out_reads,
+                 int64_t* out_cigar_ops, int64_t* out_seq_bytes) {
+  int64_t reads = 0, ops = 0, bytes = 0;
+  int64_t i = 0;
+  while (i < n) {
+    int64_t eol = i;
+    while (eol < n && buf[eol] != '\n') ++eol;
+    if (eol > i && buf[i] != '@') {
+      // field 5 (cigar) op count = count of alpha/'=' chars; field 9 length
+      int field = 0;
+      int64_t j = i;
+      while (j < eol) {
+        while (j < eol && (buf[j] == ' ' || buf[j] == '\t')) ++j;
+        int64_t start = j;
+        while (j < eol && buf[j] != ' ' && buf[j] != '\t') ++j;
+        if (j > start) {
+          if (field == 5) {
+            for (int64_t k = start; k < j; ++k)
+              if (!(buf[k] >= '0' && buf[k] <= '9')) ++ops;
+          } else if (field == 9) {
+            bytes += j - start;
+          }
+          ++field;
+        }
+      }
+      if (field >= 11) ++reads;
+    }
+    i = eol + 1;
+  }
+  *out_reads = reads;
+  *out_cigar_ops = ops;
+  *out_seq_bytes = bytes;
+}
+
+// Pass 2: fill columnar arrays.  contig_blob/contig_offs name the FASTA
+// contigs; rname_id is the matching index or -1.  Returns records parsed,
+// or -(line_number) on a malformed line (fewer than 11 fields).
+int64_t hc_sam_parse(const uint8_t* buf, int64_t n, const uint8_t* contig_blob,
+                     const int64_t* contig_offs, int32_t n_contigs,
+                     int32_t* pos, int32_t* flag, int32_t* mapq,
+                     uint8_t* rnext_eq, int32_t* rname_id, int64_t* cig_off,
+                     uint8_t* cig_op, int32_t* cig_len, int64_t* seq_off,
+                     uint8_t* seq, uint8_t* qual) {
+  int64_t r = 0, line_no = 0;
+  int64_t ops_cursor = 0, seq_cursor = 0;
+  cig_off[0] = 0;
+  seq_off[0] = 0;
+  int64_t i = 0;
+  while (i < n) {
+    ++line_no;
+    int64_t eol = i;
+    while (eol < n && buf[eol] != '\n') ++eol;
+    if (eol == i || buf[i] == '@') {
+      i = eol + 1;
+      continue;
+    }
+    const uint8_t* f_ptr[11];
+    int64_t f_len[11];
+    int field = 0;
+    int64_t j = i;
+    while (j < eol && field < 11) {
+      while (j < eol && (buf[j] == ' ' || buf[j] == '\t')) ++j;
+      int64_t start = j;
+      while (j < eol && buf[j] != ' ' && buf[j] != '\t') ++j;
+      if (j > start) {
+        f_ptr[field] = buf + start;
+        f_len[field] = j - start;
+        ++field;
+      }
+    }
+    if (field < 11) {
+      // blank-ish line (only whitespace) is skipped like Python's rstrip
+      if (field == 0) {
+        i = eol + 1;
+        continue;
+      }
+      return -line_no;
+    }
+    auto to_int = [](const uint8_t* p, int64_t len) -> int64_t {
+      int64_t v = 0;
+      bool neg = false;
+      int64_t k = 0;
+      if (len > 0 && (p[0] == '-' || p[0] == '+')) {
+        neg = p[0] == '-';
+        k = 1;
+      }
+      for (; k < len; ++k) v = v * 10 + (p[k] - '0');
+      return neg ? -v : v;
+    };
+    flag[r] = static_cast<int32_t>(to_int(f_ptr[1], f_len[1]));
+    pos[r] = static_cast<int32_t>(to_int(f_ptr[3], f_len[3]));
+    mapq[r] = static_cast<int32_t>(to_int(f_ptr[4], f_len[4]));
+    rnext_eq[r] = (f_len[6] == 1 && f_ptr[6][0] == '=') ? 1 : 0;
+    rname_id[r] = -1;
+    for (int32_t c = 0; c < n_contigs; ++c) {
+      const int64_t clen = contig_offs[c + 1] - contig_offs[c];
+      if (clen == f_len[2] &&
+          std::memcmp(contig_blob + contig_offs[c], f_ptr[2], clen) == 0) {
+        rname_id[r] = c;
+        break;
+      }
+    }
+    // cigar: "*" -> no ops
+    if (!(f_len[5] == 1 && f_ptr[5][0] == '*')) {
+      int64_t count = 0;
+      for (int64_t k = 0; k < f_len[5]; ++k) {
+        const uint8_t ch = f_ptr[5][k];
+        if (ch >= '0' && ch <= '9') {
+          count = count * 10 + (ch - '0');
+        } else {
+          cig_op[ops_cursor] = ch;
+          cig_len[ops_cursor] = static_cast<int32_t>(count);
+          ++ops_cursor;
+          count = 0;
+        }
+      }
+    }
+    cig_off[r + 1] = ops_cursor;
+    std::memcpy(seq + seq_cursor, f_ptr[9], f_len[9]);
+    // SAM guarantees |QUAL| == |SEQ|; guard against malformed lines anyway
+    const int64_t qlen = std::min(f_len[10], f_len[9]);
+    std::memcpy(qual + seq_cursor, f_ptr[10], qlen);
+    if (qlen < f_len[9]) std::memset(qual + seq_cursor + qlen, '!', f_len[9] - qlen);
+    seq_cursor += f_len[9];
+    seq_off[r + 1] = seq_cursor;
+    ++r;
+    i = eol + 1;
+  }
+  return r;
+}
+
+static inline bool ref_consuming(uint8_t op) {
+  return op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X';
+}
+
+// Per-window pipeline: MAPQ/dup/secondary/mate filters (driver order,
+// haplotypecaller.hpp:52-66), strand-dependent soft-clip reversion
+// (read_clipper.hpp:32-66), hard clip to the padded window WITHOUT touching
+// the cigar (read_clipper.hpp:68-91 — alignment_end stays stale), minimum
+// length.  `sel` lists store rows in window position order.  Returns kept
+// count; fills CSR seq/qual blobs and the post-revert alignment spans.
+int32_t hc_prepare_window(const int32_t* pos, const int32_t* flag,
+                          const int32_t* mapq, const uint8_t* rnext_eq,
+                          const int64_t* cig_off, const uint8_t* cig_op,
+                          const int32_t* cig_len, const int64_t* seq_off,
+                          const uint8_t* seq, const uint8_t* qual,
+                          const int64_t* sel, int32_t n_sel, int32_t min_mapq,
+                          int32_t min_len, int64_t win_begin, int64_t win_end,
+                          uint8_t* out_seq, uint8_t* out_qual,
+                          int64_t* out_off, int64_t* out_abegin,
+                          int64_t* out_aend) {
+  int32_t kept = 0;
+  int64_t cursor = 0;
+  out_off[0] = 0;
+  for (int32_t s = 0; s < n_sel; ++s) {
+    const int64_t i = sel[s];
+    if (mapq[i] < min_mapq) continue;
+    if (flag[i] & 0x400) continue;  // duplicate
+    if (flag[i] & 0x100) continue;  // secondary
+    if (!rnext_eq[i]) continue;     // mate on a different contig
+    const int64_t c0 = cig_off[i], c1 = cig_off[i + 1];
+    int64_t sb = seq_off[i], se = seq_off[i + 1];
+    int64_t p = pos[i];  // 1-based, may move on forward-strand reversion
+    int64_t ref_len = 0;
+    for (int64_t k = c0; k < c1; ++k)
+      if (ref_consuming(cig_op[k])) ref_len += cig_len[k];
+    if (c1 > c0) {
+      const uint8_t fo = cig_op[c0];
+      const int32_t fl = cig_len[c0];
+      uint8_t bo = cig_op[c1 - 1];
+      const int32_t bl = cig_len[c1 - 1];
+      if (flag[i] & 0x10) {  // reverse strand
+        if (fo == 'S') sb += fl;     // trim leading soft-clipped bases
+        if (bo == 'S') ref_len += bl;  // trailing S -> M
+      } else {
+        const int64_t ab = p - 1;
+        bool front_converted = false;
+        if (fo == 'S' && ab >= fl) {  // leading S -> M, POS moves back
+          ref_len += fl;
+          p = ab - fl + 1;
+          front_converted = true;
+        }
+        // single-element cigars see the already-converted front op, exactly
+        // like the Python/ reference sequential mutation
+        if (c1 - c0 == 1 && front_converted) bo = 'M';
+        if (bo == 'S') se -= bl;  // trim trailing soft-clipped bases
+      }
+    }
+    const int64_t abegin = p - 1;
+    const int64_t aend = abegin + ref_len;
+    if (abegin < win_begin) {
+      const int64_t clip = std::min(win_begin - abegin, se - sb);
+      sb += clip;
+    }
+    if (aend > win_end) {
+      const int64_t clip = aend - win_end;
+      se = sb + std::max<int64_t>((se - sb) - clip, 0);
+    }
+    const int64_t len = se - sb;
+    if (len < min_len) continue;
+    std::memcpy(out_seq + cursor, seq + sb, len);
+    std::memcpy(out_qual + cursor, qual + sb, len);
+    cursor += len;
+    out_off[kept + 1] = cursor;
+    out_abegin[kept] = abegin;
+    out_aend[kept] = aend;
+    ++kept;
+  }
+  return kept;
+}
+
 }  // extern "C"

