@@ -229,31 +229,40 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
       return 0;
     }
   }
-  std::vector<int64_t> H((n + 1) * (m + 1));
+  // Two-row rolling int32 DP (identical arithmetic path to the full-matrix
+  // int64 version: scores are bounded by ~max(n,m)*|w| << 2^31/4, and the
+  // low-init sentinel only ever has w_extend added once before a max).
+  // Bottom-row and last-column scores are captured for start-cell selection
+  // so the O(n*m) H matrix never materializes (it was ~1.4MB per call and
+  // thrashed L2; the backtrack matrix bt is bytes and stays).
+  constexpr int32_t kLowInit32 = INT32_MIN / 4;
+  constexpr int32_t kMinCutoff32 = -100000000;
   std::vector<uint8_t> bt((n + 1) * (m + 1), 0);
-  std::vector<int64_t> F_prev(m + 1, SW_LOW_INIT);
-  auto Hat = [&](int i, int j) -> int64_t& { return H[i * (m + 1) + j]; };
-  for (int j = 0; j <= m; ++j) Hat(0, j) = 0;
+  std::vector<int32_t> h_prev(m + 1, 0), h_cur(m + 1, 0);
+  std::vector<int32_t> F_prev(m + 1, kLowInit32);
+  std::vector<int32_t> last_col(n + 1, 0), bottom_row(m + 1, 0);
 
   for (int i = 1; i <= n; ++i) {
-    Hat(i, 0) = 0;
-    int64_t E = SW_LOW_INIT;  // E[i][0]
+    h_cur[0] = 0;
+    int32_t E = kLowInit32;  // E[i][0]
+    uint8_t* bt_row = bt.data() + static_cast<size_t>(i) * (m + 1);
+    const uint8_t ri = ref[i - 1];
     for (int j = 1; j <= m; ++j) {
-      const int64_t h_left = Hat(i, j - 1);
-      const int64_t e_open = h_left + w_open;
-      const int64_t e_ext = E + w_extend;
+      const int32_t h_left = h_cur[j - 1];
+      const int32_t e_open = h_left + w_open;
+      const int32_t e_ext = E + w_extend;
       const bool ins_ext = !(e_open > e_ext);
-      const int64_t e11 = std::max(e_open, e_ext);
+      const int32_t e11 = std::max(e_open, e_ext);
 
-      const int64_t h_top = Hat(i - 1, j);
-      const int64_t f_open = h_top + w_open;
-      const int64_t f_ext = F_prev[j] + w_extend;
+      const int32_t h_top = h_prev[j];
+      const int32_t f_open = h_top + w_open;
+      const int32_t f_ext = F_prev[j] + w_extend;
       const bool del_ext = !(f_open > f_ext);
-      const int64_t f11 = std::max(f_open, f_ext);
+      const int32_t f11 = std::max(f_open, f_ext);
 
-      const int64_t m11 =
-          Hat(i - 1, j - 1) + (ref[i - 1] == alt[j - 1] ? w_match : w_mismatch);
-      int64_t h11 = std::max(SW_MIN_CUTOFF, m11);
+      const int32_t m11 =
+          h_prev[j - 1] + (ri == alt[j - 1] ? w_match : w_mismatch);
+      int32_t h11 = std::max(kMinCutoff32, m11);
       uint8_t code = SW_MATCH;
       if (e11 > h11) {
         code = SW_INSERT;
@@ -265,11 +274,14 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
       }
       if (ins_ext) code |= SW_INSERT_EXT;
       if (del_ext) code |= SW_DELETE_EXT;
-      Hat(i, j) = h11;
-      bt[i * (m + 1) + j] = code;
+      h_cur[j] = h11;
+      bt_row[j] = code;
       E = e11;
       F_prev[j] = f11;
     }
+    last_col[i] = h_cur[m];
+    if (i == n) bottom_row = h_cur;
+    std::swap(h_prev, h_cur);
   }
 
   // start-cell selection, anti-diagonal scan order (PairWiseSW.h:200-227)
@@ -278,7 +290,7 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
   for (int anti = 1; anti <= n + m; ++anti) {
     if (anti >= n + 1) {  // bottom row cell (n, anti-n)
       const int j = anti - n;
-      const int64_t score = Hat(n, j);
+      const int64_t score = bottom_row[j];
       if (score > max_score ||
           (score == max_score && std::abs(n - j) < std::abs(max_i - max_j))) {
         max_score = score;
@@ -288,7 +300,7 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
     }
     if (anti >= m + 1) {  // last column cell (anti-m, m)
       const int i = anti - m;
-      const int64_t score = Hat(i, m);
+      const int64_t score = last_col[i];
       if (score > max_score ||
           (score == max_score &&
            (max_j == m || std::abs(i - m) <= std::abs(max_i - max_j)))) {
