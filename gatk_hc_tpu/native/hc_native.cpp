@@ -26,6 +26,7 @@
 #include <string>
 #include <string_view>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 #if defined(__x86_64__) || defined(_M_X64)
@@ -383,7 +384,7 @@ struct Assembly {
   std::vector<int> e_src, e_dst, e_count;
   std::vector<uint8_t> e_is_ref;
   std::unordered_map<std::string_view, int> unique_kmers;
-  std::set<std::string_view> dup_kmers;
+  std::unordered_set<std::string_view> dup_kmers;  // membership-only
   int source = 0, sink = 0;
 
   int create_vertex(std::string_view kmer) {
@@ -664,8 +665,12 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
     graph.k = kmer_size;
     graph.prune_factor = prune_factor;
 
+    // hashed set (membership-only): the former std::set red-black tree cost
+    // O(k log n) string compares per kmer and dominated region assembly
+    std::unordered_set<std::string_view> seen;
     auto collect_dups = [&](std::string_view seq) {
-      std::set<std::string_view> seen;
+      seen.clear();
+      if (seq.size() >= kmer_size) seen.reserve(seq.size() - kmer_size + 1);
       for (size_t i = 0; i + kmer_size <= seq.size(); ++i) {
         auto kmer = seq.substr(i, kmer_size);
         if (!seen.insert(kmer).second) graph.dup_kmers.insert(kmer);
@@ -684,8 +689,10 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
     if (!graph.find_paths(&paths, 200000)) return -3;  // path explosion
 
     // scores
-    std::set<int> vertices_on_paths;
-    std::set<int> on_path_edges;
+    // membership-only; iteration order of vertices_on_paths does not affect
+    // scores (each vertex's fan-out sum follows its own out_edges order)
+    std::unordered_set<int> vertices_on_paths;
+    std::unordered_set<int> on_path_edges;
     for (const auto& path : paths) {
       for (int v : path) vertices_on_paths.insert(v);
       for (size_t i = 1; i < path.size(); ++i)
