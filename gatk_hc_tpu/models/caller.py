@@ -32,6 +32,11 @@ from .haplotype import Haplotype, Variant
 from .read_clipper import hard_clip_reads
 from .read_filters import filter_reads
 
+# Regions assembled before each incremental device submission in
+# call_batched: large enough to fill dispatch groups, small enough that the
+# TPU overlaps with host assembly of the next chunk.
+SUBMIT_CHUNK_REGIONS = 512
+
 # Engine signature: (reads, haplotypes) -> (n_reads x n_haps log10 matrix).
 PairHMMEngine = Callable[[Sequence[SAMRecord], Sequence[Haplotype]], np.ndarray]
 AssembleFn = Callable[[Sequence[SAMRecord], str, HCConfig], List[Haplotype]]
@@ -231,8 +236,11 @@ def call_batched(
                 yield index, contig, origin, padded
                 index += 1
 
-    # phase A: host assembly per region
+    # phase A: host assembly per region, with chunked device submission
     pending = []  # (result, reads, haplotypes, window_ref, job)
+    unsubmitted: List = []
+    submitted_batches: List = []
+    can_overlap = hasattr(runner, "submit") and hasattr(runner, "drain")
     results: List[RegionResult] = []
     for index, contig, origin, padded in all_windows():
         ref = contig.seq
@@ -296,10 +304,24 @@ def call_batched(
         ]
         job = PairHMMJob(read_arrays, hap_arrays)
         pending.append((result, reads, haplotypes, window_ref, job))
+        unsubmitted.append(job)
+        # phase overlap: ship a chunk of assembled regions to the device and
+        # keep assembling — dispatches are async, so the TPU computes while
+        # the host works the next regions (runners without submit/drain,
+        # e.g. test shims, fall back to one run() at the end)
+        if can_overlap and len(unsubmitted) >= SUBMIT_CHUNK_REGIONS:
+            with timers.stage("pairhmm"):
+                submitted_batches.append(runner.submit(unsubmitted))
+            unsubmitted = []
 
-    # phase B: device PairHMM over all regions
+    # phase B: device PairHMM over the remaining regions + drain everything
     with timers.stage("pairhmm"):
-        runner.run([p[4] for p in pending])
+        if can_overlap:
+            if unsubmitted:
+                submitted_batches.append(runner.submit(unsubmitted))
+            runner.drain(submitted_batches)
+        else:
+            runner.run(unsubmitted)
 
     # phase C: normalization + genotyping per region
     with timers.stage("genotype"):

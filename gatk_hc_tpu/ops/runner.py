@@ -126,21 +126,36 @@ class PallasPairHMMRunner:
 
     # ------------------------------------------------------------------
     def run(self, jobs: Sequence[PairHMMJob]) -> None:
-        """Compute results for all jobs in-place.
+        """Compute results for all jobs in-place (submit + drain)."""
+        self.drain([self.submit(jobs)])
 
-        Two passes: submit every dispatch first (device work queues up and
-        overlaps with host-side table building), then drain ALL results in a
-        single batched device_get — on the relay-tunnelled TPU a per-array
-        readback costs ~26ms while a batched fetch amortizes to ~3ms/array."""
+    def submit(self, jobs: Sequence[PairHMMJob]):
+        """Enqueue all device work for `jobs` WITHOUT waiting.
+
+        Device dispatches are asynchronous, so the caller can keep doing
+        host work (e.g. assembling the next batch of regions) while the
+        TPU computes — pass the returned token(s) to drain() to collect.
+        """
+        groups = self._plan_groups(jobs)
+        return (jobs, [self._submit_group(jobs, group) for group in groups])
+
+    def drain(self, batches) -> None:
+        """Fetch + finalize every submitted batch.
+
+        One batched device_get covers all dispatches — on the
+        relay-tunnelled TPU a per-array readback costs ~26ms while a
+        batched fetch amortizes to ~3ms/array."""
         import jax
 
-        groups = self._plan_groups(jobs)
-        submitted = [self._submit_group(jobs, group) for group in groups]
-        fetched = iter(
-            jax.device_get([o for outs, _ in submitted for o in outs])
-        )
-        for outs, spans in submitted:
-            self._finalize_group(jobs, [next(fetched) for _ in outs], spans)
+        flat = [
+            o for _, submitted in batches for outs, _ in submitted for o in outs
+        ]
+        fetched = iter(jax.device_get(flat))
+        for jobs, submitted in batches:
+            for outs, spans in submitted:
+                self._finalize_group(
+                    jobs, [next(fetched) for _ in outs], spans
+                )
 
     def _plan_groups(self, jobs: Sequence[PairHMMJob]) -> List[List[int]]:
         groups: List[List[int]] = []
