@@ -1,0 +1,83 @@
+"""Real 2-process jax.distributed run of the multi-host pipeline.
+
+Spawns two OS processes that initialize jax.distributed over localhost
+(CPU backend), shard the chrM regions contiguously, call their shards,
+all-gather the encoded variant records, and have process 0 write the VCF —
+which must be byte-identical to the single-process golden file.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURES = os.path.join(REPO, "fixtures")
+
+_WORKER = r"""
+import sys, os
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import dataclasses
+from gatk_hc_tpu.config import DEFAULT_CONFIG
+from gatk_hc_tpu.parallel.multihost import run_multihost
+
+pid = int(sys.argv[1])
+cfg = dataclasses.replace(
+    DEFAULT_CONFIG, pairhmm_engine="native", assembler_engine="native"
+)
+run_multihost(
+    {sam!r}, {fa!r}, {out!r} if pid == 0 else None, cfg,
+    coordinator={coord!r}, num_processes=2, process_id=pid,
+)
+print("proc", pid, "done")
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_multihost_matches_golden(tmp_path):
+    sam = os.path.join(FIXTURES, "chrM.sam")
+    fa = os.path.join(FIXTURES, "chrM.fa")
+    golden = os.path.join(FIXTURES, "chrM.golden.vcf")
+    if not (os.path.exists(sam) and os.path.exists(golden)):
+        pytest.skip("chrM fixture missing")
+    out = str(tmp_path / "mh.vcf")
+    coord = f"127.0.0.1:{_free_port()}"
+    script = _WORKER.format(repo=REPO, sam=sam, fa=fa, out=out, coord=coord)
+
+    env = dict(os.environ)
+    # drop the sandbox's axon sitecustomize so the CPU backend is used
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in (0, 1)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        outputs.append(stdout.decode(errors="replace"))
+    for p, text in zip(procs, outputs):
+        assert p.returncode == 0, text[-2000:]
+
+    with open(out) as f1, open(golden) as f2:
+        assert f1.read() == f2.read()
