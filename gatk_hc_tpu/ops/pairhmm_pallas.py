@@ -489,10 +489,15 @@ def _pallas_forward(
     B = read_codes.shape[0]
     assert B % LANES == 0, "pair batch must be a multiple of 128"
     # pair-per-element kernel: faster (no cross-sublane traffic, no
-    # anti-diagonal ramp) but needs 1024-pair blocks and ~C*13KB of VMEM
+    # anti-diagonal ramp) but needs 1024-pair blocks and ~C*13KB of VMEM.
+    # On real TPUs ppe and striped are bitwise-identical (mul/add stay
+    # unfused); XLA:CPU contracts FMAs in interpret mode and drifts the two
+    # by 1 ulp on ~0.5% of pairs, so `auto` keeps interpret runs on striped
+    # — the kernel whose interpret output matches the oracle bit-for-bit.
     use_ppe = algo == "ppe" or (
         algo == "auto"
         and DEFAULT_ALGO == "ppe"
+        and not interpret
         and B % (8 * LANES) == 0
         and c_pad <= 640
     )

@@ -76,7 +76,7 @@ class PallasPairHMMRunner:
         if self.interpret:
             default_budget, self._chunks = 4096, (4096,)
         else:
-            default_budget, self._chunks = 16384, (16384,)
+            default_budget, self._chunks = 16384, (16384, 8192, 4096)
         if pair_budget is None:
             pair_budget = default_budget
         # dispatches are pair vectors feeding a LANES-wide grid; keep every
@@ -260,15 +260,20 @@ class PallasPairHMMRunner:
             )
             total += nr * nh
 
-        # chunk plan: big chunks while they don't waste more than a small
-        # chunk would, small chunks for the tail (each chunk size is its own
-        # compiled program, so only a couple of sizes exist)
-        big, small = self._chunks[0], self._chunks[-1]
+        # chunk plan: full-size chunks while the remainder exceeds the
+        # biggest, then the smallest chunk that covers the tail (each chunk
+        # size is its own compiled program, so only a few sizes exist)
+        big = self._chunks[0]
         sizes: List[int] = []
         covered = 0
         while covered < total:
             rem = total - covered
-            sizes.append(big if rem > big - small else small)
+            if rem >= big:
+                sizes.append(big)
+            else:
+                sizes.append(
+                    min((c for c in self._chunks if c >= rem), default=big)
+                )
             covered += sizes[-1]
         pr = np.zeros(covered, dtype=np.int32)
         ph = np.zeros(covered, dtype=np.int32)

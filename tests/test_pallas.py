@@ -104,3 +104,39 @@ class TestRunner:
         job = PairHMMJob([], [])
         tiny_runner().run([job])
         assert job.result.shape == (0, 0)
+
+
+class TestPairPerElementKernel:
+    """ppe vs striped: bitwise-identical on real TPUs (verified on hardware
+    plus the golden chrM run); in interpret mode XLA:CPU contracts FMAs
+    differently per program, so this CPU test allows 1-ulp drift."""
+
+    def test_ppe_equals_striped_bitwise(self, nprng):
+        import jax.numpy as jnp
+
+        from gatk_hc_tpu.ops.pairhmm_jax import transition_constants
+        from gatk_hc_tpu.ops.pairhmm_pallas import _pallas_forward
+        from gatk_hc_tpu.utils.quality import PH2PR_F32
+
+        B, R, C = 1024, 16, 64
+        rc = nprng.integers(0, 5, (B, R)).astype(np.int32)  # incl N=4
+        q = nprng.integers(1, 40, (B, R))
+        omq = (1.0 - PH2PR_F32[q + 33]).astype(np.float32)
+        q3 = (PH2PR_F32[q + 33] / np.float32(3.0)).astype(np.float32)
+        rl = nprng.integers(5, R + 1, B).astype(np.int32)
+        hc = nprng.integers(0, 5, (B, C)).astype(np.int32)
+        hl = nprng.integers(20, C + 1, B).astype(np.int32)
+        iy = (np.float32(2.0**120) / hl.astype(np.float32)).astype(np.float32)
+        trans = transition_constants(ord("I"), ord("+"))
+        args = tuple(
+            jnp.asarray(a) for a in (rc, omq, q3, rl, hc, hl, iy)
+        )
+        striped = np.asarray(
+            _pallas_forward(*args, trans, R, C, 8, True, algo="striped")
+        )
+        ppe = np.asarray(
+            _pallas_forward(*args, trans, R, C, 8, True, algo="ppe")
+        )
+        np.testing.assert_allclose(ppe, striped, rtol=2.4e-7)  # <= 2 ulp
+        # the overwhelming majority must still be bit-identical even on CPU
+        assert (ppe == striped).mean() > 0.98

@@ -46,7 +46,7 @@ def main():
     q3 = jnp.asarray((PH2PR_F32 / np.float32(3.0)).astype(np.float32))
 
     runner = PallasPairHMMRunner(cfg)  # for chunk defaults
-    chunk = runner._chunks[0]
+    chunks = runner._chunks[:1] if args.quick else runner._chunks
     r_pads = (160,) if args.quick else cfg.read_pad_buckets
     combos = list(
         itertools.product(
@@ -56,10 +56,11 @@ def main():
             )),
             r_pads,
             cfg.hap_pad_buckets,
+            chunks,
         )
     )
     rng = np.random.default_rng(0)
-    for (nr, nh), r_pad, c_pad in combos:
+    for (nr, nh), r_pad, c_pad, chunk in combos:
         u8 = np.zeros(2 * nr * r_pad + nh * c_pad, np.uint8)
         u8[:] = 65
         i32 = np.concatenate([
