@@ -108,7 +108,9 @@ class HCConfig:
     # program and the TPU AOT toolchain here costs minutes per compile
     # (persistently cached; see tools/warm_cache.py).
     read_pad_buckets: Tuple[int, ...] = (96, 160, 224)   # stripe multiples
-    hap_pad_buckets: Tuple[int, ...] = (512,)
+    # 448 covers every standard 245+2*85=415bp window's haplotypes (incl.
+    # insertion slack) with 12.5% fewer padded DP cells than 512
+    hap_pad_buckets: Tuple[int, ...] = (448, 512)
 
     # --- Engine selection ---
     # "pallas": TPU Pallas kernel;  "jax": pure-jnp fallback;

@@ -203,7 +203,12 @@ def call_batched(
     if assemble_fn is None:
         assemble_fn = make_assemble_fn(cfg)
     if runner is None:
-        runner = PallasPairHMMRunner(cfg)
+        if cfg.pairhmm_engine == "native":
+            from ..ops.runner import NativePairHMMRunner
+
+            runner = NativePairHMMRunner(cfg)
+        else:
+            runner = PallasPairHMMRunner(cfg)
     timers = timers or StageTimers()
     counters = counters or RunCounters()
 

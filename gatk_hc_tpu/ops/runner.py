@@ -347,3 +347,48 @@ class PallasPairHMMRunner:
             stripe=min(self.cfg.stripe_height, r_pad),
             interpret=self.interpret,
         )
+
+
+class NativePairHMMRunner:
+    """CPU batch runner over the C++ PairHMM engine — same job interface and
+    exact semantics (f32 + FTZ with f64 rescue below MIN_ACCEPTED) as the
+    Pallas runner, for call_batched with cfg.pairhmm_engine == 'native'."""
+
+    def __init__(self, cfg: HCConfig):
+        self.cfg = cfg
+
+    def run(self, jobs: Sequence[PairHMMJob]) -> None:
+        from .. import native
+        from .pairhmm_oracle import finalize_log10
+
+        gop, gcp = self.cfg.gop_char, self.cfg.gcp_char
+        for job in jobs:
+            nr, nh = len(job.reads), len(job.haps)
+            if nr * nh == 0:
+                job.result = np.zeros((nr, nh))
+                continue
+            r_stride = max(len(b) for b, _ in job.reads)
+            rb = np.zeros((nr, r_stride), dtype=np.uint8)
+            rq = np.zeros((nr, r_stride), dtype=np.uint8)
+            rl = np.zeros(nr, dtype=np.int32)
+            for i, (b, q) in enumerate(job.reads):
+                rb[i, : len(b)] = b
+                rq[i, : len(q)] = q
+                rl[i] = len(b)
+            h_stride = max(len(h) for h in job.haps)
+            hb = np.zeros((nh, h_stride), dtype=np.uint8)
+            hl = np.zeros(nh, dtype=np.int32)
+            for i, h in enumerate(job.haps):
+                hb[i, : len(h)] = h
+                hl[i] = len(h)
+            pr = np.repeat(np.arange(nr, dtype=np.int32), nh)
+            ph = np.tile(np.arange(nh, dtype=np.int32), nr)
+            raw = native.pairhmm_raw_native(rb, rq, rl, hb, hl, pr, ph, gop, gcp)
+
+            def rescue(indices, pr=pr, ph=ph):
+                return native.pairhmm_raw_native(
+                    rb, rq, rl, hb, hl,
+                    pr[indices], ph[indices], gop, gcp, dtype=np.float64,
+                )
+
+            job.result = finalize_log10(raw, rescue).reshape(nr, nh)
