@@ -157,7 +157,10 @@ def main(argv=None) -> int:
                 args.coordinator, args.num_processes, args.process_id,
             )
             results = []
-        elif cfg.pairhmm_engine in ("pallas", "jax"):
+        elif cfg.pairhmm_engine in ("pallas", "jax", "native"):
+            # native uses the CPU batch runner inside call_batched (same
+            # grouping + columnar data path); "python" stays on the simple
+            # per-region oracle pipeline
             from .parallel.compile_cache import enable_compile_cache
 
             enable_compile_cache()

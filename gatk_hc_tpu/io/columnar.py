@@ -81,10 +81,13 @@ class _ContigIndex:
         if cfg.downsample_mode == "first":
             offsets = np.zeros(len(positions), dtype=np.int64)
         elif cfg.downsample_mode == "seeded":
-            h = _splitmix64_np(
-                (np.uint64(cfg.downsample_seed) * np.uint64(0x10001)
-                 + positions.astype(np.uint64))
-            )
+            # match downsampler.py exactly: (seed*0x10001 + pos) mod 2^64,
+            # with arbitrary (incl. negative) Python int seeds
+            base = (cfg.downsample_seed * 0x10001) & 0xFFFFFFFFFFFFFFFF
+            with np.errstate(over="ignore"):
+                h = _splitmix64_np(
+                    np.uint64(base) + positions.astype(np.uint64)
+                )
             offsets = (h % self.counts[positions].astype(np.uint64)).astype(
                 np.int64
             )
@@ -159,6 +162,11 @@ class ColumnarReadStore:
             self._indexes[name] = _ContigIndex(
                 np.nonzero(mask)[0], begins[mask], contig_sizes[name]
             )
+        # reads that landed in a known contig's positional index — the same
+        # population the Python loader buckets (its reads_parsed counter)
+        self.n_bucketed = sum(
+            int(idx.rows.size) for idx in self._indexes.values()
+        )
 
     def prepare_window(
         self, contig: str, begin: int, end: int, cfg: HCConfig

@@ -226,7 +226,7 @@ def call_batched(
             from ..io.columnar import ColumnarReadStore
 
             store = ColumnarReadStore(sam_path, contig_sizes)
-            counters.reads_parsed = store.n_reads
+            counters.reads_parsed = store.n_bucketed
         else:
             all_buckets = load_reads_by_contig(read_sam(sam_path), contig_sizes)
             counters.reads_parsed = sum(

@@ -494,11 +494,16 @@ def _pallas_forward(
     # unfused); XLA:CPU contracts FMAs in interpret mode and drifts the two
     # by 1 ulp on ~0.5% of pairs, so `auto` keeps interpret runs on striped
     # — the kernel whose interpret output matches the oracle bit-for-bit.
+    if algo == "ppe":
+        assert c_pad % _PPE_UNROLL == 0, (
+            f"ppe kernel needs c_pad % {_PPE_UNROLL} == 0, got {c_pad}"
+        )
     use_ppe = algo == "ppe" or (
         algo == "auto"
         and DEFAULT_ALGO == "ppe"
         and not interpret
         and B % (8 * LANES) == 0
+        and c_pad % _PPE_UNROLL == 0
         and c_pad <= 640
     )
     if use_ppe:

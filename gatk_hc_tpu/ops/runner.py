@@ -202,7 +202,9 @@ class PallasPairHMMRunner:
         def pack_rows(seq_lists, n_pad, w_pad):
             """Vectorized fill of (n_pad, w_pad) row tables from variable-
             length uint8 arrays (a python per-row loop costs ~1.5us/row and
-            dominated submit time at 4096-read groups)."""
+            dominated submit time at 4096-read groups).  Zero-length rows
+            keep length 0 (the kernel then emits raw 0.0 and the exact f64
+            rescue path takes over); padding rows default to length 1."""
             clipped = [s[:w_pad] for s in seq_lists]
             lens = np.fromiter(
                 (len(s) for s in clipped), dtype=np.int64, count=len(clipped)
@@ -213,14 +215,15 @@ class PallasPairHMMRunner:
             )
             pos = np.repeat(starts, lens) + within
             out_lens = np.ones(n_pad, dtype=np.int32)
-            out_lens[: len(clipped)] = np.maximum(lens.astype(np.int32), 1)
+            out_lens[: len(clipped)] = lens.astype(np.int32)
             return pos, clipped, out_lens
 
         reads_flat = [b for g in group for b, _ in jobs[g].reads]
         quals_flat = [q for g in group for _, q in jobs[g].reads]
         haps_flat = [h for g in group for h in jobs[g].haps]
         rpos, rclip, read_lens = pack_rows(reads_flat, nr_pad, r_pad)
-        _, qclip, _ = pack_rows(quals_flat, nr_pad, r_pad)
+        # quals share lengths and scatter positions with the bases
+        qclip = [q[:r_pad] for q in quals_flat]
         hpos, hclip, hap_lens = pack_rows(haps_flat, nh_pad, c_pad)
         read_u8 = np.zeros(nr_pad * r_pad, dtype=np.uint8)
         qual_u8 = np.zeros(nr_pad * r_pad, dtype=np.uint8)

@@ -47,9 +47,11 @@ def test_columnar_matches_python_pipeline(mode):
     sizes = {c.name: len(c.seq) for c in contigs}
     store = ColumnarReadStore(sam, sizes)
     buckets = load_reads_by_contig(read_sam(sam), sizes)
-    assert store.n_reads == sum(
-        len(b) for bs in buckets.values() for b in bs
-    ) or store.n_reads >= 0  # buckets drop out-of-range reads; store keeps all
+    # every chrM fixture read maps in-range, so the bucketed count equals
+    # the store's in-range (bucketed) count AND its raw record count
+    n_bucketed = sum(len(b) for bs in buckets.values() for b in bs)
+    assert store.n_bucketed == n_bucketed
+    assert store.n_reads == n_bucketed
 
     checked = 0
     for contig in contigs:
