@@ -105,6 +105,38 @@ def bench_device(reads, haps, n_jobs: int = 16):
     return cells / best
 
 
+def bench_kernel_only(reps: int = 10) -> float:
+    """Device-resident kernel throughput (stable across relay phases):
+    true cells/s of the pair-per-element kernel at production shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from gatk_hc_tpu.ops.pairhmm_jax import transition_constants
+    from gatk_hc_tpu.ops.pairhmm_pallas import _pallas_forward
+
+    B, R, C = 16384, 160, 448
+    rng = np.random.default_rng(0)
+    rc = jnp.asarray(rng.integers(0, 4, (B, R)).astype(np.int32))
+    q = np.float32(1e-4)
+    omq = jnp.asarray(np.full((B, R), 1.0 - q, np.float32))
+    q3 = jnp.asarray(np.full((B, R), q / 3.0, np.float32))
+    rl = jnp.asarray(np.full(B, READ_LEN, np.int32))
+    hc = jnp.asarray(rng.integers(0, 4, (B, C)).astype(np.int32))
+    hl = jnp.asarray(np.full(B, HAP_LEN, np.int32))
+    iy = jnp.asarray(np.full(B, np.float32(2.0**120) / HAP_LEN, np.float32))
+    trans = transition_constants(ord("I"), ord("+"))
+    fn = jax.jit(
+        lambda *a: _pallas_forward(*a, trans, R, C, 32, False)
+    )
+    _ = np.asarray(fn(rc, omq, q3, rl, hc, hl, iy))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(rc, omq, q3, rl, hc, hl, iy)
+    _ = np.asarray(out)
+    dt = (time.perf_counter() - t0) / reps
+    return B * READ_LEN * HAP_LEN / dt
+
+
 def bench_e2e_chrm() -> float:
     from gatk_hc_tpu.config import DEFAULT_CONFIG
     from gatk_hc_tpu.models.caller import call_batched
@@ -126,6 +158,7 @@ def main() -> None:
     reads, haps = make_workload()
     cpu_cells_per_s = bench_cpu_baseline(reads, haps)
     device_cells_per_s = bench_device(reads, haps)
+    kernel_cells_per_s = bench_kernel_only()
     e2e_s = bench_e2e_chrm()
     result = {
         "metric": "pairhmm_cell_updates_per_s_per_chip",
@@ -133,6 +166,7 @@ def main() -> None:
         "unit": "cells/s",
         "vs_baseline": round(device_cells_per_s / cpu_cells_per_s, 2),
         "baseline_cpu_cells_per_s": round(cpu_cells_per_s),
+        "kernel_only_cells_per_s": round(kernel_cells_per_s),
         "e2e_chrM_wall_s": round(e2e_s, 3),
         "workload": (
             f"16 region jobs of {N_READS}x{N_HAPS} pairs each in one "
