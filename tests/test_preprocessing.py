@@ -157,6 +157,31 @@ class TestAssemblerProperties:
         haps = assembler.assemble(reads, ref, DEFAULT_CONFIG)
         assert any(h.bases == ref for h in haps)
 
+    def test_randomized_invariants(self, rng):
+        """SURVEY §4 property plan: the reference haplotype is always among
+        the outputs, the count is capped, and every haplotype's SW cigar
+        conserves its base length."""
+        from gatk_hc_tpu.utils.cigar import read_length
+
+        for _ in range(8):
+            ref = random_dna(rng, 250)
+            alt = mutate(
+                rng, ref,
+                n_snp=rng.randint(0, 3),
+                n_ins=rng.randint(0, 1),
+                n_del=rng.randint(0, 1),
+            )
+            reads = self.make_reads(rng, ref, n=15) + self.make_reads(
+                rng, alt, n=15, length=min(60, len(alt) - 1)
+            )
+            haps = assembler.assemble(reads, ref, DEFAULT_CONFIG)
+            assert len(haps) <= DEFAULT_CONFIG.max_num_haplotypes
+            if haps:
+                bases = {h.bases for h in haps}
+                assert ref in bases
+                for h in haps:
+                    assert read_length(h.cigar) == len(h.bases)
+
     def test_native_matches_python(self, rng):
         native = pytest.importorskip("gatk_hc_tpu.native")
         if not native.available():
