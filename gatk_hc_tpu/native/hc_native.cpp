@@ -385,6 +385,32 @@ struct Assembly {
   std::vector<uint8_t> e_is_ref;
   std::unordered_map<std::string_view, int> unique_kmers;
   std::unordered_set<std::string_view> dup_kmers;  // membership-only
+  // packed mode (k <= 32, pure-ACGT window): kmers map EXACTLY to 2-bit
+  // uint64 keys — collision-free, O(1) rolling construction, ~2x cheaper
+  // hashing than byte-wise string_view keys
+  bool packed = false;
+  std::unordered_map<uint64_t, int> unique_p;
+  std::unordered_set<uint64_t> dup_p;
+
+  static inline uint64_t pack_code(char ch) {
+    switch (ch) {
+      case 'C': return 1;
+      case 'G': return 2;
+      case 'T': return 3;
+      default: return 0;  // 'A' (packed mode requires pure ACGT)
+    }
+  }
+
+  uint64_t pack(std::string_view kmer) const {
+    uint64_t v = 0;
+    for (char ch : kmer) v = (v << 2) | pack_code(ch);
+    return v;
+  }
+
+  size_t unique_count() const {
+    return packed ? unique_p.size() : unique_kmers.size();
+  }
+
   int source = 0, sink = 0;
 
   int create_vertex(std::string_view kmer) {
@@ -392,13 +418,24 @@ struct Assembly {
     kmers.push_back(kmer);
     out_edges.emplace_back();
     in_edges.emplace_back();
-    if (dup_kmers.find(kmer) == dup_kmers.end()) unique_kmers.emplace(kmer, vid);
+    if (packed) {
+      const uint64_t key = pack(kmer);
+      if (dup_p.find(key) == dup_p.end()) unique_p.emplace(key, vid);
+    } else {
+      if (dup_kmers.find(kmer) == dup_kmers.end())
+        unique_kmers.emplace(kmer, vid);
+    }
     return vid;
   }
 
   int get_vertex(std::string_view kmer) {
-    auto it = unique_kmers.find(kmer);
-    if (it != unique_kmers.end()) return it->second;
+    if (packed) {
+      auto it = unique_p.find(pack(kmer));
+      if (it != unique_p.end()) return it->second;
+    } else {
+      auto it = unique_kmers.find(kmer);
+      if (it != unique_kmers.end()) return it->second;
+    }
     return create_vertex(kmer);
   }
 
@@ -665,10 +702,36 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
     graph.k = kmer_size;
     graph.prune_factor = prune_factor;
 
+    auto all_acgt = [](std::string_view sv) {
+      for (char ch : sv)
+        if (ch != 'A' && ch != 'C' && ch != 'G' && ch != 'T') return false;
+      return true;
+    };
+    graph.packed = kmer_size <= 32 && all_acgt(ref_view);
+    if (graph.packed)
+      for (auto seg : segments)
+        if (!all_acgt(seg)) { graph.packed = false; break; }
+
     // hashed set (membership-only): the former std::set red-black tree cost
     // O(k log n) string compares per kmer and dominated region assembly
     std::unordered_set<std::string_view> seen;
+    std::unordered_set<uint64_t> seen_p;
     auto collect_dups = [&](std::string_view seq) {
+      if (graph.packed) {
+        seen_p.clear();
+        if (seq.size() >= static_cast<size_t>(kmer_size))
+          seen_p.reserve(seq.size() - kmer_size + 1);
+        const uint64_t mask =
+            kmer_size == 32 ? ~0ull : ((1ull << (2 * kmer_size)) - 1);
+        uint64_t v = 0;
+        for (size_t i = 0; i < seq.size(); ++i) {
+          v = ((v << 2) | Assembly::pack_code(seq[i])) & mask;
+          if (i + 1 >= static_cast<size_t>(kmer_size) &&
+              !seen_p.insert(v).second)
+            graph.dup_p.insert(v);
+        }
+        return;
+      }
       seen.clear();
       if (seq.size() >= kmer_size) seen.reserve(seq.size() - kmer_size + 1);
       for (size_t i = 0; i + kmer_size <= seq.size(); ++i) {
@@ -682,7 +745,7 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
     graph.add_seq(ref_view, true);
     for (auto seg : segments) graph.add_seq(seg, false);
 
-    if (graph.unique_kmers.size() > max_unique) continue;
+    if (graph.unique_count() > max_unique) continue;
     if (graph.has_cycles()) continue;
 
     std::vector<std::vector<int>> paths;
