@@ -135,3 +135,48 @@ def test_columnar_soft_clip_and_strand_semantics(tmp_path):
         assert [(r.seq, r.qual, r.interval.begin, r.interval.end) for r in py] == [
             (r.seq, r.qual, r.interval.begin, r.interval.end) for r in nat
         ], (begin, end)
+
+
+def test_malformed_sam_line_raises(tmp_path):
+    from gatk_hc_tpu.io.columnar import ColumnarReadStore
+
+    sam = tmp_path / "bad.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\n"
+        "ok\t0\tc\t5\t60\t4M\t=\t0\t0\tACGT\tIIII\n"
+        "short\t0\tc\t5\n"
+    )
+    with pytest.raises(ValueError, match="line 3"):
+        ColumnarReadStore(str(sam), {"c": 100})
+
+
+def test_empty_sam_yields_header_only_vcf(tmp_path):
+    from gatk_hc_tpu.models.caller import call_batched
+
+    sam = tmp_path / "empty.sam"
+    sam.write_text("@HD\tVN:1.6\n")
+    fa = tmp_path / "r.fa"
+    fa.write_text(">c\n" + "ACGT" * 200 + "\n")
+    out = tmp_path / "o.vcf"
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        pairhmm_engine="native",
+        assembler_engine="native",
+        data_engine="native",
+    )
+    call_batched(str(sam), str(fa), str(out), cfg)
+    lines = out.read_text().splitlines()
+    assert lines and all(l.startswith("#") for l in lines)
+
+
+def test_unknown_contig_reads_dropped(tmp_path):
+    from gatk_hc_tpu.io.columnar import ColumnarReadStore
+
+    sam = tmp_path / "mix.sam"
+    sam.write_text(
+        "a\t0\tc\t5\t60\t4M\t=\t0\t0\tACGT\tIIII\n"
+        "b\t0\tother\t5\t60\t4M\t=\t0\t0\tACGT\tIIII\n"
+    )
+    store = ColumnarReadStore(str(sam), {"c": 100})
+    assert store.n_reads == 2
+    assert store.n_bucketed == 1
