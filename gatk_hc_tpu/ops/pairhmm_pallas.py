@@ -298,6 +298,23 @@ def _kernel_ppe(
     out_ref[0] = a_m + a_x
 
 
+def _ppe_base_mask(codes):
+    """one-hot base masks: A=1 C=2 G=4 T=8, N=15 (matches anything)"""
+    return jnp.where(
+        codes == 4, jnp.int32(15), jnp.left_shift(jnp.int32(1), codes)
+    )
+
+
+def _ppe_eligible(B: int, c_pad: int, interpret: bool) -> bool:
+    return (
+        DEFAULT_ALGO == "ppe"
+        and not interpret
+        and B % (8 * LANES) == 0
+        and c_pad % _PPE_UNROLL == 0
+        and c_pad <= 640
+    )
+
+
 def _pallas_forward_ppe(
     read_codes, read_omq, read_q3, read_lens, hap_codes, hap_lens, init_y,
     trans, r_pad, c_pad, interpret,
@@ -305,14 +322,6 @@ def _pallas_forward_ppe(
     B = read_codes.shape[0]
     assert B % (8 * LANES) == 0, "ppe kernel needs pair batches of 1024"
     nb = B // (8 * LANES)
-    R, C = r_pad, c_pad
-    f32 = jnp.float32
-
-    # one-hot base masks: A=1 C=2 G=4 T=8, N=15 (matches anything)
-    def to_mask(codes):
-        return jnp.where(
-            codes == 4, jnp.int32(15), jnp.left_shift(jnp.int32(1), codes)
-        )
 
     def to_blocks(a):  # (B, S) -> (nb, S, 8, 128)
         return a.reshape(nb, 8, LANES, a.shape[1]).transpose(0, 3, 1, 2)
@@ -320,14 +329,29 @@ def _pallas_forward_ppe(
     bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
     rows_hbm = jnp.stack(
         [
-            to_blocks(to_mask(read_codes)),
+            to_blocks(_ppe_base_mask(read_codes)),
             bits(to_blocks(read_omq)),
             bits(to_blocks(read_q3)),
         ],
         axis=2,
     )  # (nb, R, 3, 8, 128) i32
-    hap_blk = to_blocks(to_mask(hap_codes))  # (nb, C, 8, 128)
+    hap_blk = to_blocks(_ppe_base_mask(hap_codes))  # (nb, C, 8, 128)
     vec = lambda v: v.reshape(nb, 8, LANES)
+    return _pallas_call_ppe(
+        rows_hbm, hap_blk, vec(read_lens.astype(jnp.int32)),
+        vec(hap_lens.astype(jnp.int32)), vec(init_y),
+        trans, r_pad, c_pad, interpret,
+    )
+
+
+def _pallas_call_ppe(
+    rows_hbm, hap_blk, rlen_blk, clen_blk, iy_blk, trans, r_pad, c_pad,
+    interpret,
+) -> jnp.ndarray:
+    nb = rows_hbm.shape[0]
+    B = nb * 8 * LANES
+    R, C = r_pad, c_pad
+    f32 = jnp.float32
     trans_arr = jnp.array([list(trans) + [0.0, 0.0]], dtype=f32)
 
     kernel = functools.partial(_kernel_ppe, r_pad=R, c_pad=C)
@@ -367,9 +391,9 @@ def _pallas_forward_ppe(
         trans_arr,
         rows_hbm,
         hap_blk,
-        vec(read_lens.astype(jnp.int32)),
-        vec(hap_lens.astype(jnp.int32)),
-        vec(init_y),
+        rlen_blk,
+        clen_blk,
+        iy_blk,
     )
     return out.reshape(B)
 
@@ -469,13 +493,43 @@ def pairhmm_pallas_packed(
     hc_unique = jnp.take(base_table, hap_u8.astype(jnp.int32), axis=0)
 
     pair_read, pair_hap = pairs[0], pairs[1]
+    B = pair_read.shape[0]
+    rlens = jnp.take(read_lens, pair_read)
+    clens = jnp.take(hap_lens, pair_hap)
+    iy = jnp.take(init_y, pair_hap)
+
+    if _ppe_eligible(B, c_pad, interpret):
+        # fused production path: mask/bit conversion happens on the SMALL
+        # unique tables and the read side expands with ONE row gather whose
+        # output reshape/transpose lands directly in the kernel's
+        # (nb, R, 3, 8, 128) layout
+        bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        ru = jnp.stack(
+            [_ppe_base_mask(rc_unique), bits(omq_unique), bits(q3_unique)],
+            axis=1,
+        )  # (NR, 3, R)
+        nb = B // (8 * LANES)
+        rows_hbm = (
+            jnp.take(ru, pair_read, axis=0)
+            .reshape(nb, 8, LANES, 3, r_pad)
+            .transpose(0, 4, 3, 1, 2)
+        )
+        hap_blk = (
+            jnp.take(_ppe_base_mask(hc_unique), pair_hap, axis=0)
+            .reshape(nb, 8, LANES, c_pad)
+            .transpose(0, 3, 1, 2)
+        )
+        vec = lambda v: v.reshape(nb, 8, LANES)
+        return _pallas_call_ppe(
+            rows_hbm, hap_blk, vec(rlens.astype(jnp.int32)),
+            vec(clens.astype(jnp.int32)), vec(iy),
+            trans, r_pad, c_pad, interpret,
+        )
+
     read_codes = jnp.take(rc_unique, pair_read, axis=0)
     read_omq = jnp.take(omq_unique, pair_read, axis=0)
     read_q3 = jnp.take(q3_unique, pair_read, axis=0)
     hap_codes = jnp.take(hc_unique, pair_hap, axis=0)
-    rlens = jnp.take(read_lens, pair_read)
-    clens = jnp.take(hap_lens, pair_hap)
-    iy = jnp.take(init_y, pair_hap)
     return _pallas_forward(
         read_codes, read_omq, read_q3, rlens, hap_codes, clens, iy,
         trans, r_pad, c_pad, stripe, interpret,
@@ -499,12 +553,7 @@ def _pallas_forward(
             f"ppe kernel needs c_pad % {_PPE_UNROLL} == 0, got {c_pad}"
         )
     use_ppe = algo == "ppe" or (
-        algo == "auto"
-        and DEFAULT_ALGO == "ppe"
-        and not interpret
-        and B % (8 * LANES) == 0
-        and c_pad % _PPE_UNROLL == 0
-        and c_pad <= 640
+        algo == "auto" and _ppe_eligible(B, c_pad, interpret)
     )
     if use_ppe:
         return _pallas_forward_ppe(
