@@ -105,36 +105,19 @@ def bench_device(reads, haps, n_jobs: int = 16):
     return cells / best
 
 
-def bench_kernel_only(reps: int = 10) -> float:
+def bench_kernel_only() -> float:
     """Device-resident kernel throughput (stable across relay phases):
-    true cells/s of the pair-per-element kernel at production shapes."""
-    import jax
-    import jax.numpy as jnp
-
-    from gatk_hc_tpu.ops.pairhmm_jax import transition_constants
-    from gatk_hc_tpu.ops.pairhmm_pallas import _pallas_forward
-
-    B, R, C = 16384, 160, 448
-    rng = np.random.default_rng(0)
-    rc = jnp.asarray(rng.integers(0, 4, (B, R)).astype(np.int32))
-    q = np.float32(1e-4)
-    omq = jnp.asarray(np.full((B, R), 1.0 - q, np.float32))
-    q3 = jnp.asarray(np.full((B, R), q / 3.0, np.float32))
-    rl = jnp.asarray(np.full(B, READ_LEN, np.int32))
-    hc = jnp.asarray(rng.integers(0, 4, (B, C)).astype(np.int32))
-    hl = jnp.asarray(np.full(B, HAP_LEN, np.int32))
-    iy = jnp.asarray(np.full(B, np.float32(2.0**120) / HAP_LEN, np.float32))
-    trans = transition_constants(ord("I"), ord("+"))
-    fn = jax.jit(
-        lambda *a: _pallas_forward(*a, trans, R, C, 32, False)
+    true cells/s of the production kernel at production shapes.  Shares its
+    implementation with tools/kernel_bench.py."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
     )
-    _ = np.asarray(fn(rc, omq, q3, rl, hc, hl, iy))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(rc, omq, q3, rl, hc, hl, iy)
-    _ = np.asarray(out)
-    dt = (time.perf_counter() - t0) / reps
-    return B * READ_LEN * HAP_LEN / dt
+    from kernel_bench import measure_kernel
+
+    _, true_cells_per_s, _ = measure_kernel(
+        pairs=16384, r_pad=160, rlen=READ_LEN, c_pad=448, clen=HAP_LEN
+    )
+    return true_cells_per_s
 
 
 def bench_e2e_chrm() -> float:

@@ -66,10 +66,9 @@ def test_sensitivity_and_precision_on_planted_truth(tmp_path):
         if called & window:
             hits += 1
         near_truth.update(range(pos - 2, pos + 6))
+    assert len(truth) > 150
     sensitivity = hits / len(truth)
     false_like = sum(1 for r in rows if r.pos not in near_truth)
     precision_proxy = 1.0 - false_like / max(len(rows), 1)
-
-    assert len(truth) > 150
     assert sensitivity >= 0.90, f"sensitivity {sensitivity:.3f}"
     assert precision_proxy >= 0.99, f"near-truth precision {precision_proxy:.3f}"

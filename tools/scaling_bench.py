@@ -24,13 +24,25 @@ import numpy as np
 def main() -> None:
     import jax
 
-    if len(jax.devices()) < 2:
+    # config must change BEFORE the first backend use (jax.devices() pins it)
+    try:
+        from jax._src import xla_bridge
+
+        backend_up = bool(xla_bridge._backends)
+    except Exception:
+        backend_up = False
+    if not backend_up:
         try:
             jax.config.update("jax_platforms", "cpu")
             jax.config.update("jax_num_cpu_devices", 8)
         except Exception:
             pass
     n_avail = len(jax.devices())
+    if n_avail < 2:
+        print(
+            f"WARNING: only {n_avail} device visible — scaling sweep "
+            "degenerates to the 1-device row"
+        )
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
