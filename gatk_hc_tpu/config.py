@@ -119,6 +119,9 @@ class HCConfig:
     assembler_engine: str = "native"       # "native" | "python"
     data_engine: str = "auto"              # "auto" | "native" | "python":
     # columnar C++ SAM parse + window prep vs per-record Python objects
+    f64_rescue: str = "sentinel"           # "sentinel" | "exact": underflowed
+    # f32 pairs get a provably VCF-neutral stand-in vs the reference's exact
+    # float64 recomputation (see ops/pairhmm_oracle.py::RESCUE_SENTINEL_LOG10)
     sw_engine: str = "native"              # "native" | "python"
 
 

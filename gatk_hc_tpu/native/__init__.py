@@ -242,7 +242,9 @@ def native_pairhmm_engine(cfg):
                 cfg.gop_char, cfg.gcp_char, np.float64,
             )
 
-        return finalize_log10(probs, rescue).reshape(n_r, n_h)
+        return finalize_log10(
+            probs, rescue, mode=cfg.f64_rescue
+        ).reshape(n_r, n_h)
 
     return engine
 

@@ -188,7 +188,9 @@ def jax_pairhmm_engine(cfg: HCConfig, forward_fn: Callable = pairhmm_forward_bat
             return _host_f64_rescue(cfg, read_arrays, hap_arrays,
                                     pair_read[indices], pair_hap[indices])
 
-        return finalize_log10(probs, rescue).reshape(n_r, n_h)
+        return finalize_log10(
+            probs, rescue, mode=cfg.f64_rescue
+        ).reshape(n_r, n_h)
 
     return engine
 

@@ -330,7 +330,9 @@ class PallasPairHMMRunner:
                     local_read, local_hap,
                 )
 
-            job.result = finalize_log10(raw, rescue).reshape(nr, nh)
+            job.result = finalize_log10(
+                raw, rescue, mode=self.cfg.f64_rescue
+            ).reshape(nr, nh)
 
     def _dispatch(self, u8_dev, i32_dev, pairs, nr_pad, nh_pad, r_pad, c_pad):
         """Submit one device dispatch; returns the (lazy) device array."""
@@ -394,4 +396,6 @@ class NativePairHMMRunner:
                     pr[indices], ph[indices], gop, gcp, dtype=np.float64,
                 )
 
-            job.result = finalize_log10(raw, rescue).reshape(nr, nh)
+            job.result = finalize_log10(
+                raw, rescue, mode=self.cfg.f64_rescue
+            ).reshape(nr, nh)
