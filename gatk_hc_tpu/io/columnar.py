@@ -30,21 +30,31 @@ class PreparedRead:
     """A window-ready read: clipped bases/quals + post-revert alignment span.
 
     Quacks like io/sam.py::SAMRecord for every downstream consumer (the
-    assembler and PairHMM engines read seq/qual; the genotyper reads
-    interval; likelihood normalization reads len)."""
+    assembler and PairHMM engines read sequence data; the genotyper reads
+    interval; likelihood normalization reads len).  Bases/quals are held as
+    zero-copy uint8 views into the window's native output blob — the hot
+    consumers take arrays directly; ``seq``/``qual`` decode on demand."""
 
-    seq: str
-    qual: str
+    seq_u8: np.ndarray
+    qual_u8: np.ndarray
     rname: str
     alignment_begin: int
     alignment_end: int
+
+    @property
+    def seq(self) -> str:
+        return self.seq_u8.tobytes().decode("ascii")
+
+    @property
+    def qual(self) -> str:
+        return self.qual_u8.tobytes().decode("ascii")
 
     @property
     def interval(self) -> Interval:
         return Interval(self.rname, self.alignment_begin, self.alignment_end)
 
     def __len__(self) -> int:
-        return len(self.seq)
+        return len(self.seq_u8)
 
 
 def _splitmix64_np(x: np.ndarray) -> np.ndarray:
@@ -203,12 +213,10 @@ class ColumnarReadStore:
             c(out_seq, ctypes.c_uint8), c(out_qual, ctypes.c_uint8),
             c(out_off, i64), c(out_ab, i64), c(out_ae, i64),
         )
-        seq_bytes = out_seq.tobytes()
-        qual_bytes = out_qual.tobytes()
         reads = [
             PreparedRead(
-                seq=seq_bytes[out_off[k] : out_off[k + 1]].decode("ascii"),
-                qual=qual_bytes[out_off[k] : out_off[k + 1]].decode("ascii"),
+                seq_u8=out_seq[out_off[k] : out_off[k + 1]],
+                qual_u8=out_qual[out_off[k] : out_off[k + 1]],
                 rname=contig,
                 alignment_begin=int(out_ab[k]),
                 alignment_end=int(out_ae[k]),

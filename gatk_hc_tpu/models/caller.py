@@ -298,7 +298,9 @@ def call_batched(
         counters.pairs += len(reads) * len(haplotypes)
         counters.cell_updates += result.cell_updates
         read_arrays = [
-            (
+            (r.seq_u8, r.qual_u8)
+            if hasattr(r, "seq_u8")
+            else (
                 np.frombuffer(r.seq.encode(), dtype=np.uint8),
                 np.frombuffer(r.qual.encode(), dtype=np.uint8),
             )

@@ -256,12 +256,20 @@ def native_assemble_fn(cfg):
     def assemble(reads, ref, config):
         lib = _load()
         ref_b = np.frombuffer(ref.encode(), dtype=np.uint8)
-        seq_blob = "".join(r.seq for r in reads).encode()
-        qual_blob = "".join(r.qual for r in reads).encode()
         offsets = np.zeros(len(reads) + 1, dtype=np.int64)
-        np.cumsum([len(r.seq) for r in reads], out=offsets[1:])
-        seqs = np.frombuffer(seq_blob, dtype=np.uint8)
-        quals = np.frombuffer(qual_blob, dtype=np.uint8)
+        np.cumsum([len(r) for r in reads], out=offsets[1:])
+        if reads and hasattr(reads[0], "seq_u8"):
+            # columnar PreparedReads: concatenate the u8 views directly
+            seqs = np.concatenate([r.seq_u8 for r in reads]) if reads else \
+                np.zeros(0, np.uint8)
+            quals = np.concatenate([r.qual_u8 for r in reads])
+        else:
+            seqs = np.frombuffer(
+                "".join(r.seq for r in reads).encode(), dtype=np.uint8
+            )
+            quals = np.frombuffer(
+                "".join(r.qual for r in reads).encode(), dtype=np.uint8
+            )
         cfg_ints = np.array(
             [
                 config.initial_kmer_size,
