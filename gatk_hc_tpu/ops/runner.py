@@ -9,7 +9,8 @@ separately would drown in per-call host↔device latency.  The runner:
    fixed-shape tables (bucketed so XLA compiles only a few programs);
 3. expands (read, hap) pairs on device (gathers) and runs the Pallas kernel;
 4. scatters raw f32 probabilities back to per-job read-major matrices and
-   finalizes log10 likelihoods with the host float64 rescue path.
+   finalizes log10 likelihoods (sentinel or exact host float64 rescue for
+   underflowed pairs, cfg.f64_rescue).
 
 This is the TPU equivalent of the reference's flat testcase batch + OpenMP
 loop (intel_pairhmm.hpp:115-203).
