@@ -18,6 +18,8 @@ OUT = os.path.join(_DIR, "libhcnative.so")
 CXXFLAGS = [
     "-std=c++17",
     "-O3",
+    "-march=native",  # AVX2 autovectorization; -ffp-contract=off below keeps
+    # float arithmetic unfused so PairHMM f32 results stay bit-exact
     "-fPIC",
     "-shared",
     "-ffp-contract=off",
