@@ -43,11 +43,12 @@ from ..config import HCConfig
 from .batching import PairBatch, all_pairs, pack_pairs
 from .pairhmm_jax import batch_to_device_args, transition_constants
 
-LANES = 128
-_PPE_UNROLL = 32  # columns per inner-loop iteration in the ppe kernel
-# kernel selection when algo="auto": "ppe" | "striped" (env override for A/B)
 import os as _os
 
+LANES = 128
+_PPE_UNROLL = 32  # columns per inner-loop iteration in the ppe kernel
+_PPE_ROWS = int(_os.environ.get("GATK_HC_TPU_PPE_ROWS", "2"))  # rows per sweep
+# kernel selection when algo="auto": "ppe" | "striped" (env override for A/B)
 DEFAULT_ALGO = _os.environ.get("GATK_HC_TPU_PALLAS_ALGO", "ppe")
 
 
@@ -298,6 +299,145 @@ def _kernel_ppe(
     out_ref[0] = a_m + a_x
 
 
+def _kernel_ppe2(
+    trans_ref,  # (1, 8) f32 SMEM
+    rows_hbm,  # (nb, R, 3, 8, 128) i32 in ANY/HBM
+    hap_ref,  # (1, C, 8, 128) i32
+    rlen_ref,  # (1, 8, 128) i32
+    clen_ref,  # (1, 8, 128) i32
+    inity_ref,  # (1, 8, 128) f32
+    out_ref,  # (1, 8, 128) f32
+    mbuf,  # (C, 8, 128) f32 scratch
+    xbuf,
+    ybuf,
+    cbuf,
+    rows_s,  # (2, 2, 3, 8, 128) i32 scratch: double-buffered row PAIRS
+    sem,  # DMA semaphores (2,)
+    *,
+    r_pad: int,
+    c_pad: int,
+):
+    """Two-row variant of _kernel_ppe: rows r and r+1 sweep columns together,
+    so the lower row reads the upper row's fresh cells from REGISTERS —
+    halving VMEM row-buffer traffic, hap loads, and DMA waits.  Per-cell
+    arithmetic and capture order are identical (bit-exact)."""
+    R, C = r_pad, c_pad
+    f32 = jnp.float32
+    i = pl.program_id(0)
+
+    p_mm = trans_ref[0, 0]
+    p_gapm = trans_ref[0, 1]
+    p_mx = trans_ref[0, 2]
+    p_xx = trans_ref[0, 3]
+    p_my = trans_ref[0, 4]
+    p_yy = trans_ref[0, 5]
+
+    def pair_dma(slot, p):  # matrix rows 2p+1, 2p+2 -> input rows 2p, 2p+1
+        return pltpu.make_async_copy(
+            rows_hbm.at[i, pl.ds(2 * p, 2)], rows_s.at[slot], sem.at[slot]
+        )
+
+    pair_dma(0, 0).start()
+
+    inity = inity_ref[0]
+    rlen_b = rlen_ref[0]
+    clen_b = clen_ref[0]
+    zeros = inity * f32(0.0)
+
+    mbuf[...] = jnp.zeros((C, 8, LANES), f32)
+    xbuf[...] = jnp.zeros((C, 8, LANES), f32)
+    ybuf[...] = jnp.broadcast_to(inity, (C, 8, LANES))
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (C, 8, LANES), 0) + 1
+    cbuf[...] = jnp.where(col1 <= clen_b[None], f32(1.0), f32(0.0))
+
+    U = _PPE_UNROLL
+
+    def row_body(p, accs):
+        a_m, a_x = accs
+        slot = jax.lax.rem(p, 2)
+
+        @pl.when(p + 1 < R // 2)
+        def _():
+            pair_dma(jax.lax.rem(p + 1, 2), p + 1).start()
+
+        pair_dma(slot, p).wait()
+        rows = rows_s[pl.ds(slot, 1)][0]  # (2, 3, 8, 128)
+        rsA = rows[0, 0]
+        omqA = pltpu.bitcast(rows[0, 1], f32)
+        q3A = pltpu.bitcast(rows[0, 2], f32)
+        rsB = rows[1, 0]
+        omqB = pltpu.bitcast(rows[1, 1], f32)
+        q3B = pltpu.bitcast(rows[1, 2], f32)
+        rA = 2 * p + 1
+        maskA = rlen_b == rA
+        maskB = rlen_b == rA + 1
+        # Y(0, 0..) = init_y is row 1's only nonzero diagonal input
+        ydA0 = jnp.where(rA == 1, inity, zeros)
+
+        def chunk_body(k, st):
+            (mdA, xdA, ydA, mlA, ylA,
+             mdB, xdB, ydB, mlB, ylB,
+             smAm, smAx, smBm, smBx) = st
+            c0 = k * U
+            hw_u = hap_ref[0, pl.ds(c0, U)]
+            ma_u = mbuf[pl.ds(c0, U)]
+            xa_u = xbuf[pl.ds(c0, U)]
+            ya_u = ybuf[pl.ds(c0, U)]
+            cm_u = cbuf[pl.ds(c0, U)]
+            MsB, XsB, YsB = [], [], []
+            for j in range(U):
+                hw = hw_u[j]
+                cm = cm_u[j]
+                # row A (above values come from the VMEM row buffers)
+                distA = jnp.where((rsA & hw) != 0, omqA, q3A)
+                t1 = mdA * p_mm
+                t2 = xdA * p_gapm
+                t3 = ydA * p_gapm
+                MA = ((t1 + t2) + t3) * distA
+                XA = ma_u[j] * p_mx + xa_u[j] * p_xx
+                YA = mlA * p_my + ylA * p_yy
+                smAm = smAm + MA * cm
+                smAx = smAx + XA * cm
+                # row B (above values are row A's fresh registers)
+                distB = jnp.where((rsB & hw) != 0, omqB, q3B)
+                u1 = mdB * p_mm
+                u2 = xdB * p_gapm
+                u3 = ydB * p_gapm
+                MB = ((u1 + u2) + u3) * distB
+                XB = MA * p_mx + XA * p_xx
+                YB = mlB * p_my + ylB * p_yy
+                smBm = smBm + MB * cm
+                smBx = smBx + XB * cm
+                MsB.append(MB)
+                XsB.append(XB)
+                YsB.append(YB)
+                mdA, xdA, ydA = ma_u[j], xa_u[j], ya_u[j]
+                mlA, ylA = MA, YA
+                mdB, xdB, ydB = MA, XA, YA
+                mlB, ylB = MB, YB
+            mbuf[pl.ds(c0, U)] = jnp.stack(MsB)
+            xbuf[pl.ds(c0, U)] = jnp.stack(XsB)
+            ybuf[pl.ds(c0, U)] = jnp.stack(YsB)
+            return (mdA, xdA, ydA, mlA, ylA,
+                    mdB, xdB, ydB, mlB, ylB,
+                    smAm, smAx, smBm, smBx)
+
+        st = jax.lax.fori_loop(
+            0, C // U, chunk_body,
+            (zeros, zeros, ydA0, zeros, zeros,
+             zeros, zeros, zeros, zeros, zeros,
+             zeros, zeros, zeros, zeros),
+        )
+        a_m = jnp.where(maskA, st[10], a_m)
+        a_x = jnp.where(maskA, st[11], a_x)
+        a_m = jnp.where(maskB, st[12], a_m)
+        a_x = jnp.where(maskB, st[13], a_x)
+        return (a_m, a_x)
+
+    a_m, a_x = jax.lax.fori_loop(0, R // 2, row_body, (zeros, zeros))
+    out_ref[0] = a_m + a_x
+
+
 def _ppe_base_mask(codes):
     """one-hot base masks: A=1 C=2 G=4 T=8, N=15 (matches anything)"""
     return jnp.where(
@@ -354,7 +494,13 @@ def _pallas_call_ppe(
     f32 = jnp.float32
     trans_arr = jnp.array([list(trans) + [0.0, 0.0]], dtype=f32)
 
-    kernel = functools.partial(_kernel_ppe, r_pad=R, c_pad=C)
+    two_row = _PPE_ROWS == 2 and R % 2 == 0
+    if two_row:
+        kernel = functools.partial(_kernel_ppe2, r_pad=R, c_pad=C)
+        rows_scratch = pltpu.VMEM((2, 2, 3, 8, LANES), jnp.int32)
+    else:
+        kernel = functools.partial(_kernel_ppe, r_pad=R, c_pad=C)
+        rows_scratch = pltpu.VMEM((2, 3, 8, LANES), jnp.int32)
     out = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -378,7 +524,7 @@ def _pallas_call_ppe(
             pltpu.VMEM((C, 8, LANES), f32),
             pltpu.VMEM((C, 8, LANES), f32),
             pltpu.VMEM((C, 8, LANES), f32),
-            pltpu.VMEM((2, 3, 8, LANES), jnp.int32),
+            rows_scratch,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
