@@ -413,13 +413,14 @@ struct Assembly {
 
   int source = 0, sink = 0;
 
-  int create_vertex(std::string_view kmer) {
+  // key: the 2-bit packed kmer in packed mode (callers roll it in O(1)
+  // per position), ignored otherwise
+  int create_vertex(std::string_view kmer, uint64_t key) {
     int vid = static_cast<int>(kmers.size());
     kmers.push_back(kmer);
     out_edges.emplace_back();
     in_edges.emplace_back();
     if (packed) {
-      const uint64_t key = pack(kmer);
       if (dup_p.find(key) == dup_p.end()) unique_p.emplace(key, vid);
     } else {
       if (dup_kmers.find(kmer) == dup_kmers.end())
@@ -428,15 +429,15 @@ struct Assembly {
     return vid;
   }
 
-  int get_vertex(std::string_view kmer) {
+  int get_vertex(std::string_view kmer, uint64_t key) {
     if (packed) {
-      auto it = unique_p.find(pack(kmer));
+      auto it = unique_p.find(key);
       if (it != unique_p.end()) return it->second;
     } else {
       auto it = unique_kmers.find(kmer);
       if (it != unique_kmers.end()) return it->second;
     }
-    return create_vertex(kmer);
+    return create_vertex(kmer, key);
   }
 
   void create_edge(int u, int v, bool is_ref) {
@@ -461,7 +462,7 @@ struct Assembly {
     }
   }
 
-  int extend_chain(int u, std::string_view kmer, bool is_ref) {
+  int extend_chain(int u, std::string_view kmer, uint64_t key, bool is_ref) {
     const char last = kmer.back();
     for (int eid : out_edges[u]) {
       const int v = e_dst[eid];
@@ -470,17 +471,23 @@ struct Assembly {
         return v;
       }
     }
-    const int v = get_vertex(kmer);
+    const int v = get_vertex(kmer, key);
     create_edge(u, v, is_ref);
     return v;
   }
 
   void add_seq(std::string_view seq, bool is_ref) {
-    int v = get_vertex(seq.substr(0, k));
+    const uint64_t mask =
+        k == 32 ? ~0ull : ((1ull << (2 * k)) - 1);  // unused when !packed
+    uint64_t key = packed ? (pack(seq.substr(0, k)) & mask) : 0;
+    int v = get_vertex(seq.substr(0, k), key);
     increase_counts_backwards(v, seq.substr(0, k - 1));
     if (is_ref) source = v;
-    for (size_t i = 1; i + k <= seq.size(); ++i)
-      v = extend_chain(v, seq.substr(i, k), is_ref);
+    for (size_t i = 1; i + k <= seq.size(); ++i) {
+      if (packed)
+        key = ((key << 2) | pack_code(seq[i + k - 1])) & mask;
+      v = extend_chain(v, seq.substr(i, k), key, is_ref);
+    }
     if (is_ref) sink = v;
   }
 
