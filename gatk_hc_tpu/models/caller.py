@@ -318,21 +318,13 @@ def call_batched(
         # e.g. test shims, fall back to one run() at the end)
         if can_overlap and len(unsubmitted) >= SUBMIT_CHUNK_REGIONS:
             with timers.stage("pairhmm"):
-                submitted_batches.append(runner.submit(unsubmitted))
+                submitted_batches.append(
+                    (runner.submit(unsubmitted), pending[-len(unsubmitted):])
+                )
             unsubmitted = []
 
-    # phase B: device PairHMM over the remaining regions + drain everything
-    with timers.stage("pairhmm"):
-        if can_overlap:
-            if unsubmitted:
-                submitted_batches.append(runner.submit(unsubmitted))
-            runner.drain(submitted_batches)
-        else:
-            runner.run(unsubmitted)
-
-    # phase C: normalization + genotyping per region
-    with timers.stage("genotype"):
-        for result, reads, haplotypes, window_ref, job in pending:
+    def genotype_entries(entries):
+        for result, reads, haplotypes, window_ref, job in entries:
             filtered, kept_indices = normalize_and_filter(
                 job.result,
                 [len(r) for r in reads],
@@ -349,6 +341,25 @@ def call_batched(
             counters.variants += len(result.variants)
             if manifest is not None:
                 manifest.record(result.region_id, result.variants)
+
+    # phases B+C: drain + genotype chunk by chunk — host genotyping of chunk
+    # k overlaps device compute of the still-queued later chunks
+    if can_overlap:
+        if unsubmitted:
+            with timers.stage("pairhmm"):
+                submitted_batches.append(
+                    (runner.submit(unsubmitted), pending[-len(unsubmitted):])
+                )
+        for token, entries in submitted_batches:
+            with timers.stage("pairhmm"):
+                runner.drain([token])
+            with timers.stage("genotype"):
+                genotype_entries(entries)
+    else:
+        with timers.stage("pairhmm"):
+            runner.run(unsubmitted)
+        with timers.stage("genotype"):
+            genotype_entries(pending)
 
     with timers.stage("io"):
         if out_path is not None:
