@@ -35,8 +35,8 @@ def test_sensitivity_and_precision_on_planted_truth(tmp_path):
 
     rng = random.Random(777)
     ref = make_reference(rng, 100_000)
-    alt, truth = plant_variants(rng, ref)
-    sam_lines = simulate_reads(rng, "sim", ref, alt, depth=30)
+    alt, truth, anchors = plant_variants(rng, ref)
+    sam_lines = simulate_reads(rng, "sim", ref, alt, depth=30, anchors=anchors)
 
     fa = tmp_path / "sim.fa"
     write_fasta(str(fa), [FastaRecord("sim", "accuracy fixture", ref)])

@@ -52,22 +52,32 @@ def plant_variants(rng: random.Random, ref: str):
             variants.append((pos, "del", rng.randint(1, 4)))
         pos += rng.randint(300, 700)
 
-    # build alt haplotype + coordinate map alt->ref
+    # build alt haplotype + alt->ref coordinate anchors (indels make alt
+    # coordinates drift from ref coordinates — reads sampled from alt must
+    # be PLACED at ref-projected positions or the drift accumulates to
+    # hundreds of bp over megabase contigs and breaks local assembly)
     alt_parts = []
+    anchors = [(0, 0)]  # (alt_offset, ref_offset) at each segment start
     cursor = 0
+    alt_len = 0
     for pos, kind, payload in variants:
         alt_parts.append(ref[cursor:pos])
+        alt_len += pos - cursor
         if kind == "snp":
             alt_parts.append(payload)
+            alt_len += 1
             cursor = pos + 1
         elif kind == "ins":
             alt_parts.append(ref[pos] + payload)
+            alt_len += 1 + len(payload)
             cursor = pos + 1
         else:
             alt_parts.append(ref[pos])  # anchor base kept, next `payload` deleted
+            alt_len += 1
             cursor = pos + 1 + payload
+        anchors.append((alt_len, cursor))
     alt_parts.append(ref[cursor:])
-    return "".join(alt_parts), variants
+    return "".join(alt_parts), variants, anchors
 
 
 def simulate_reads(
@@ -77,13 +87,23 @@ def simulate_reads(
     hap_b: str,
     depth: int,
     error_rate: float = 0.001,
+    anchors=None,
 ):
-    """Sample reads from both haplotypes; yields SAM lines sorted by POS."""
+    """Sample reads from both haplotypes; yields SAM lines sorted by POS.
+
+    hap-B sample starts are projected to REF coordinates through the
+    alt->ref anchors so indel drift never displaces a read by more than
+    one local event (a naive alt-coordinate POS accumulates hundreds of bp
+    of drift over megabase contigs, which breaks any windowed caller)."""
+    import bisect
+
     reads = []
     genome_len = len(hap_a)
     n_reads = depth * genome_len // READ_LEN
+    alt_offsets = [a for a, _ in anchors] if anchors else None
     for i in range(n_reads):
-        hap = hap_a if rng.random() < 0.5 else hap_b
+        use_alt = rng.random() >= 0.5
+        hap = hap_b if use_alt else hap_a
         start = rng.randint(0, len(hap) - READ_LEN)
         bases = list(hap[start : start + READ_LEN])
         quals = []
@@ -93,10 +113,13 @@ def simulate_reads(
             if rng.random() < error_rate:
                 bases[j] = rng.choice([b for b in BASES if b != bases[j]])
                 quals[j] = chr(rng.randint(5, 20) + 33)
-        # approximate POS: for hap B the coordinates shift by indels; reads
-        # are "aligned" by their sampled start which is close enough for the
-        # windowed caller (it re-assembles locally anyway).
-        pos = min(start, genome_len - 1) + 1
+        if use_alt and anchors:
+            k = bisect.bisect_right(alt_offsets, start) - 1
+            alt_off, ref_off = anchors[k]
+            ref_start = ref_off + (start - alt_off)
+        else:
+            ref_start = start
+        pos = min(max(ref_start, 0), genome_len - 1) + 1
         flag = 99 if rng.random() < 0.5 else 163
         mate_pos = min(pos + rng.randint(150, 350), genome_len)
         reads.append(
@@ -122,8 +145,8 @@ def main() -> None:
 
     rng = random.Random(args.seed)
     ref = make_reference(rng, args.length)
-    alt, variants = plant_variants(rng, ref)
-    sam_lines = simulate_reads(rng, args.name, ref, alt, args.depth)
+    alt, variants, anchors = plant_variants(rng, ref)
+    sam_lines = simulate_reads(rng, args.name, ref, alt, args.depth, anchors=anchors)
 
     os.makedirs(args.outdir, exist_ok=True)
     write_fasta(
