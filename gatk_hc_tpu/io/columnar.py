@@ -25,7 +25,7 @@ from ..config import HCConfig
 from ..utils.interval import Interval
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # ndarray fields: no field-wise __eq__
 class PreparedRead:
     """A window-ready read: clipped bases/quals + post-revert alignment span.
 
@@ -213,6 +213,12 @@ class ColumnarReadStore:
             c(out_seq, ctypes.c_uint8), c(out_qual, ctypes.c_uint8),
             c(out_off, i64), c(out_ab, i64), c(out_ae, i64),
         )
+        # right-size the blobs so the views do not pin the pre-filter
+        # superset allocation for the pipeline's lifetime
+        kept_bytes = int(out_off[kept])
+        if kept_bytes < cap:
+            out_seq = out_seq[:kept_bytes].copy()
+            out_qual = out_qual[:kept_bytes].copy()
         reads = [
             PreparedRead(
                 seq_u8=out_seq[out_off[k] : out_off[k + 1]],

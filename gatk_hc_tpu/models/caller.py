@@ -310,8 +310,9 @@ def call_batched(
             np.frombuffer(h.bases.encode(), dtype=np.uint8) for h in haplotypes
         ]
         job = PairHMMJob(read_arrays, hap_arrays)
-        pending.append((result, reads, haplotypes, window_ref, job))
-        unsubmitted.append(job)
+        entry = (result, reads, haplotypes, window_ref, job)
+        pending.append(entry)
+        unsubmitted.append(entry)
         # phase overlap: ship a chunk of assembled regions to the device and
         # keep assembling — dispatches are async, so the TPU computes while
         # the host works the next regions (runners without submit/drain,
@@ -319,7 +320,7 @@ def call_batched(
         if can_overlap and len(unsubmitted) >= SUBMIT_CHUNK_REGIONS:
             with timers.stage("pairhmm"):
                 submitted_batches.append(
-                    (runner.submit(unsubmitted), pending[-len(unsubmitted):])
+                    (runner.submit([e[4] for e in unsubmitted]), unsubmitted)
                 )
             unsubmitted = []
 
@@ -348,7 +349,7 @@ def call_batched(
         if unsubmitted:
             with timers.stage("pairhmm"):
                 submitted_batches.append(
-                    (runner.submit(unsubmitted), pending[-len(unsubmitted):])
+                    (runner.submit([e[4] for e in unsubmitted]), unsubmitted)
                 )
         for token, entries in submitted_batches:
             with timers.stage("pairhmm"):
@@ -357,7 +358,7 @@ def call_batched(
                 genotype_entries(entries)
     else:
         with timers.stage("pairhmm"):
-            runner.run(unsubmitted)
+            runner.run([e[4] for e in unsubmitted])
         with timers.stage("genotype"):
             genotype_entries(pending)
 

@@ -197,13 +197,16 @@ def table_probe_native():
 
 def _flatten_reads(reads):
     n = len(reads)
-    stride = max((len(r.seq) for r in reads), default=1)
+    stride = max((len(r) for r in reads), default=1)
     bases = np.zeros((n, stride), dtype=np.uint8)
     quals = np.zeros((n, stride), dtype=np.uint8)
     lens = np.zeros(n, dtype=np.int32)
     for i, r in enumerate(reads):
-        b = np.frombuffer(r.seq.encode(), dtype=np.uint8)
-        q = np.frombuffer(r.qual.encode(), dtype=np.uint8)
+        if hasattr(r, "seq_u8"):  # columnar PreparedRead: zero-copy arrays
+            b, q = r.seq_u8, r.qual_u8
+        else:
+            b = np.frombuffer(r.seq.encode(), dtype=np.uint8)
+            q = np.frombuffer(r.qual.encode(), dtype=np.uint8)
         bases[i, : len(b)] = b
         quals[i, : len(q)] = q
         lens[i] = len(b)
@@ -260,8 +263,7 @@ def native_assemble_fn(cfg):
         np.cumsum([len(r) for r in reads], out=offsets[1:])
         if reads and hasattr(reads[0], "seq_u8"):
             # columnar PreparedReads: concatenate the u8 views directly
-            seqs = np.concatenate([r.seq_u8 for r in reads]) if reads else \
-                np.zeros(0, np.uint8)
+            seqs = np.concatenate([r.seq_u8 for r in reads])
             quals = np.concatenate([r.qual_u8 for r in reads])
         else:
             seqs = np.frombuffer(

@@ -18,8 +18,9 @@ OUT = os.path.join(_DIR, "libhcnative.so")
 CXXFLAGS = [
     "-std=c++17",
     "-O3",
-    "-march=native",  # AVX2 autovectorization; -ffp-contract=off below keeps
-    # float arithmetic unfused so PairHMM f32 results stay bit-exact
+    "-march=x86-64-v3",  # AVX2 autovectorization, portable across the hosts
+    # of a multihost run (unlike -march=native); -ffp-contract=off below
+    # keeps float arithmetic unfused so PairHMM f32 results stay bit-exact
     "-fPIC",
     "-shared",
     "-ffp-contract=off",
@@ -28,15 +29,23 @@ CXXFLAGS = [
 ]
 
 
+_STAMP = OUT + ".flags"
+
+
 def build(force: bool = False) -> str:
-    if (
-        not force
-        and os.path.exists(OUT)
+    flags = " ".join(CXXFLAGS)
+    fresh = (
+        os.path.exists(OUT)
         and os.path.getmtime(OUT) >= os.path.getmtime(SRC)
-    ):
+        and os.path.exists(_STAMP)
+        and open(_STAMP).read() == flags  # rebuild on flag changes too
+    )
+    if not force and fresh:
         return OUT
     cmd = ["g++", *CXXFLAGS, SRC, "-o", OUT]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
+    with open(_STAMP, "w") as handle:
+        handle.write(flags)
     return OUT
 
 

@@ -477,8 +477,9 @@ struct Assembly {
   }
 
   void add_seq(std::string_view seq, bool is_ref) {
+    // mask only defined in packed mode (k <= 32; shifting by 2k > 63 is UB)
     const uint64_t mask =
-        k == 32 ? ~0ull : ((1ull << (2 * k)) - 1);  // unused when !packed
+        !packed ? 0 : (k == 32 ? ~0ull : ((1ull << (2 * k)) - 1));
     uint64_t key = packed ? (pack(seq.substr(0, k)) & mask) : 0;
     int v = get_vertex(seq.substr(0, k), key);
     increase_counts_backwards(v, seq.substr(0, k - 1));

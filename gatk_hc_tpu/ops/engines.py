@@ -42,7 +42,8 @@ def make_pairhmm_engine(cfg: HCConfig) -> Callable:
 
             read_arrays, hap_arrays = _to_arrays(reads, haplotypes)
             return pairhmm_log10_batch(
-                read_arrays, hap_arrays, cfg.gop_char, cfg.gcp_char
+                read_arrays, hap_arrays, cfg.gop_char, cfg.gcp_char,
+                rescue_mode=cfg.f64_rescue,
             )
 
         return engine

@@ -188,16 +188,22 @@ def pairhmm_log10_batch(
     gop: int = ord("I"),
     gcp: int = ord("+"),
     ftz: bool = True,
+    rescue_mode: str = "exact",
 ) -> np.ndarray:
     """Read-major log10 likelihood matrix, float-first + double rescue
-    (intel_pairhmm.hpp:128-147)."""
+    (intel_pairhmm.hpp:128-147).  rescue_mode matches finalize_log10 so the
+    oracle's matrix stays bit-identical to the production engines under
+    either cfg.f64_rescue setting."""
     out = np.zeros((len(reads), len(haps)), dtype=np.float64)
     for i, (bases, quals) in enumerate(reads):
         for j, hap in enumerate(haps):
             pf = np.float32(pairhmm_prob(bases, quals, hap, gop, gcp, np.float32, ftz))
             if pf < MIN_ACCEPTED:
-                pd = pairhmm_prob(bases, quals, hap, gop, gcp, np.float64)
-                out[i, j] = np.log10(pd) - LOG10_INITIAL_CONSTANT_F64
+                if rescue_mode == "sentinel":
+                    out[i, j] = RESCUE_SENTINEL_LOG10
+                else:
+                    pd = pairhmm_prob(bases, quals, hap, gop, gcp, np.float64)
+                    out[i, j] = np.log10(pd) - LOG10_INITIAL_CONSTANT_F64
             else:
                 out[i, j] = float(
                     np.log10(pf, dtype=np.float32) - LOG10_INITIAL_CONSTANT_F32
