@@ -96,13 +96,13 @@ def bench_device(reads, haps, n_jobs: int = 16):
     # the tunnelled TPU's effective throughput fluctuates in minute-scale
     # phases; spread best-of rounds over ~1.5 minutes to catch a clean one
     best = float("inf")
-    for i in range(6):
+    for i in range(8):
         jobs = [PairHMMJob(reads, haps) for _ in range(n_jobs)]
         t0 = time.perf_counter()
         runner.run(jobs)
         best = min(best, (time.perf_counter() - t0) / n_jobs)
-        if i < 5:
-            time.sleep(15)
+        if i < 7:
+            time.sleep(20)
     cells = len(reads) * len(haps) * READ_LEN * HAP_LEN
     return cells / best
 
