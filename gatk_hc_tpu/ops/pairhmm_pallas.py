@@ -1,27 +1,33 @@
-"""PairHMM forward as a TPU Pallas kernel — the production device path.
+"""PairHMM forward as TPU Pallas kernels — the production device path.
 
-Design (TPU-first, cf. SURVEY.md §7 step 5):
+Two kernel designs (TPU-first, cf. SURVEY.md §7 step 5), bit-identical to
+each other and to the C++/NumPy oracles on TPU hardware:
 
-* **Pair-per-lane batching.**  Each kernel block processes LANES=128
-  (read, hap) pairs; the grid walks pair blocks.  This mirrors the
-  reference's OpenMP *inter-pair* axis (intel_pairhmm.hpp:128-131) instead
-  of wasting vector lanes on short intra-pair anti-diagonals.
-* **Striped anti-diagonal sweep on sublanes.**  Rows are processed in
-  stripes of height H (sublanes); within a stripe an anti-diagonal wavefront
-  runs over columns, carrying last-row values to the next stripe through a
-  VMEM carry buffer — the same dependency structure as the reference's AVX
-  kernel (avx-pairhmm-template.h:200-209) but vectorized across 128 pairs.
-* **Exact fp semantics.**  Every cell evaluates the reference recurrence
-  with separate mul/add (TPU measured unfused), divisions are precomputed on
-  host (TPU f32 divide is reciprocal-based), and the TPU's flush-to-zero
-  matches the reference's FTZ mode.  Per-cell results are bit-identical to
-  the C++/NumPy engines; the final sum accumulates the last row in column
-  order.
+* **Pair-per-element (production, `_kernel_ppe`/`_kernel_ppe2`).**  Every
+  VPU element (sublane, lane) owns ONE (read, hap) pair — 1024 pairs per
+  grid block — and sweeps its DP matrix row-major: no cross-sublane traffic
+  at all, no anti-diagonal ramp waste.  Row-above M/X/Y live in C-deep VMEM
+  buffers, left/diagonal cells in registers; read rows stream from HBM via
+  double-buffered async DMA; base match is one AND+compare on one-hot codes
+  (N=0xF matches anything); the inner loop unrolls 32 columns; the default
+  two-row variant sweeps rows r/r+1 together so the lower row reads the
+  upper row's fresh cells from registers.
+* **Striped anti-diagonal (`_kernel`).**  128 pairs on lanes, rows in
+  sublane stripes of height H swept by an anti-diagonal wavefront with a
+  VMEM carry buffer — the reference AVX kernel's dependency structure
+  (avx-pairhmm-template.h:200-209) vectorized across pairs.  Kept as the
+  second implementation and used in interpret mode (XLA:CPU FMA
+  contraction perturbs the larger ppe program by 1 ulp; on real TPUs both
+  kernels are exact).
 
-Shapes are static per (R_pad, C_pad, H) bucket; XLA compiles a handful of
-variants that are reused across all regions.
+**Exact fp semantics.**  Every cell evaluates the reference recurrence with
+separate mul/add (TPU measured unfused), divisions are precomputed on host
+(TPU f32 divide is reciprocal-based), and the TPU's flush-to-zero matches
+the reference's FTZ mode.  The final sum accumulates the last row in column
+order.  Shapes are static per (R_pad, C_pad) bucket; XLA compiles a handful
+of variants reused across all regions.
 
-Carry-buffer index map (stripe height H, steps t = 1..C+H):
+Striped carry-buffer index map (stripe height H, steps t = 1..C+H):
   carryM/X[j] = previous stripe's last-row M/X at column j-(H-1)
   carryY[j]   = previous stripe's last-row Y at column j-H
   reads at j = t+H, writes at j = t  (read-before-write per index)
