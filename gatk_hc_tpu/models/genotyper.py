@@ -30,7 +30,11 @@ import numpy as np
 from ..config import HCConfig
 from ..io.sam import SAMRecord
 from ..utils.interval import Interval
-from ..utils.quality import approximate_log10_sum_log10
+from ..utils.quality import (
+    JACOBIAN_F64,
+    JACOBIAN_LOG_TABLE_INV_STEP,
+    MAX_JACOBIAN_TOLERANCE,
+)
 from .haplotype import Haplotype, Variant
 
 SPAN_DEL = "*"
@@ -47,16 +51,24 @@ def process_cigar_for_initial_events(
     ref_pos = haplotype.alignment_begin_wrt_ref
     hap_pos = 0
     hap = haplotype.bases
+    # byte views: the M-mismatch scan is a vectorized compare instead of a
+    # per-base Python loop (same events, found left-to-right)
+    ref_arr = np.frombuffer(ref.encode("ascii"), dtype=np.uint8)
+    hap_arr = np.frombuffer(hap.encode("ascii"), dtype=np.uint8)
     for length, op in haplotype.cigar:
         if op == "M":
-            for offset in range(length):
-                if ref[ref_pos + offset] != hap[hap_pos + offset]:
-                    begin = padded_begin + ref_pos + offset
-                    haplotype.event_map[begin] = Variant(
-                        location=Interval(contig, begin, begin + 1),
-                        ref=ref[ref_pos + offset],
-                        alt=hap[hap_pos + offset],
-                    )
+            mismatches = np.nonzero(
+                ref_arr[ref_pos : ref_pos + length]
+                != hap_arr[hap_pos : hap_pos + length]
+            )[0]
+            for offset in mismatches:
+                offset = int(offset)
+                begin = padded_begin + ref_pos + offset
+                haplotype.event_map[begin] = Variant(
+                    location=Interval(contig, begin, begin + 1),
+                    ref=ref[ref_pos + offset],
+                    alt=hap[hap_pos + offset],
+                )
             ref_pos += length
             hap_pos += length
         elif op == "I":
@@ -182,40 +194,59 @@ def _get_haplotype_mapper(
 def _marginalize(
     haplotype_mapper: List[int],
     allele_count: int,
-    reads: Sequence[SAMRecord],
+    keep_mask: np.ndarray,  # (n_reads,) bool: read overlaps the event span
     likelihoods: np.ndarray,  # (n_reads, n_haps)
-    overlap: Interval,
 ) -> np.ndarray:
-    keep = [i for i, read in enumerate(reads) if read.interval.overlaps(overlap)]
-    allele_lik = np.full((len(keep), allele_count), _LOWEST)
-    for r, old in enumerate(keep):
-        for h, allele_index in enumerate(haplotype_mapper):
-            lik = likelihoods[old][h]
-            if lik > allele_lik[r, allele_index]:
-                allele_lik[r, allele_index] = lik
+    """Vectorized per-read max over each allele's haplotypes
+    (genotyper.hpp:245-264).  Max is order-independent, so this matches the
+    reference's sequential strict-> scan bit-for-bit."""
+    lik = likelihoods[keep_mask]
+    mapper = np.asarray(haplotype_mapper, dtype=np.int64)
+    allele_lik = np.full((lik.shape[0], allele_count), _LOWEST)
+    for a in range(allele_count):
+        cols = mapper == a
+        if cols.any():
+            allele_lik[:, a] = lik[:, cols].max(axis=1)
     return allele_lik
+
+
+_TRIU_CACHE: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu_pairs(allele_count: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Genotype pair indices (a1<=a2), the allele_index_cache analogue."""
+    cached = _TRIU_CACHE.get(allele_count)
+    if cached is None:
+        cached = _TRIU_CACHE[allele_count] = np.triu_indices(allele_count)
+    return cached
 
 
 def _calculate_genotype_likelihoods(
     allele_lik: np.ndarray, allele_count: int
-) -> List[float]:
+) -> np.ndarray:
+    """Vectorized diploid GL composition (genotyper.hpp:276-328).
+
+    hom: lik[a] + log10(2) per read; het: approximate_log10_sum_log10 as a
+    Jacobian-table gather.  Per-genotype read sums use cumsum, whose prefix
+    outputs force the exact left-to-right addition order of the reference's
+    scalar loop (np.sum's pairwise reassociation would drift the bits)."""
     n_reads = allele_lik.shape[0]
-    denominator = n_reads * _LOG10_2
-    result: List[float] = []
-    for a1 in range(allele_count):
-        for a2 in range(a1, allele_count):
-            if a1 == a2:
-                total = 0.0
-                for r in range(n_reads):
-                    total += allele_lik[r, a1] + _LOG10_2
-            else:
-                total = 0.0
-                for r in range(n_reads):
-                    total += approximate_log10_sum_log10(
-                        allele_lik[r, a1], allele_lik[r, a2]
-                    )
-            result.append(total - denominator)
-    return result
+    a1_idx, a2_idx = _triu_pairs(allele_count)
+    if n_reads == 0:
+        return np.zeros(len(a1_idx))
+    l1 = allele_lik[:, a1_idx]  # (n_reads, n_genotypes)
+    l2 = allele_lik[:, a2_idx]
+    big = np.maximum(l1, l2)
+    small = np.minimum(l1, l2)
+    with np.errstate(over="ignore"):
+        diff = big - small
+    in_range = diff < MAX_JACOBIAN_TOLERANCE
+    ind = np.floor(
+        np.where(in_range, diff, 0.0) * JACOBIAN_LOG_TABLE_INV_STEP + 0.5
+    ).astype(np.int64)
+    het = np.where(in_range, big + JACOBIAN_F64[ind], big)
+    vals = np.where(a1_idx == a2_idx, l1 + _LOG10_2, het)
+    return np.cumsum(vals, axis=0)[-1] - n_reads * _LOG10_2
 
 
 def _gq_and_max_index(genotypes: List[float], max_gq: int) -> Tuple[int, int]:
@@ -259,6 +290,16 @@ def assign_genotype_likelihoods(
     """genotyper.hpp:369-398."""
     event_begins = _set_events_for_haplotypes(haplotypes, ref, padded_region)
     variants: List[Variant] = []
+    if not event_begins:
+        return variants
+    # read geometry, gathered once per region: the per-site overlap filter
+    # (genotyper.hpp:266-274) becomes a vector compare
+    n = len(reads)
+    read_begins = np.fromiter((r.alignment_begin for r in reads), np.int64, n)
+    read_ends = np.fromiter((r.alignment_end for r in reads), np.int64, n)
+    contig_ok = np.fromiter(
+        (r.rname == padded_region.contig for r in reads), bool, n
+    )
     for begin in event_begins:
         if begin < origin_region.begin or begin >= origin_region.end:
             continue
@@ -272,12 +313,12 @@ def assign_genotype_likelihoods(
             continue
         allele_mapper = _get_allele_mapper(alleles, begin, haplotypes)
         haplotype_mapper = _get_haplotype_mapper(allele_mapper, len(haplotypes))
+        overlap = alleles_loc.expand_within_contig(cfg.allele_extension)
+        keep_mask = (
+            contig_ok & (read_begins < overlap.end) & (read_ends > overlap.begin)
+        )
         allele_lik = _marginalize(
-            haplotype_mapper,
-            allele_count,
-            reads,
-            likelihoods,
-            alleles_loc.expand_within_contig(cfg.allele_extension),
+            haplotype_mapper, allele_count, keep_mask, likelihoods
         )
         genotype_lik = _calculate_genotype_likelihoods(allele_lik, allele_count)
         genotype_index, gq = _gq_and_max_index(genotype_lik, cfg.max_genotype_quality)

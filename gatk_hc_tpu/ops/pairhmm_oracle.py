@@ -297,18 +297,14 @@ def normalize_and_filter(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """normalize_likelihoods_and_filter_poorly_modeled_reads
     (intel_pairhmm.hpp:24-46).  Returns (filtered matrix, kept row indices)."""
-    n = log_likelihoods.shape[0]
-    keep = np.ones(n, dtype=bool)
-    out = log_likelihoods.copy()
-    for i in range(n):
-        best = out[i].max()
-        cap = best + max_best_alt_diff
-        out[i] = np.maximum(out[i], cap)
-        threshold = (
-            min(max_expected_error, np.ceil(read_lengths[i] * expected_error_rate))
-            * log10_quality_per_base
-        )
-        if best < threshold:
-            keep[i] = False
-    kept = np.nonzero(keep)[0]
+    if log_likelihoods.shape[0] == 0:
+        return log_likelihoods.copy(), np.empty(0, dtype=np.int64)
+    best = log_likelihoods.max(axis=1)  # row max is order-independent
+    out = np.maximum(log_likelihoods, (best + max_best_alt_diff)[:, None])
+    lens = np.fromiter(read_lengths, np.float64, log_likelihoods.shape[0])
+    threshold = (
+        np.minimum(max_expected_error, np.ceil(lens * expected_error_rate))
+        * log10_quality_per_base
+    )
+    kept = np.nonzero(best >= threshold)[0]
     return out[kept], kept
