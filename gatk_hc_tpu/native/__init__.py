@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
@@ -89,6 +90,20 @@ def _configure(lib: ctypes.CDLL) -> None:
         i64p,  # out hap offsets (n+1)
         f64p,  # out scores
         ctypes.c_int32,  # max haplotypes
+    ]
+
+    lib.hc_assemble_sw.restype = ctypes.c_int32
+    lib.hc_assemble_sw.argtypes = [
+        u8p, ctypes.c_int64,  # ref
+        u8p, u8p, i64p, ctypes.c_int32,  # read seqs, quals, offsets, n_reads
+        i32p, i32p,  # assembler config ints, SW config ints
+        u8p, ctypes.c_int64,  # out hap bases arena
+        i64p,  # out hap offsets (n+1)
+        f64p,  # out scores
+        ctypes.c_int32,  # max haplotypes
+        i32p,  # out per-hap alignment offsets
+        u8p, i32p, i64p,  # out cigar ops/lens arenas + offsets (n+1)
+        ctypes.c_int64,  # cigar arena capacity (elements)
     ]
 
     lib.hc_load_tables.restype = None
@@ -252,6 +267,63 @@ def native_pairhmm_engine(cfg):
     return engine
 
 
+def _assemble_cfg_ints(config) -> np.ndarray:
+    return np.array(
+        [
+            config.initial_kmer_size,
+            config.kmer_size_iteration_increase,
+            config.max_kmer_iterations,
+            config.max_unique_kmers_to_discard,
+            config.prune_factor,
+            config.min_base_quality_to_use,
+            config.max_num_haplotypes,
+        ],
+        dtype=np.int32,
+    )
+
+
+def _flatten_read_blobs(reads):
+    offsets = np.zeros(len(reads) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in reads], out=offsets[1:])
+    if reads and hasattr(reads[0], "seq_u8"):
+        # columnar PreparedReads: concatenate the u8 views directly
+        seqs = np.concatenate([r.seq_u8 for r in reads])
+        quals = np.concatenate([r.qual_u8 for r in reads])
+    else:
+        seqs = np.frombuffer(
+            "".join(r.seq for r in reads).encode(), dtype=np.uint8
+        )
+        quals = np.frombuffer(
+            "".join(r.qual for r in reads).encode(), dtype=np.uint8
+        )
+    return seqs, quals, offsets
+
+
+class _AssembleScratch(threading.local):
+    """Per-thread reusable output arenas (the pool-parallel assembler gives
+    every worker its own buffers)."""
+
+    def ensure(self, max_h: int, ref_len: int):
+        arena_cap = max_h * (ref_len + 64)
+        cigar_cap = max_h * (ref_len + 256)
+        if getattr(self, "arena", None) is None or len(self.arena) < arena_cap:
+            self.arena = np.empty(arena_cap, dtype=np.uint8)
+            self.hap_offsets = np.empty(max_h + 1, dtype=np.int64)
+            self.scores = np.empty(max_h, dtype=np.float64)
+            self.align_offsets = np.empty(max_h, dtype=np.int32)
+        if (
+            getattr(self, "cigar_ops", None) is None
+            or len(self.cigar_ops) < cigar_cap
+        ):
+            self.cigar_ops = np.empty(cigar_cap, dtype=np.uint8)
+            self.cigar_lens = np.empty(cigar_cap, dtype=np.int32)
+            self.cigar_offsets = np.empty(max_h + 1, dtype=np.int64)
+        return self
+
+
+_ASSEMBLE_SCRATCH = _AssembleScratch()
+
+
 def native_assemble_fn(cfg):
     from ..models.haplotype import Haplotype
     from ..ops.sw import sw_align
@@ -259,55 +331,62 @@ def native_assemble_fn(cfg):
     def assemble(reads, ref, config):
         lib = _load()
         ref_b = np.frombuffer(ref.encode(), dtype=np.uint8)
-        offsets = np.zeros(len(reads) + 1, dtype=np.int64)
-        np.cumsum([len(r) for r in reads], out=offsets[1:])
-        if reads and hasattr(reads[0], "seq_u8"):
-            # columnar PreparedReads: concatenate the u8 views directly
-            seqs = np.concatenate([r.seq_u8 for r in reads])
-            quals = np.concatenate([r.qual_u8 for r in reads])
-        else:
-            seqs = np.frombuffer(
-                "".join(r.seq for r in reads).encode(), dtype=np.uint8
-            )
-            quals = np.frombuffer(
-                "".join(r.qual for r in reads).encode(), dtype=np.uint8
-            )
-        cfg_ints = np.array(
-            [
-                config.initial_kmer_size,
-                config.kmer_size_iteration_increase,
-                config.max_kmer_iterations,
-                config.max_unique_kmers_to_discard,
-                config.prune_factor,
-                config.min_base_quality_to_use,
-                config.max_num_haplotypes,
-            ],
-            dtype=np.int32,
-        )
+        seqs, quals, offsets = _flatten_read_blobs(reads)
+        cfg_ints = _assemble_cfg_ints(config)
         max_h = config.max_num_haplotypes
-        arena = np.zeros(max_h * (len(ref) + 64), dtype=np.uint8)
-        hap_offsets = np.zeros(max_h + 1, dtype=np.int64)
-        scores = np.zeros(max_h, dtype=np.float64)
+        s = _ASSEMBLE_SCRATCH.ensure(max_h, len(ref))
         c = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
-        n = lib.hc_assemble(
-            c(ref_b, ctypes.c_uint8), len(ref_b),
-            c(seqs, ctypes.c_uint8), c(quals, ctypes.c_uint8),
-            c(offsets, ctypes.c_int64), len(reads),
-            c(cfg_ints, ctypes.c_int32),
-            c(arena, ctypes.c_uint8), len(arena),
-            c(hap_offsets, ctypes.c_int64),
-            c(scores, ctypes.c_double),
-            max_h,
-        )
+        fused_sw = config.sw_engine == "native"
+        if fused_sw:
+            p = config.sw_params
+            sw_ints = np.array(
+                [p.w_match, p.w_mismatch, p.w_open, p.w_extend,
+                 config.sw_max_mismatches_all_match],
+                dtype=np.int32,
+            )
+            n = lib.hc_assemble_sw(
+                c(ref_b, ctypes.c_uint8), len(ref_b),
+                c(seqs, ctypes.c_uint8), c(quals, ctypes.c_uint8),
+                c(offsets, ctypes.c_int64), len(reads),
+                c(cfg_ints, ctypes.c_int32), c(sw_ints, ctypes.c_int32),
+                c(s.arena, ctypes.c_uint8), len(s.arena),
+                c(s.hap_offsets, ctypes.c_int64),
+                c(s.scores, ctypes.c_double),
+                max_h,
+                c(s.align_offsets, ctypes.c_int32),
+                c(s.cigar_ops, ctypes.c_uint8),
+                c(s.cigar_lens, ctypes.c_int32),
+                c(s.cigar_offsets, ctypes.c_int64),
+                len(s.cigar_ops),
+            )
+        else:
+            n = lib.hc_assemble(
+                c(ref_b, ctypes.c_uint8), len(ref_b),
+                c(seqs, ctypes.c_uint8), c(quals, ctypes.c_uint8),
+                c(offsets, ctypes.c_int64), len(reads),
+                c(cfg_ints, ctypes.c_int32),
+                c(s.arena, ctypes.c_uint8), len(s.arena),
+                c(s.hap_offsets, ctypes.c_int64),
+                c(s.scores, ctypes.c_double),
+                max_h,
+            )
         if n < 0:
             raise RuntimeError(f"hc_assemble failed rc={n}")
         haplotypes = []
         for i in range(n):
-            bases = arena[hap_offsets[i] : hap_offsets[i + 1]].tobytes().decode()
-            h = Haplotype(bases, scores[i])
-            if config.sw_engine == "native":
-                h.alignment_begin_wrt_ref, h.cigar = sw_align_native(
-                    ref, bases, config.sw_params, config.sw_max_mismatches_all_match
+            bases = (
+                s.arena[s.hap_offsets[i] : s.hap_offsets[i + 1]]
+                .tobytes()
+                .decode()
+            )
+            h = Haplotype(bases, s.scores[i])
+            if fused_sw:
+                h.alignment_begin_wrt_ref = int(s.align_offsets[i])
+                lo, hi = s.cigar_offsets[i], s.cigar_offsets[i + 1]
+                ops = s.cigar_ops[lo:hi].tobytes().decode()
+                h.cigar = tuple(
+                    (int(s.cigar_lens[lo + k]), ops[k])
+                    for k in range(hi - lo)
                 )
             else:
                 h.alignment_begin_wrt_ref, h.cigar = sw_align(

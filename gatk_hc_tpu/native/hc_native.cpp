@@ -214,6 +214,9 @@ constexpr int64_t SW_LOW_INIT = INT64_MIN / 4;
 struct SWResult {
   int offset = 0;
   std::string cigar;
+  // (op char, length) in emit order — same content as `cigar`, kept as
+  // elements so batch callers (hc_assemble_sw) skip the string round trip
+  std::vector<std::pair<char, int>> elements;
 };
 
 int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
@@ -227,6 +230,7 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
     if (mismatches <= max_mismatches) {
       out->offset = 0;
       out->cigar = std::to_string(n) + "M";
+      out->elements.assign(1, {'M', n});
       return 0;
     }
   }
@@ -359,14 +363,18 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
       merged.emplace_back(op, len);
   }
   std::string cigar;
+  out->elements.clear();
   for (auto it = merged.rbegin(); it != merged.rend(); ++it) {
     cigar += std::to_string(it->second);
+    char op;
     switch (it->first) {
-      case SW_MATCH: cigar += 'M'; break;
-      case SW_INSERT: cigar += 'I'; break;
-      case SW_DELETE: cigar += 'D'; break;
-      default: cigar += 'S'; break;
+      case SW_MATCH: op = 'M'; break;
+      case SW_INSERT: op = 'I'; break;
+      case SW_DELETE: op = 'D'; break;
+      default: op = 'S'; break;
     }
+    cigar += op;
+    out->elements.emplace_back(op, it->second);
   }
   out->cigar = std::move(cigar);
   return 0;
@@ -809,6 +817,47 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
     cursor += h.bases.size();
     out_offsets[i + 1] = cursor;
     out_scores[i] = h.score;
+  }
+  return n;
+}
+
+// Assembly + per-haplotype SW alignment in one call: removes one ctypes
+// round trip per haplotype (the per-call overhead dominated host assembly
+// time at WGS scale).  sw_cfg: [w_match, w_mismatch, w_open, w_extend,
+// max_mismatches_all_match].  CIGARs come back as (op char, length) element
+// arrays in CSR layout — no string parse on the Python side.
+int32_t hc_assemble_sw(const uint8_t* ref, int64_t ref_len,
+                       const uint8_t* seqs, const uint8_t* quals,
+                       const int64_t* offsets, int32_t n_reads,
+                       const int32_t* cfg, const int32_t* sw_cfg,
+                       uint8_t* out_bases, int64_t out_cap,
+                       int64_t* out_offsets, double* out_scores,
+                       int32_t max_out, int32_t* out_align_offset,
+                       uint8_t* out_cigar_ops, int32_t* out_cigar_lens,
+                       int64_t* out_cigar_offsets, int64_t cigar_cap) {
+  const int32_t n = hc_assemble(ref, ref_len, seqs, quals, offsets, n_reads,
+                                cfg, out_bases, out_cap, out_offsets,
+                                out_scores, max_out);
+  if (n <= 0) return n;
+  int64_t cursor = 0;
+  out_cigar_offsets[0] = 0;
+  SWResult result;
+  for (int32_t i = 0; i < n; ++i) {
+    const uint8_t* alt = out_bases + out_offsets[i];
+    const int alt_len = static_cast<int>(out_offsets[i + 1] - out_offsets[i]);
+    const int rc = sw_align_impl(ref, static_cast<int>(ref_len), alt, alt_len,
+                                 sw_cfg[0], sw_cfg[1], sw_cfg[2], sw_cfg[3],
+                                 sw_cfg[4], &result);
+    if (rc != 0) return -4;
+    out_align_offset[i] = result.offset;
+    if (cursor + static_cast<int64_t>(result.elements.size()) > cigar_cap)
+      return -5;
+    for (const auto& [op, len] : result.elements) {
+      out_cigar_ops[cursor] = static_cast<uint8_t>(op);
+      out_cigar_lens[cursor] = len;
+      ++cursor;
+    }
+    out_cigar_offsets[i + 1] = cursor;
   }
   return n;
 }
