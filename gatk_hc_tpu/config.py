@@ -12,7 +12,31 @@ truth and tests can vary them.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
+
+
+def _env_choice(name: str, default: str, choices: Tuple[str, ...]) -> str:
+    """Env override for a config default, rejected loudly at import instead
+    of silently falling back (kernel selection used to be process-global
+    module state read straight from the environment)."""
+    value = os.environ.get(name, default)
+    if value not in choices:
+        raise ValueError(f"{name}={value!r}: expected one of {choices}")
+    return value
+
+
+def _env_int_choice(name: str, default: int, choices: Tuple[int, ...]) -> int:
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        value = int(raw)
+    except ValueError as exc:
+        raise ValueError(f"{name}={raw!r}: expected an integer") from exc
+    if value not in choices:
+        raise ValueError(f"{name}={value}: expected one of {choices}")
+    return value
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,6 +147,13 @@ class HCConfig:
     # f32 pairs get a provably VCF-neutral stand-in vs the reference's exact
     # float64 recomputation (see ops/pairhmm_oracle.py::RESCUE_SENTINEL_LOG10)
     sw_engine: str = "native"              # "native" | "python"
+    # Pallas kernel selection (A/B hooks; env overrides validated at import):
+    # "ppe" = pair-per-element production kernel where shapes allow, falling
+    # back to striped; "striped" = force the anti-diagonal kernel everywhere
+    pallas_algo: str = _env_choice(
+        "GATK_HC_TPU_PALLAS_ALGO", "ppe", ("ppe", "striped")
+    )
+    ppe_rows: int = _env_int_choice("GATK_HC_TPU_PPE_ROWS", 2, (1, 2))
 
 
 DEFAULT_CONFIG = HCConfig()

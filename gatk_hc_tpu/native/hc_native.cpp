@@ -948,7 +948,9 @@ int64_t hc_sam_parse(const uint8_t* buf, int64_t n, const uint8_t* contig_blob,
       }
       return -line_no;
     }
-    auto to_int = [](const uint8_t* p, int64_t len) -> int64_t {
+    // digit-validated like Python's int(): a non-numeric FLAG/POS/MAPQ
+    // field is a malformed line, same error contract as the <11-fields path
+    auto to_int = [](const uint8_t* p, int64_t len, bool* ok) -> int64_t {
       int64_t v = 0;
       bool neg = false;
       int64_t k = 0;
@@ -956,12 +958,21 @@ int64_t hc_sam_parse(const uint8_t* buf, int64_t n, const uint8_t* contig_blob,
         neg = p[0] == '-';
         k = 1;
       }
-      for (; k < len; ++k) v = v * 10 + (p[k] - '0');
+      if (k >= len) *ok = false;
+      for (; k < len; ++k) {
+        if (p[k] < '0' || p[k] > '9') {
+          *ok = false;
+          return 0;
+        }
+        v = v * 10 + (p[k] - '0');
+      }
       return neg ? -v : v;
     };
-    flag[r] = static_cast<int32_t>(to_int(f_ptr[1], f_len[1]));
-    pos[r] = static_cast<int32_t>(to_int(f_ptr[3], f_len[3]));
-    mapq[r] = static_cast<int32_t>(to_int(f_ptr[4], f_len[4]));
+    bool num_ok = true;
+    flag[r] = static_cast<int32_t>(to_int(f_ptr[1], f_len[1], &num_ok));
+    pos[r] = static_cast<int32_t>(to_int(f_ptr[3], f_len[3], &num_ok));
+    mapq[r] = static_cast<int32_t>(to_int(f_ptr[4], f_len[4], &num_ok));
+    if (!num_ok) return -line_no;
     rnext_eq[r] = (f_len[6] == 1 && f_ptr[6][0] == '=') ? 1 : 0;
     rname_id[r] = -1;
     for (int32_t c = 0; c < n_contigs; ++c) {

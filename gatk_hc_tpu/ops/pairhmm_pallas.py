@@ -49,13 +49,11 @@ from ..config import HCConfig
 from .batching import PairBatch, all_pairs, pack_pairs
 from .pairhmm_jax import batch_to_device_args, transition_constants
 
-import os as _os
-
 LANES = 128
 _PPE_UNROLL = 32  # columns per inner-loop iteration in the ppe kernel
-_PPE_ROWS = int(_os.environ.get("GATK_HC_TPU_PPE_ROWS", "2"))  # rows per sweep
-# kernel selection when algo="auto": "ppe" | "striped" (env override for A/B)
-DEFAULT_ALGO = _os.environ.get("GATK_HC_TPU_PALLAS_ALGO", "ppe")
+# Kernel selection (default algo and ppe row count) is routed through
+# HCConfig.pallas_algo / HCConfig.ppe_rows — env overrides are validated
+# there at import (config._env_choice), not read as module globals here.
 
 
 def _kernel(
@@ -451,9 +449,11 @@ def _ppe_base_mask(codes):
     )
 
 
-def _ppe_eligible(B: int, c_pad: int, interpret: bool) -> bool:
+def _ppe_eligible(
+    B: int, c_pad: int, interpret: bool, default_algo: str = "ppe"
+) -> bool:
     return (
-        DEFAULT_ALGO == "ppe"
+        default_algo == "ppe"
         and not interpret
         and B % (8 * LANES) == 0
         and c_pad % _PPE_UNROLL == 0
@@ -463,7 +463,7 @@ def _ppe_eligible(B: int, c_pad: int, interpret: bool) -> bool:
 
 def _pallas_forward_ppe(
     read_codes, read_omq, read_q3, read_lens, hap_codes, hap_lens, init_y,
-    trans, r_pad, c_pad, interpret,
+    trans, r_pad, c_pad, interpret, ppe_rows: int = 2,
 ) -> jnp.ndarray:
     B = read_codes.shape[0]
     assert B % (8 * LANES) == 0, "ppe kernel needs pair batches of 1024"
@@ -486,13 +486,13 @@ def _pallas_forward_ppe(
     return _pallas_call_ppe(
         rows_hbm, hap_blk, vec(read_lens.astype(jnp.int32)),
         vec(hap_lens.astype(jnp.int32)), vec(init_y),
-        trans, r_pad, c_pad, interpret,
+        trans, r_pad, c_pad, interpret, ppe_rows,
     )
 
 
 def _pallas_call_ppe(
     rows_hbm, hap_blk, rlen_blk, clen_blk, iy_blk, trans, r_pad, c_pad,
-    interpret,
+    interpret, ppe_rows: int = 2,
 ) -> jnp.ndarray:
     nb = rows_hbm.shape[0]
     B = nb * 8 * LANES
@@ -500,7 +500,7 @@ def _pallas_call_ppe(
     f32 = jnp.float32
     trans_arr = jnp.array([list(trans) + [0.0, 0.0]], dtype=f32)
 
-    two_row = _PPE_ROWS == 2 and R % 2 == 0
+    two_row = ppe_rows == 2 and R % 2 == 0
     if two_row:
         kernel = functools.partial(_kernel_ppe2, r_pad=R, c_pad=C)
         rows_scratch = pltpu.VMEM((2, 2, 3, 8, LANES), jnp.int32)
@@ -512,7 +512,7 @@ def _pallas_call_ppe(
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (1, C, 8, LANES), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -602,7 +602,10 @@ def pairhmm_pallas_unique(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nr_pad", "nh_pad", "r_pad", "c_pad", "stripe", "interpret"),
+    static_argnames=(
+        "nr_pad", "nh_pad", "r_pad", "c_pad", "stripe", "interpret",
+        "algo", "ppe_rows",
+    ),
 )
 def pairhmm_pallas_packed(
     u8buf: jnp.ndarray,  # (2*nr_pad*r_pad + nh_pad*c_pad,) u8: reads|quals|haps
@@ -618,6 +621,8 @@ def pairhmm_pallas_packed(
     c_pad: int,
     stripe: int = 8,
     interpret: bool = False,
+    algo: str = "ppe",
+    ppe_rows: int = 2,
 ) -> jnp.ndarray:
     """Packed-transfer variant of ``pairhmm_pallas_unique``.
 
@@ -650,7 +655,7 @@ def pairhmm_pallas_packed(
     clens = jnp.take(hap_lens, pair_hap)
     iy = jnp.take(init_y, pair_hap)
 
-    if _ppe_eligible(B, c_pad, interpret):
+    if _ppe_eligible(B, c_pad, interpret, algo):
         # fused production path: mask/bit conversion happens on the SMALL
         # unique tables and the read side expands with ONE row gather whose
         # output reshape/transpose lands directly in the kernel's
@@ -675,7 +680,7 @@ def pairhmm_pallas_packed(
         return _pallas_call_ppe(
             rows_hbm, hap_blk, vec(rlens.astype(jnp.int32)),
             vec(clens.astype(jnp.int32)), vec(iy),
-            trans, r_pad, c_pad, interpret,
+            trans, r_pad, c_pad, interpret, ppe_rows,
         )
 
     read_codes = jnp.take(rc_unique, pair_read, axis=0)
@@ -685,12 +690,14 @@ def pairhmm_pallas_packed(
     return _pallas_forward(
         read_codes, read_omq, read_q3, rlens, hap_codes, clens, iy,
         trans, r_pad, c_pad, stripe, interpret,
+        default_algo=algo, ppe_rows=ppe_rows,
     )
 
 
 def _pallas_forward(
     read_codes, read_omq, read_q3, read_lens, hap_codes, hap_lens, init_y,
     trans, r_pad, c_pad, stripe, interpret, algo: str = "auto",
+    default_algo: str = "ppe", ppe_rows: int = 2,
 ) -> jnp.ndarray:
     B = read_codes.shape[0]
     assert B % LANES == 0, "pair batch must be a multiple of 128"
@@ -705,12 +712,12 @@ def _pallas_forward(
             f"ppe kernel needs c_pad % {_PPE_UNROLL} == 0, got {c_pad}"
         )
     use_ppe = algo == "ppe" or (
-        algo == "auto" and _ppe_eligible(B, c_pad, interpret)
+        algo == "auto" and _ppe_eligible(B, c_pad, interpret, default_algo)
     )
     if use_ppe:
         return _pallas_forward_ppe(
             read_codes, read_omq, read_q3, read_lens, hap_codes, hap_lens,
-            init_y, trans, r_pad, c_pad, interpret,
+            init_y, trans, r_pad, c_pad, interpret, ppe_rows,
         )
     assert r_pad % stripe == 0, "r_pad must be a multiple of the stripe height"
     n_blocks = B // LANES

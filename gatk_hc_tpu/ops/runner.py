@@ -31,12 +31,32 @@ ReadArray = Tuple[np.ndarray, np.ndarray]  # (bases u8, quals u8)
 
 @dataclasses.dataclass
 class PairHMMJob:
-    """One region's likelihood request."""
+    """One region's likelihood request.
+
+    Every read and haplotype must be non-empty (the pipeline's
+    min_read_length_after_trimming filter guarantees this on the production
+    path; the check makes the public API safe too — a zero-length row would
+    otherwise hit the underflow-rescue path with an undefined likelihood).
+
+    NOTE on ``result``: under the default cfg.f64_rescue="sentinel", entries
+    whose f32 forward probability underflowed MIN_ACCEPTED hold
+    RESCUE_SENTINEL_LOG10 (-100.0) instead of the reference's exact f64
+    recompute.  This is provably VCF-neutral through normalize_and_filter,
+    but any NEW consumer of raw likelihoods (annotations, QUAL refinement)
+    must either tolerate sentinels below -64.1 or run with
+    f64_rescue="exact".
+    """
 
     reads: Sequence[ReadArray]
     haps: Sequence[np.ndarray]
     # filled by the runner: read-major log10 matrix (n_reads, n_haps)
     result: Optional[np.ndarray] = None
+
+    def __post_init__(self) -> None:
+        if any(len(b) == 0 for b, _ in self.reads) or any(
+            len(h) == 0 for h in self.haps
+        ):
+            raise ValueError("PairHMMJob rows must be non-empty")
 
 
 def _bucket(value: int, buckets: Sequence[int]) -> int:
@@ -203,9 +223,8 @@ class PallasPairHMMRunner:
         def pack_rows(seq_lists, n_pad, w_pad):
             """Vectorized fill of (n_pad, w_pad) row tables from variable-
             length uint8 arrays (a python per-row loop costs ~1.5us/row and
-            dominated submit time at 4096-read groups).  Zero-length rows
-            keep length 0 (the kernel then emits raw 0.0 and the exact f64
-            rescue path takes over); padding rows default to length 1."""
+            dominated submit time at 4096-read groups).  Rows are non-empty
+            (PairHMMJob validates); padding rows default to length 1."""
             clipped = [s[:w_pad] for s in seq_lists]
             lens = np.fromiter(
                 (len(s) for s in clipped), dtype=np.int64, count=len(clipped)
@@ -352,6 +371,8 @@ class PallasPairHMMRunner:
             c_pad=c_pad,
             stripe=min(self.cfg.stripe_height, r_pad),
             interpret=self.interpret,
+            algo=self.cfg.pallas_algo,
+            ppe_rows=self.cfg.ppe_rows,
         )
 
 

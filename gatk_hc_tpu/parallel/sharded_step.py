@@ -43,7 +43,9 @@ def make_mesh(
     return Mesh(grid, ("data", "hap"))
 
 
-def _forward_local(rc, omq, q3, rl, hc, hl, iy, trans, r_pad, c_pad, use_pallas):
+def _forward_local(
+    rc, omq, q3, rl, hc, hl, iy, trans, r_pad, c_pad, use_pallas, stripe=32
+):
     """All-pairs forward for the local read/hap shards -> (nr, nh) raw f32."""
     nr, nh = rc.shape[0], hc.shape[0]
     pair_read = jnp.repeat(jnp.arange(nr, dtype=jnp.int32), nh)
@@ -60,7 +62,7 @@ def _forward_local(rc, omq, q3, rl, hc, hl, iy, trans, r_pad, c_pad, use_pallas)
 
         probs = _pallas_forward(
             rc_p, omq_p, q3_p, rl_p, hc_p, hl_p, iy_p, trans,
-            r_pad, c_pad, min(32, r_pad), False,
+            r_pad, c_pad, min(stripe, r_pad), False,
         )
     else:
         from ..ops.pairhmm_jax import pairhmm_forward_batch
@@ -82,13 +84,14 @@ def make_sharded_likelihood_step(
 ):
     """jitted (reads, haps) -> (log-lik matrix floored at best-4.5, keep mask)
     with reads sharded over 'data' and haps sharded over 'hap'."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     max_alt_diff = jnp.float32(cfg.max_best_alt_likelihood_difference)
 
     def local_step(rc, omq, q3, rl, hc, hl, iy):
         probs = _forward_local(
-            rc, omq, q3, rl, hc, hl, iy, trans, r_pad, c_pad, use_pallas
+            rc, omq, q3, rl, hc, hl, iy, trans, r_pad, c_pad, use_pallas,
+            stripe=cfg.stripe_height,
         )
         # f32 log10 likelihood (device-side normalization path; the exact
         # host path remains available through ops/runner.py)
@@ -118,7 +121,7 @@ def make_sharded_likelihood_step(
             P("hap", None), P("hap"), P("hap"),
         ),
         out_specs=(P("data", "hap"), P("data"), P(None)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step)
 
