@@ -75,7 +75,7 @@ class PallasPairHMMRunner:
     HAP_BUCKETS = (128, 512)
 
     def __init__(self, cfg: HCConfig, pair_budget: Optional[int] = None,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None, devices=None):
         import jax
 
         from .pairhmm_jax import transition_constants
@@ -87,6 +87,13 @@ class PallasPairHMMRunner:
             if interpret is None
             else interpret
         )
+        # Multi-chip: dispatch groups round-robin across the process's local
+        # devices (the TPU-native replacement for the reference's OpenMP
+        # fan-out over pairs, intel_pairhmm.hpp:128-131, at group
+        # granularity).  Groups are independent, so placement never affects
+        # results — a 1-device host degenerates to the single-chip path.
+        self._devices = list(devices) if devices is not None else jax.local_devices()
+        self._next_device = 0
         # Grouping budget (pairs per table group) and dispatch chunk sizes.
         # The relay-tunnelled TPU charges ~3ms per program launch, so real
         # hardware favors few, large dispatches; interpret mode (CPU tests)
@@ -111,17 +118,19 @@ class PallasPairHMMRunner:
         ph2pr = PH2PR_F32
         self._omq_table = (np.float32(1.0) - ph2pr).astype(np.float32)
         self._q3_table = (ph2pr / np.float32(3.0)).astype(np.float32)
-        self._dev_tables = None  # lazily device_put once per process
+        self._dev_tables: Dict = {}  # device -> lazily device_put tables
 
-    def _device_tables(self):
-        if self._dev_tables is None:
+    def _device_tables(self, device):
+        tables = self._dev_tables.get(device)
+        if tables is None:
             import jax
 
-            self._dev_tables = tuple(
-                jax.device_put(t)
+            tables = tuple(
+                jax.device_put(t, device)
                 for t in (self._base_table, self._omq_table, self._q3_table)
             )
-        return self._dev_tables
+            self._dev_tables[device] = tables
+        return tables
 
     def _round_stripe(self, r: int) -> int:
         h = self.cfg.stripe_height
@@ -314,8 +323,10 @@ class PallasPairHMMRunner:
         i32buf = np.concatenate(
             [read_lens, hap_lens, hap_init_y.view(np.int32)]
         )
-        u8_dev = jax.device_put(u8buf)
-        i32_dev = jax.device_put(i32buf)
+        device = self._devices[self._next_device % len(self._devices)]
+        self._next_device += 1
+        u8_dev = jax.device_put(u8buf, device)
+        i32_dev = jax.device_put(i32buf, device)
         outs = []
         off = 0
         for size in sizes:
@@ -323,7 +334,7 @@ class PallasPairHMMRunner:
             outs.append(
                 self._dispatch(
                     u8_dev, i32_dev, np.stack([pr[sl], ph[sl]]),
-                    nr_pad, nh_pad, r_pad, c_pad,
+                    nr_pad, nh_pad, r_pad, c_pad, device,
                 )
             )
             off += size
@@ -354,15 +365,16 @@ class PallasPairHMMRunner:
                 raw, rescue, mode=self.cfg.f64_rescue
             ).reshape(nr, nh)
 
-    def _dispatch(self, u8_dev, i32_dev, pairs, nr_pad, nh_pad, r_pad, c_pad):
+    def _dispatch(self, u8_dev, i32_dev, pairs, nr_pad, nh_pad, r_pad, c_pad,
+                  device):
         """Submit one device dispatch; returns the (lazy) device array."""
-        import jax.numpy as jnp
+        import jax
 
         from .pairhmm_pallas import pairhmm_pallas_packed
 
-        base, omq, q3 = self._device_tables()
+        base, omq, q3 = self._device_tables(device)
         return pairhmm_pallas_packed(
-            u8_dev, i32_dev, jnp.asarray(pairs),
+            u8_dev, i32_dev, jax.device_put(pairs, device),
             base, omq, q3,
             self.trans,
             nr_pad=nr_pad,

@@ -87,6 +87,47 @@ class TestShardedStep:
             make_mesh(8, hap_parallel=3)
 
 
+@needs_8_devices
+class TestMultiDeviceRunner:
+    """The production PallasPairHMMRunner must round-robin dispatch groups
+    across every local device (BASELINE config 4: N chips, one host) with
+    placement-independent results."""
+
+    def test_groups_span_devices_and_match_single_device(self, rng):
+        import dataclasses
+
+        from gatk_hc_tpu.ops.runner import PallasPairHMMRunner, PairHMMJob
+        from tests.test_pallas import make_job
+
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, read_pad_buckets=(32,), hap_pad_buckets=(128,),
+            stripe_height=8,
+        )
+
+        def tiny(devices=None):
+            r = PallasPairHMMRunner(
+                cfg, pair_budget=128, interpret=True, devices=devices
+            )
+            r.READ_BUCKETS = (4,)
+            r.HAP_BUCKETS = (4,)
+            return r
+
+        jobs = [make_job(rng, 2, 2) for _ in range(16)]
+        solo_jobs = [PairHMMJob(j.reads, j.haps) for j in jobs]
+
+        runner = tiny()
+        token = runner.submit(jobs)
+        touched = {d for outs, _ in token[1] for o in outs for d in o.devices()}
+        runner.drain([token])
+        assert len(token[1]) == 8  # 2 jobs per group via the read budget
+        assert len(touched) == 8, f"only {len(touched)} devices dispatched"
+
+        single = tiny(devices=jax.devices()[:1])
+        single.run(solo_jobs)
+        for got, want in zip(jobs, solo_jobs):
+            np.testing.assert_array_equal(got.result, want.result)
+
+
 class TestMultihost:
     def test_partition_regions(self):
         parts = [
