@@ -128,17 +128,21 @@ def main(argv=None) -> int:
 
     region_filter = None
     if args.intervals:
+        from .io.fasta import read_all_fasta
         from .utils.interval import Interval
 
         target = Interval.parse(args.intervals)
-        from .io.fasta import read_fasta
-
-        contig_len = len(read_fasta(args.reference).seq)
-        windows = list(iter_windows(target.contig, contig_len, cfg))
-        wanted = {
-            i for i, (origin, _) in enumerate(windows)
-            if origin.overlaps(Interval(target.contig, target.begin, min(target.end, 2**62)))
-        }
+        clamped = Interval(target.contig, target.begin, min(target.end, 2**62))
+        # region ids are GLOBAL across contigs (contig-major, FASTA order),
+        # exactly like call_batched's all_windows(); origin.overlaps checks
+        # the contig name, so only the target contig's windows match
+        wanted = set()
+        index = 0
+        for record in read_all_fasta(args.reference):
+            for origin, _padded in iter_windows(record.name, len(record.seq), cfg):
+                if origin.overlaps(clamped):
+                    wanted.add(index)
+                index += 1
         region_filter = lambda i: i in wanted
 
     manifest = None
@@ -152,11 +156,11 @@ def main(argv=None) -> int:
         if args.num_processes and args.num_processes > 1:
             from .parallel.multihost import run_multihost
 
-            run_multihost(
+            results, _merged = run_multihost(
                 args.input, args.reference, args.output, cfg,
                 args.coordinator, args.num_processes, args.process_id,
+                logger=logger, timers=timers, counters=counters,
             )
-            results = []
         elif cfg.pairhmm_engine in ("pallas", "jax", "native"):
             # native uses the CPU batch runner inside call_batched (same
             # grouping + columnar data path); "python" stays on the simple

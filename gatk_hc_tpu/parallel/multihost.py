@@ -29,9 +29,10 @@ from ..config import HCConfig
 from ..models.haplotype import Variant
 from ..utils.interval import Interval
 
-# flat record: begin, gt1, gt2, gq, n_alleles, then allele blob offsets
+# flat record: region, contig id, begin, end, gt pair, gq, then allele lens
 _MAX_ALLELES = 8
 _MAX_ALLELE_LEN = 64
+_FIXED_COLS = 7
 
 
 def distributed_init(
@@ -59,32 +60,47 @@ def partition_regions(n_regions: int, process_index: int, process_count: int):
     return range(start, min(start + per, n_regions))
 
 
-def encode_variants(region_ids: Sequence[int], variants: Sequence[Variant]):
-    """Variants -> (int32 table, uint8 allele blob) fixed-width records."""
+def encode_variants(
+    region_ids: Sequence[int],
+    variants: Sequence[Variant],
+    contig_names: Sequence[str] = (),
+):
+    """Variants -> (int32 table, uint8 allele blob) fixed-width records.
+    Records carry the contig as an index into ``contig_names`` (FASTA
+    order), so multi-contig runs gather losslessly."""
+    index = {name: i for i, name in enumerate(contig_names)}
     n = len(variants)
-    table = np.zeros((n, 6 + _MAX_ALLELES), dtype=np.int32)
+    table = np.zeros((n, _FIXED_COLS + _MAX_ALLELES), dtype=np.int32)
     blob = np.zeros((n, _MAX_ALLELES, _MAX_ALLELE_LEN), dtype=np.uint8)
     for i, (rid, v) in enumerate(zip(region_ids, variants)):
         alleles = v.alleles[:_MAX_ALLELES]
-        table[i, :6] = (
-            rid, v.location.begin, v.location.end, v.gt[0], v.gt[1], v.gq
+        table[i, :_FIXED_COLS] = (
+            rid, index.get(v.location.contig, 0),
+            v.location.begin, v.location.end, v.gt[0], v.gt[1], v.gq,
         )
         for a, allele in enumerate(alleles):
             encoded = allele.encode()[:_MAX_ALLELE_LEN]
-            table[i, 6 + a] = len(encoded)
+            table[i, _FIXED_COLS + a] = len(encoded)
             blob[i, a, : len(encoded)] = np.frombuffer(encoded, dtype=np.uint8)
     return table, blob
 
 
-def decode_variants(table: np.ndarray, blob: np.ndarray, contig: str):
+def decode_variants(
+    table: np.ndarray, blob: np.ndarray, contig_names: Sequence[str]
+):
     """Inverse of encode_variants -> [(region_id, Variant)] sorted by
-    (region, begin)."""
+    (region, begin).  ``contig_names`` may be a single name (str) for
+    single-contig convenience."""
+    if isinstance(contig_names, str):
+        contig_names = (contig_names,)
     out = []
     for i in range(table.shape[0]):
-        rid, begin, end, gt1, gt2, gq = (int(x) for x in table[i, :6])
+        rid, cid, begin, end, gt1, gt2, gq = (
+            int(x) for x in table[i, :_FIXED_COLS]
+        )
         alleles = []
         for a in range(_MAX_ALLELES):
-            ln = int(table[i, 6 + a])
+            ln = int(table[i, _FIXED_COLS + a])
             if ln == 0 and a > 0:
                 break
             alleles.append(blob[i, a, :ln].tobytes().decode())
@@ -92,7 +108,7 @@ def decode_variants(table: np.ndarray, blob: np.ndarray, contig: str):
             (
                 rid,
                 Variant(
-                    location=Interval(contig, begin, end),
+                    location=Interval(contig_names[cid], begin, end),
                     alleles=tuple(alleles),
                     gt=(gt1, gt2),
                     gq=gq,
@@ -104,14 +120,18 @@ def decode_variants(table: np.ndarray, blob: np.ndarray, contig: str):
 
 
 def gather_variants(
-    region_ids: Sequence[int], variants: Sequence[Variant], contig: str
+    region_ids: Sequence[int],
+    variants: Sequence[Variant],
+    contig_names: Sequence[str],
 ):
     """All-gather variant records across processes (no-op single-process)."""
     import jax
 
-    table, blob = encode_variants(region_ids, variants)
+    if isinstance(contig_names, str):
+        contig_names = (contig_names,)
+    table, blob = encode_variants(region_ids, variants, contig_names)
     if jax.process_count() == 1:
-        return decode_variants(table, blob, contig)
+        return decode_variants(table, blob, contig_names)
     from jax.experimental import multihost_utils
 
     # pad to a common max count across processes
@@ -125,7 +145,7 @@ def gather_variants(
     tables = tables.reshape(-1, table.shape[1])
     blobs = blobs.reshape(-1, _MAX_ALLELES, _MAX_ALLELE_LEN)
     valid = tables[:, 0] >= 0
-    return decode_variants(tables[valid], blobs[valid], contig)
+    return decode_variants(tables[valid], blobs[valid], contig_names)
 
 
 def run_multihost(
@@ -136,32 +156,49 @@ def run_multihost(
     coordinator: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    logger=None,
+    timers=None,
+    counters=None,
 ):
-    """Whole-pipeline multi-host entry: shard regions, call, gather, write."""
-    from ..io.fasta import read_fasta
-    from ..models.caller import call_batched, iter_windows, vcf_header, write_vcf
+    """Whole-pipeline multi-host entry: shard regions, call, gather, write.
+
+    Returns (local RegionResults, merged [(region_id, Variant)]).  The
+    region id space is the same contig-major global index that
+    call_batched's all_windows() walks, so multi-contig inputs shard
+    correctly (a previous revision sized regions from the first FASTA
+    record only and silently dropped later contigs)."""
+    from ..io.fasta import read_all_fasta
+    from ..models.caller import call_batched, vcf_header
+    from ..utils.logging import NULL_LOGGER
 
     pidx, pcount = distributed_init(coordinator, num_processes, process_id)
-    fasta = read_fasta(fasta_path)
-    n_regions = (len(fasta.seq) + cfg.region_size - 1) // cfg.region_size
-    mine = set(partition_regions(n_regions, pidx, pcount))
+    contigs = read_all_fasta(fasta_path)
+    contig_names = [c.name for c in contigs]
+    n_regions = sum(
+        (len(c.seq) + cfg.region_size - 1) // cfg.region_size for c in contigs
+    )
+    mine = partition_regions(n_regions, pidx, pcount)
+    mine_set = set(mine)
 
     results = call_batched(
-        sam_path, fasta_path, None, cfg, region_filter=lambda i: i in mine
+        sam_path, fasta_path, None, cfg,
+        region_filter=lambda i: i in mine_set,
+        logger=logger or NULL_LOGGER,
+        timers=timers, counters=counters,
     )
     region_ids: List[int] = []
     variants: List[Variant] = []
     # results arrive in region order for our contiguous block
-    base = min(mine) if mine else 0
+    base = mine.start if len(mine) else 0
     for offset, region in enumerate(results):
         for v in region.variants:
             region_ids.append(base + offset)
             variants.append(v)
 
-    merged = gather_variants(region_ids, variants, fasta.name)
+    merged = gather_variants(region_ids, variants, contig_names)
     if out_path is not None and pidx == 0:
         with open(out_path, "w") as handle:
-            handle.write(vcf_header(fasta.name, len(fasta.seq), cfg))
+            handle.write(vcf_header(contig_names[0], len(contigs[0].seq), cfg))
             for _, variant in merged:
                 handle.write(variant.to_vcf_row())
-    return merged
+    return results, merged

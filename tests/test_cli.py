@@ -60,6 +60,29 @@ def test_cli_interval_restriction(tmp_path):
     assert all(int(r.split("\t")[1]) <= 3100 for r in part_rows)
 
 
+def test_cli_interval_restriction_second_contig(tmp_path):
+    """-L on a later contig: region ids are global across contigs, so the
+    interval windows must resolve within ctgB's index range (a previous
+    revision indexed windows from the first FASTA record only)."""
+    import random
+
+    from tests.test_multicontig import write_two_contig_fixture
+
+    sam, fa, contigs = write_two_contig_fixture(tmp_path, random.Random(99))
+    full = str(tmp_path / "full.vcf")
+    args = ["-I", sam, "-R", fa, "--pairhmm", "native"]
+    assert _run_cli(*args, "-O", full).returncode == 0
+    part = str(tmp_path / "part.vcf")
+    proc = _run_cli(*args, "-O", part, "-L", "ctgB:250-350")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    part_rows = _rows(part)
+    # the planted ctgB SNP at position 300 must be called, and nothing
+    # from ctgA may leak in
+    assert part_rows and all(r.split("\t")[0] == "ctgB" for r in part_rows)
+    assert any(int(r.split("\t")[1]) == 301 for r in part_rows)
+    assert set(part_rows) <= {r for r in _rows(full) if r.startswith("ctgB")}
+
+
 def test_cli_manifest_resume(tmp_path):
     manifest = str(tmp_path / "m.jsonl")
     out1 = str(tmp_path / "a.vcf")

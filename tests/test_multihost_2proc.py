@@ -81,3 +81,52 @@ def test_two_process_multihost_matches_golden(tmp_path):
 
     with open(out) as f1, open(golden) as f2:
         assert f1.read() == f2.read()
+
+
+@pytest.mark.slow
+def test_two_process_multicontig_matches_single(tmp_path):
+    """2-contig input, 2 processes: the global (contig-major) region id
+    space must shard across processes without dropping later contigs, and
+    the gathered VCF must byte-match a single-process run."""
+    import dataclasses
+    import random
+
+    from gatk_hc_tpu.config import DEFAULT_CONFIG
+    from gatk_hc_tpu.parallel.multihost import run_multihost
+    from tests.test_multicontig import write_two_contig_fixture
+
+    rng = random.Random(7)
+    sam, fa, _contigs = write_two_contig_fixture(tmp_path, rng)
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, pairhmm_engine="native", assembler_engine="native"
+    )
+    single_out = str(tmp_path / "single.vcf")
+    run_multihost(sam, fa, single_out, cfg)
+    single_text = open(single_out).read()
+    body = [l for l in single_text.splitlines() if not l.startswith("#")]
+    assert {l.split("\t")[0] for l in body} == {"ctgA", "ctgB"}
+
+    out = str(tmp_path / "mh2.vcf")
+    coord = f"127.0.0.1:{_free_port()}"
+    script = _WORKER.format(repo=REPO, sam=sam, fa=fa, out=out, coord=coord)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        assert p.returncode == 0, stdout.decode(errors="replace")[-2000:]
+
+    assert open(out).read() == single_text
