@@ -154,6 +154,11 @@ class HCConfig:
         "GATK_HC_TPU_PALLAS_ALGO", "ppe", ("ppe", "striped")
     )
     ppe_rows: int = _env_int_choice("GATK_HC_TPU_PPE_ROWS", 2, (1, 2))
+    # Host-side region pipeline threads (prepare + assemble + job packing
+    # run in a pool; ctypes releases the GIL, so this scales with cores —
+    # the reference's OpenMP analogue for the HOST stages).  0 = one thread
+    # per CPU; 1 = inline single-thread path.
+    host_threads: int = 0
 
 
 DEFAULT_CONFIG = HCConfig()

@@ -17,6 +17,10 @@ engine, the C++ native engine, or the Python oracle.
 from __future__ import annotations
 
 import dataclasses
+import os
+import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -241,75 +245,84 @@ def call_batched(
                 yield index, contig, origin, padded
                 index += 1
 
-    # phase A: host assembly per region, with chunked device submission
+    # phase A: host prepare + assembly + job packing per region, on a pool
+    # of host threads (the native prepare/assemble/SW calls release the GIL,
+    # so this scales with cores; a 1-CPU host runs the inline path), with
+    # chunked device submission from the consuming thread.
+    def prep_assemble(contig, origin, padded):
+        """Worker body: everything per-region that needs no shared state.
+        Returns (status, payload, prep_seconds, assemble_seconds)."""
+        t0 = time.perf_counter()
+        if use_columnar:
+            reads, n_downsampled = store.prepare_window(
+                contig.name, padded.begin, padded.end, cfg
+            )
+            if n_downsampled == 0:
+                return "ignored", None, time.perf_counter() - t0, 0.0
+        else:
+            reads = downsample_window(
+                all_buckets[contig.name], padded.begin, padded.end, cfg
+            )
+            if not reads:
+                return "ignored", None, time.perf_counter() - t0, 0.0
+            reads = filter_reads(reads, cfg)
+            reads = hard_clip_reads(reads, padded, cfg)
+        t1 = time.perf_counter()
+        if not reads:
+            return "empty", None, t1 - t0, 0.0
+        window_ref = contig.seq[padded.begin : padded.end]
+        haplotypes = assemble_fn(reads, window_ref, cfg)
+        job = None
+        if len(haplotypes) > 1:
+            read_arrays = [
+                (r.seq_u8, r.qual_u8)
+                if hasattr(r, "seq_u8")
+                else (
+                    np.frombuffer(r.seq.encode(), dtype=np.uint8),
+                    np.frombuffer(r.qual.encode(), dtype=np.uint8),
+                )
+                for r in reads
+            ]
+            hap_arrays = [
+                np.frombuffer(h.bases.encode(), dtype=np.uint8)
+                for h in haplotypes
+            ]
+            job = PairHMMJob(read_arrays, hap_arrays)
+        payload = (reads, haplotypes, window_ref, job)
+        return "ok", payload, t1 - t0, time.perf_counter() - t1
+
     pending = []  # (result, reads, haplotypes, window_ref, job)
     unsubmitted: List = []
     submitted_batches: List = []
     can_overlap = hasattr(runner, "submit") and hasattr(runner, "drain")
     results: List[RegionResult] = []
-    for index, contig, origin, padded in all_windows():
-        ref = contig.seq
-        if region_filter is not None and not region_filter(index):
-            continue
-        result = RegionResult(origin, padded, 0, 0, [])
-        results.append(result)
-        counters.regions += 1
-        if manifest is not None and manifest.is_done(index):
-            result.variants = manifest.variants_for(index)
-            counters.variants += len(result.variants)
-            continue
-        result.region_id = index
-        with timers.stage("downsample_clip"):
-            if use_columnar:
-                reads, n_downsampled = store.prepare_window(
-                    contig.name, padded.begin, padded.end, cfg
-                )
-                if n_downsampled == 0:
-                    counters.regions_skipped += 1
-                    logger.region_ignored(origin, padded)
-                    continue
-            else:
-                reads = downsample_window(
-                    all_buckets[contig.name], padded.begin, padded.end, cfg
-                )
-                if not reads:
-                    counters.regions_skipped += 1
-                    logger.region_ignored(origin, padded)
-                    continue
-                reads = filter_reads(reads, cfg)
-                reads = hard_clip_reads(reads, padded, cfg)
-            window_ref = ref[padded.begin : padded.end]
+
+    def consume(result, origin, padded, outcome):
+        nonlocal unsubmitted
+        status, payload, dt_prep, dt_asm = outcome
+        timers.add("downsample_clip", dt_prep)
+        timers.add("assemble", dt_asm)
+        if status == "ignored":
+            counters.regions_skipped += 1
+            logger.region_ignored(origin, padded)
+            return
+        if status == "empty":
+            counters.regions_skipped += 1
+            return
+        reads, haplotypes, window_ref, job = payload
         result.n_reads = len(reads)
         counters.reads_used += len(reads)
-        if not reads:
-            counters.regions_skipped += 1
-            continue
         logger.region_start(origin, padded, len(reads))
-        with timers.stage("assemble"):
-            haplotypes = assemble_fn(reads, window_ref, cfg)
         result.n_haplotypes = len(haplotypes)
         counters.haplotypes += len(haplotypes)
         logger.haplotypes_found(len(haplotypes))
-        if len(haplotypes) <= 1:
-            continue
+        if job is None:
+            return
         result.cell_updates = sum(len(r) for r in reads) * sum(
             len(h) for h in haplotypes
         )
         counters.pairs += len(reads) * len(haplotypes)
         counters.cell_updates += result.cell_updates
-        read_arrays = [
-            (r.seq_u8, r.qual_u8)
-            if hasattr(r, "seq_u8")
-            else (
-                np.frombuffer(r.seq.encode(), dtype=np.uint8),
-                np.frombuffer(r.qual.encode(), dtype=np.uint8),
-            )
-            for r in reads
-        ]
-        hap_arrays = [
-            np.frombuffer(h.bases.encode(), dtype=np.uint8) for h in haplotypes
-        ]
-        job = PairHMMJob(read_arrays, hap_arrays)
         entry = (result, reads, haplotypes, window_ref, job)
         pending.append(entry)
         unsubmitted.append(entry)
@@ -323,6 +336,39 @@ def call_batched(
                     (runner.submit([e[4] for e in unsubmitted]), unsubmitted)
                 )
             unsubmitted = []
+
+    n_workers = cfg.host_threads if cfg.host_threads > 0 else (os.cpu_count() or 1)
+    pool = ThreadPoolExecutor(n_workers) if n_workers > 1 else None
+    inflight = deque()  # (result, origin, padded, future) in region order
+    max_inflight = max(64, 8 * n_workers)
+    try:
+        for index, contig, origin, padded in all_windows():
+            if region_filter is not None and not region_filter(index):
+                continue
+            result = RegionResult(origin, padded, 0, 0, [])
+            results.append(result)
+            counters.regions += 1
+            if manifest is not None and manifest.is_done(index):
+                result.variants = manifest.variants_for(index)
+                counters.variants += len(result.variants)
+                continue
+            result.region_id = index
+            if pool is None:
+                consume(result, origin, padded, prep_assemble(contig, origin, padded))
+            else:
+                inflight.append(
+                    (result, origin, padded,
+                     pool.submit(prep_assemble, contig, origin, padded))
+                )
+                while len(inflight) > max_inflight:
+                    r, o, p, fut = inflight.popleft()
+                    consume(r, o, p, fut.result())
+        while inflight:
+            r, o, p, fut = inflight.popleft()
+            consume(r, o, p, fut.result())
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
 
     def genotype_entries(entries):
         for result, reads, haplotypes, window_ref, job in entries:

@@ -55,6 +55,12 @@ class StageTimers:
                 time.perf_counter() - start
             )
 
+    def add(self, name: str, seconds: float) -> None:
+        """Accumulate a duration measured elsewhere (e.g. inside a host
+        worker thread).  With >1 host threads the per-stage totals are
+        summed thread time and can exceed wall-clock."""
+        self.totals[name] = self.totals.get(name, 0.0) + seconds
+
     def summary(self) -> Dict[str, float]:
         return {name: round(value, 4) for name, value in self.totals.items()}
 

@@ -44,6 +44,20 @@ class TestEndToEnd:
         assert out.read_text() == open(GOLDEN).read()
         assert sum(len(r.variants) for r in results) == 35
 
+    def test_pooled_host_pipeline_matches_golden(self, tmp_path):
+        # host_threads > 1 runs prepare/assemble/packing on a thread pool;
+        # output must stay byte-identical and region-ordered
+        from gatk_hc_tpu.models.caller import call_batched
+
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, pairhmm_engine="native", assembler_engine="native",
+            host_threads=4,
+        )
+        out = tmp_path / "pooled.vcf"
+        results = call_batched(SAM, FASTA, str(out), cfg)
+        assert out.read_text() == open(GOLDEN).read()
+        assert sum(len(r.variants) for r in results) == 35
+
     def test_python_engines_match_native(self):
         # The pure-Python oracle pipeline and the C++ pipeline must agree
         # byte-for-byte (sampled regions: full python run is slow).
