@@ -240,12 +240,29 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
   // Bottom-row and last-column scores are captured for start-cell selection
   // so the O(n*m) H matrix never materializes (it was ~1.4MB per call and
   // thrashed L2; the backtrack matrix bt is bytes and stays).
+  // Scratch is thread_local: per-call allocation + zero-fill of the ~170KB
+  // backtrack matrix was ~15% of SW time, and only cells (i>=1, j>=1) are
+  // ever written-then-read, so bt needs no clearing between calls.
   constexpr int32_t kLowInit32 = INT32_MIN / 4;
   constexpr int32_t kMinCutoff32 = -100000000;
-  std::vector<uint8_t> bt((n + 1) * (m + 1), 0);
-  std::vector<int32_t> h_prev(m + 1, 0), h_cur(m + 1, 0);
-  std::vector<int32_t> F_prev(m + 1, kLowInit32);
-  std::vector<int32_t> last_col(n + 1, 0), bottom_row(m + 1, 0);
+  struct Scratch {
+    std::vector<uint8_t> bt;
+    std::vector<int32_t> h_prev, h_cur, F_prev, last_col, bottom_row;
+  };
+  thread_local Scratch s;
+  const size_t bt_size = static_cast<size_t>(n + 1) * (m + 1);
+  if (s.bt.size() < bt_size) s.bt.resize(bt_size);
+  auto& bt = s.bt;
+  s.h_prev.assign(m + 1, 0);
+  s.h_cur.assign(m + 1, 0);
+  s.F_prev.assign(m + 1, kLowInit32);
+  s.last_col.assign(n + 1, 0);
+  s.bottom_row.assign(m + 1, 0);
+  auto& h_prev = s.h_prev;
+  auto& h_cur = s.h_cur;
+  auto& F_prev = s.F_prev;
+  auto& last_col = s.last_col;
+  auto& bottom_row = s.bottom_row;
 
   for (int i = 1; i <= n; ++i) {
     h_cur[0] = 0;
@@ -383,6 +400,126 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
 // ---------------------------------------------------------------------------
 // Read-threading De Bruijn assembler
 
+// Open-addressed uint64 hash set/map (linear probing, power-of-2 capacity).
+// The packed kmer path is the hot path of graph construction; libstdc++'s
+// node-based unordered containers spent ~35% of assembly in hashing and
+// node allocation.  ~0ull is reserved as the empty slot; the one real key
+// that can equal it (k == 32, all-T kmer) is tracked out-of-band.
+struct FlatSet64 {
+  static constexpr uint64_t EMPTY = ~0ull;
+  std::vector<uint64_t> slots;
+  size_t mask = 0, count = 0;
+  bool has_special = false;
+
+  void init(size_t expected) {
+    size_t cap = 16;
+    while (cap < expected * 2) cap <<= 1;
+    slots.assign(cap, EMPTY);
+    mask = cap - 1;
+    count = 0;
+    has_special = false;
+  }
+  static inline size_t hash64(uint64_t key) {
+    return static_cast<size_t>((key * 0x9E3779B97F4A7C15ull) >> 29);
+  }
+  bool insert(uint64_t key) {  // true if newly inserted
+    if (key == EMPTY) {
+      const bool fresh = !has_special;
+      has_special = true;
+      return fresh;
+    }
+    size_t i = hash64(key) & mask;
+    while (slots[i] != EMPTY) {
+      if (slots[i] == key) return false;
+      i = (i + 1) & mask;
+    }
+    slots[i] = key;
+    if (++count * 10 >= (mask + 1) * 7) grow();
+    return true;
+  }
+  bool contains(uint64_t key) const {
+    if (key == EMPTY) return has_special;
+    size_t i = hash64(key) & mask;
+    while (slots[i] != EMPTY) {
+      if (slots[i] == key) return true;
+      i = (i + 1) & mask;
+    }
+    return false;
+  }
+  void grow() {
+    std::vector<uint64_t> old = std::move(slots);
+    slots.assign((mask + 1) * 2, EMPTY);
+    mask = slots.size() - 1;
+    for (uint64_t key : old) {
+      if (key == EMPTY) continue;
+      size_t i = hash64(key) & mask;
+      while (slots[i] != EMPTY) i = (i + 1) & mask;
+      slots[i] = key;
+    }
+  }
+};
+
+struct FlatMap64 {  // uint64 -> int
+  static constexpr uint64_t EMPTY = ~0ull;
+  std::vector<uint64_t> keys;
+  std::vector<int> vals;
+  size_t mask = 0, count = 0;
+  bool has_special = false;
+  int special_val = -1;
+
+  void init(size_t expected) {
+    size_t cap = 16;
+    while (cap < expected * 2) cap <<= 1;
+    keys.assign(cap, EMPTY);
+    vals.resize(cap);
+    mask = cap - 1;
+    count = 0;
+    has_special = false;
+  }
+  size_t size() const { return count + (has_special ? 1 : 0); }
+  // returns the value or -1 (vertex ids are non-negative)
+  int find(uint64_t key) const {
+    if (key == EMPTY) return has_special ? special_val : -1;
+    size_t i = FlatSet64::hash64(key) & mask;
+    while (keys[i] != EMPTY) {
+      if (keys[i] == key) return vals[i];
+      i = (i + 1) & mask;
+    }
+    return -1;
+  }
+  void emplace(uint64_t key, int val) {  // first insert wins (like map)
+    if (key == EMPTY) {
+      if (!has_special) {
+        has_special = true;
+        special_val = val;
+      }
+      return;
+    }
+    size_t i = FlatSet64::hash64(key) & mask;
+    while (keys[i] != EMPTY) {
+      if (keys[i] == key) return;
+      i = (i + 1) & mask;
+    }
+    keys[i] = key;
+    vals[i] = val;
+    if (++count * 10 >= (mask + 1) * 7) grow();
+  }
+  void grow() {
+    std::vector<uint64_t> okeys = std::move(keys);
+    std::vector<int> ovals = std::move(vals);
+    keys.assign((mask + 1) * 2, EMPTY);
+    vals.resize(keys.size());
+    mask = keys.size() - 1;
+    for (size_t j = 0; j < okeys.size(); ++j) {
+      if (okeys[j] == EMPTY) continue;
+      size_t i = FlatSet64::hash64(okeys[j]) & mask;
+      while (keys[i] != EMPTY) i = (i + 1) & mask;
+      keys[i] = okeys[j];
+      vals[i] = ovals[j];
+    }
+  }
+};
+
 struct Assembly {
   int k;
   int prune_factor;
@@ -397,8 +534,8 @@ struct Assembly {
   // uint64 keys — collision-free, O(1) rolling construction, ~2x cheaper
   // hashing than byte-wise string_view keys
   bool packed = false;
-  std::unordered_map<uint64_t, int> unique_p;
-  std::unordered_set<uint64_t> dup_p;
+  FlatMap64 unique_p;
+  FlatSet64 dup_p;
 
   static inline uint64_t pack_code(char ch) {
     switch (ch) {
@@ -429,7 +566,7 @@ struct Assembly {
     out_edges.emplace_back();
     in_edges.emplace_back();
     if (packed) {
-      if (dup_p.find(key) == dup_p.end()) unique_p.emplace(key, vid);
+      if (!dup_p.contains(key)) unique_p.emplace(key, vid);
     } else {
       if (dup_kmers.find(kmer) == dup_kmers.end())
         unique_kmers.emplace(kmer, vid);
@@ -439,8 +576,8 @@ struct Assembly {
 
   int get_vertex(std::string_view kmer, uint64_t key) {
     if (packed) {
-      auto it = unique_p.find(key);
-      if (it != unique_p.end()) return it->second;
+      const int vid = unique_p.find(key);
+      if (vid >= 0) return vid;
     } else {
       auto it = unique_kmers.find(kmer);
       if (it != unique_kmers.end()) return it->second;
@@ -728,22 +865,31 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
       for (auto seg : segments)
         if (!all_acgt(seg)) { graph.packed = false; break; }
 
+    size_t total_positions = ref_view.size();
+    for (auto seg : segments) total_positions += seg.size();
+    if (graph.packed) {
+      graph.dup_p.init(total_positions / 8 + 16);
+      graph.unique_p.init(total_positions / 2 + 16);
+    }
+
     // hashed set (membership-only): the former std::set red-black tree cost
     // O(k log n) string compares per kmer and dominated region assembly
     std::unordered_set<std::string_view> seen;
-    std::unordered_set<uint64_t> seen_p;
+    FlatSet64 seen_p;
+    if (graph.packed) seen_p.init(512);
     auto collect_dups = [&](std::string_view seq) {
       if (graph.packed) {
-        seen_p.clear();
-        if (seq.size() >= static_cast<size_t>(kmer_size))
-          seen_p.reserve(seq.size() - kmer_size + 1);
+        seen_p.init(
+            seq.size() >= static_cast<size_t>(kmer_size)
+                ? seq.size() - kmer_size + 1
+                : 16
+        );
         const uint64_t mask =
             kmer_size == 32 ? ~0ull : ((1ull << (2 * kmer_size)) - 1);
         uint64_t v = 0;
         for (size_t i = 0; i < seq.size(); ++i) {
           v = ((v << 2) | Assembly::pack_code(seq[i])) & mask;
-          if (i + 1 >= static_cast<size_t>(kmer_size) &&
-              !seen_p.insert(v).second)
+          if (i + 1 >= static_cast<size_t>(kmer_size) && !seen_p.insert(v))
             graph.dup_p.insert(v);
         }
         return;
@@ -768,26 +914,25 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
     if (!graph.find_paths(&paths, 200000)) return -3;  // path explosion
 
     // scores
-    // membership-only; iteration order of vertices_on_paths does not affect
-    // scores (each vertex's fan-out sum follows its own out_edges order)
-    std::unordered_set<int> vertices_on_paths;
-    std::unordered_set<int> on_path_edges;
+    // dense flags/score arrays over the contiguous vertex/edge id spaces;
+    // per-vertex fan-out sums follow each vertex's own out_edges order so
+    // results are identical to the former hash-set iteration
+    std::vector<uint8_t> vertex_on_path(graph.kmers.size(), 0);
+    std::vector<uint8_t> edge_on_path(graph.e_src.size(), 0);
     for (const auto& path : paths) {
-      for (int v : path) vertices_on_paths.insert(v);
+      for (int v : path) vertex_on_path[v] = 1;
       for (size_t i = 1; i < path.size(); ++i)
-        on_path_edges.insert(graph.edge_between(path[i - 1], path[i]));
+        edge_on_path[graph.edge_between(path[i - 1], path[i])] = 1;
     }
-    std::unordered_map<int, double> edge_score;
-    for (int v : vertices_on_paths) {
+    std::vector<double> edge_score(graph.e_src.size(), 0.0);
+    for (size_t v = 0; v < vertex_on_path.size(); ++v) {
+      if (!vertex_on_path[v]) continue;
       double sum = 0;
-      std::vector<int> edges;
       for (int eid : graph.out_edges[v])
-        if (on_path_edges.count(eid)) {
-          edges.push_back(eid);
-          sum += graph.e_count[eid];
-        }
-      for (int eid : edges)
-        edge_score[eid] = std::log10(graph.e_count[eid] / sum);
+        if (edge_on_path[eid]) sum += graph.e_count[eid];
+      for (int eid : graph.out_edges[v])
+        if (edge_on_path[eid])
+          edge_score[eid] = std::log10(graph.e_count[eid] / sum);
     }
 
     haplotypes.clear();

@@ -810,3 +810,119 @@ def pallas_pairhmm_engine(cfg: HCConfig):
         return job.result
 
     return engine
+
+
+# ---------------------------------------------------------------------------
+# Two-stage dispatch: per-GROUP table preparation + per-CHUNK pair dispatch.
+#
+# pairhmm_pallas_packed runs unique-table prep inside every chunk dispatch,
+# so a group split into N chunks pays the (u8 -> codes/one-hot/f32) lookups
+# N times.  The production runner instead calls prepare_tables_* once per
+# group (one program) and feeds the prepared device arrays to each chunk's
+# dispatch_pairs_* call.  Both stages stay single XLA programs — on the
+# relay-tunnelled chip every program launch has a fixed cost, so the win is
+# removing redundant table work, not extra fusion.
+
+
+def _unpack_u8(u8buf, i32buf, base_table, ph2pr_omq, ph2pr_q3,
+               nr_pad, nh_pad, r_pad, c_pad):
+    nrr = nr_pad * r_pad
+    read_u8 = u8buf[:nrr].reshape(nr_pad, r_pad)
+    qual_u8 = u8buf[nrr : 2 * nrr].reshape(nr_pad, r_pad)
+    hap_u8 = u8buf[2 * nrr : 2 * nrr + nh_pad * c_pad].reshape(nh_pad, c_pad)
+    rc = jnp.take(base_table, read_u8.astype(jnp.int32), axis=0)
+    q_idx = (qual_u8 & 127).astype(jnp.int32)
+    omq = jnp.take(ph2pr_omq, q_idx, axis=0)
+    q3 = jnp.take(ph2pr_q3, q_idx, axis=0)
+    hc = jnp.take(base_table, hap_u8.astype(jnp.int32), axis=0)
+    read_lens = i32buf[:nr_pad]
+    hap_lens = i32buf[nr_pad : nr_pad + nh_pad]
+    init_y = jax.lax.bitcast_convert_type(
+        i32buf[nr_pad + nh_pad : nr_pad + 2 * nh_pad], jnp.float32
+    )
+    return rc, omq, q3, hc, read_lens, hap_lens, init_y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nr_pad", "nh_pad", "r_pad", "c_pad")
+)
+def prepare_tables_ppe(
+    u8buf, i32buf, base_table, ph2pr_omq, ph2pr_q3,
+    nr_pad: int, nh_pad: int, r_pad: int, c_pad: int,
+):
+    """Unique tables in the ppe kernel's element encodings:
+    ru (NR, 3, R) i32 [base mask | omq bits | q3 bits], hu (NH, C) i32."""
+    rc, omq, q3, hc, read_lens, hap_lens, init_y = _unpack_u8(
+        u8buf, i32buf, base_table, ph2pr_omq, ph2pr_q3,
+        nr_pad, nh_pad, r_pad, c_pad,
+    )
+    bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    ru = jnp.stack([_ppe_base_mask(rc), bits(omq), bits(q3)], axis=1)
+    hu = _ppe_base_mask(hc)
+    return ru, hu, read_lens, hap_lens, init_y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_pad", "c_pad", "ppe_rows")
+)
+def dispatch_pairs_ppe(
+    ru, hu, read_lens, hap_lens, init_y, pairs,
+    trans: Tuple, r_pad: int, c_pad: int, ppe_rows: int = 2,
+):
+    """Pair expansion (gathers from prepared tables) + the ppe kernel."""
+    pair_read, pair_hap = pairs[0], pairs[1]
+    B = pair_read.shape[0]
+    nb = B // (8 * LANES)
+    rows_hbm = (
+        jnp.take(ru, pair_read, axis=0)
+        .reshape(nb, 8, LANES, 3, r_pad)
+        .transpose(0, 4, 3, 1, 2)
+    )
+    hap_blk = (
+        jnp.take(hu, pair_hap, axis=0)
+        .reshape(nb, 8, LANES, c_pad)
+        .transpose(0, 3, 1, 2)
+    )
+    vec = lambda v: v.reshape(nb, 8, LANES)
+    rlens = jnp.take(read_lens, pair_read).astype(jnp.int32)
+    clens = jnp.take(hap_lens, pair_hap).astype(jnp.int32)
+    iy = jnp.take(init_y, pair_hap)
+    return _pallas_call_ppe(
+        rows_hbm, hap_blk, vec(rlens), vec(clens), vec(iy),
+        trans, r_pad, c_pad, False, ppe_rows,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nr_pad", "nh_pad", "r_pad", "c_pad")
+)
+def prepare_tables_striped(
+    u8buf, i32buf, base_table, ph2pr_omq, ph2pr_q3,
+    nr_pad: int, nh_pad: int, r_pad: int, c_pad: int,
+):
+    """Unique tables in the striped kernel's raw encodings (codes + f32)."""
+    return _unpack_u8(
+        u8buf, i32buf, base_table, ph2pr_omq, ph2pr_q3,
+        nr_pad, nh_pad, r_pad, c_pad,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_pad", "c_pad", "stripe", "interpret")
+)
+def dispatch_pairs_striped(
+    rc, omq, q3, hc, read_lens, hap_lens, init_y, pairs,
+    trans: Tuple, r_pad: int, c_pad: int, stripe: int, interpret: bool,
+):
+    pair_read, pair_hap = pairs[0], pairs[1]
+    read_codes = jnp.take(rc, pair_read, axis=0)
+    read_omq = jnp.take(omq, pair_read, axis=0)
+    read_q3 = jnp.take(q3, pair_read, axis=0)
+    hap_codes = jnp.take(hc, pair_hap, axis=0)
+    rlens = jnp.take(read_lens, pair_read)
+    clens = jnp.take(hap_lens, pair_hap)
+    iy = jnp.take(init_y, pair_hap)
+    return _pallas_forward(
+        read_codes, read_omq, read_q3, rlens, hap_codes, clens, iy,
+        trans, r_pad, c_pad, stripe, interpret, algo="striped",
+    )

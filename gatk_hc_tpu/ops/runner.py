@@ -165,27 +165,49 @@ class PallasPairHMMRunner:
         Device dispatches are asynchronous, so the caller can keep doing
         host work (e.g. assembling the next batch of regions) while the
         TPU computes — pass the returned token(s) to drain() to collect.
-        """
+
+        All dispatch outputs living on the same device are concatenated
+        into ONE device array per submit call: on the relay-tunnelled TPU
+        every readback costs ~30-60ms regardless of size (even inside a
+        batched device_get), so fetching one coalesced array per device
+        instead of one per dispatch is the difference between ~0.3s and
+        ~4s of drain time on a 2Mb contig."""
+        import jax.numpy as jnp
+
         groups = self._plan_groups(jobs)
-        return (jobs, [self._submit_group(jobs, group) for group in groups])
+        submitted = [self._submit_group(jobs, group) for group in groups]
+        per_dev: Dict = {}  # device -> [out arrays in order]
+        layout = []  # per group: [(device, start, size), ...] for its outs
+        for outs, _spans in submitted:
+            entries = []
+            for o in outs:
+                (dev,) = o.devices()
+                lst = per_dev.setdefault(dev, [])
+                start = sum(a.shape[0] for a in lst)
+                lst.append(o)
+                entries.append((dev, start, o.shape[0]))
+            layout.append(entries)
+        coalesced = {
+            dev: arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs)
+            for dev, arrs in per_dev.items()
+        }
+        return (jobs, submitted, coalesced, layout)
 
     def drain(self, batches) -> None:
-        """Fetch + finalize every submitted batch.
-
-        One batched device_get covers all dispatches — on the
-        relay-tunnelled TPU a per-array readback costs ~26ms while a
-        batched fetch amortizes to ~3ms/array."""
+        """Fetch + finalize every submitted batch (one readback per device
+        per submit batch)."""
         import jax
 
-        flat = [
-            o for _, submitted in batches for outs, _ in submitted for o in outs
-        ]
+        flat = [a for _, _, coalesced, _ in batches for a in coalesced.values()]
         fetched = iter(jax.device_get(flat))
-        for jobs, submitted in batches:
-            for outs, spans in submitted:
-                self._finalize_group(
-                    jobs, [next(fetched) for _ in outs], spans
-                )
+        for jobs, submitted, coalesced, layout in batches:
+            host = {dev: next(fetched) for dev in coalesced}
+            for (outs, spans), entries in zip(submitted, layout):
+                host_outs = [
+                    host[dev][start : start + size]
+                    for dev, start, size in entries
+                ]
+                self._finalize_group(jobs, host_outs, spans)
 
     def _plan_groups(self, jobs: Sequence[PairHMMJob]) -> List[List[int]]:
         groups: List[List[int]] = []
@@ -325,19 +347,74 @@ class PallasPairHMMRunner:
         )
         device = self._devices[self._next_device % len(self._devices)]
         self._next_device += 1
-        u8_dev = jax.device_put(u8buf, device)
-        i32_dev = jax.device_put(i32buf, device)
-        outs = []
+        # one device_put for the whole group (each put pays ~1ms of relay
+        # overhead regardless of size)
+        chunk_pairs = []
         off = 0
         for size in sizes:
             sl = slice(off, off + size)
+            chunk_pairs.append(np.stack([pr[sl], ph[sl]]))
+            off += size
+        u8_dev, i32_dev, *pairs_devs = jax.device_put(
+            [u8buf, i32buf] + chunk_pairs, device
+        )
+
+        # Single-chunk groups (the common case) run prep + expansion + kernel
+        # as ONE program (every program launch has a fixed relay cost).
+        # Multi-chunk groups hoist unique-table prep into its own program so
+        # chunks don't redo it.
+        from .pairhmm_pallas import (
+            _PPE_UNROLL,
+            dispatch_pairs_ppe,
+            dispatch_pairs_striped,
+            pairhmm_pallas_packed,
+            prepare_tables_ppe,
+            prepare_tables_striped,
+        )
+
+        base, omq, q3 = self._device_tables(device)
+        outs = []
+        if len(sizes) == 1:
             outs.append(
-                self._dispatch(
-                    u8_dev, i32_dev, np.stack([pr[sl], ph[sl]]),
-                    nr_pad, nh_pad, r_pad, c_pad, device,
+                pairhmm_pallas_packed(
+                    u8_dev, i32_dev, pairs_devs[0], base, omq, q3, self.trans,
+                    nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
+                    stripe=min(self.cfg.stripe_height, r_pad),
+                    interpret=self.interpret,
+                    algo=self.cfg.pallas_algo, ppe_rows=self.cfg.ppe_rows,
                 )
             )
-            off += size
+            return (outs, (spans, total))
+
+        use_ppe = (
+            not self.interpret
+            and self.cfg.pallas_algo == "ppe"
+            and c_pad % _PPE_UNROLL == 0
+            and c_pad <= 640
+            and all(s % 1024 == 0 for s in sizes)
+        )
+        prepare = prepare_tables_ppe if use_ppe else prepare_tables_striped
+        tables = prepare(
+            u8_dev, i32_dev, base, omq, q3,
+            nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
+        )
+        for pairs_dev in pairs_devs:
+            if use_ppe:
+                outs.append(
+                    dispatch_pairs_ppe(
+                        *tables, pairs_dev, self.trans,
+                        r_pad=r_pad, c_pad=c_pad, ppe_rows=self.cfg.ppe_rows,
+                    )
+                )
+            else:
+                outs.append(
+                    dispatch_pairs_striped(
+                        *tables, pairs_dev, self.trans,
+                        r_pad=r_pad, c_pad=c_pad,
+                        stripe=min(self.cfg.stripe_height, r_pad),
+                        interpret=self.interpret,
+                    )
+                )
         return (outs, (spans, total))
 
     def _finalize_group(self, jobs, outs, spans_total) -> None:
@@ -365,27 +442,6 @@ class PallasPairHMMRunner:
                 raw, rescue, mode=self.cfg.f64_rescue
             ).reshape(nr, nh)
 
-    def _dispatch(self, u8_dev, i32_dev, pairs, nr_pad, nh_pad, r_pad, c_pad,
-                  device):
-        """Submit one device dispatch; returns the (lazy) device array."""
-        import jax
-
-        from .pairhmm_pallas import pairhmm_pallas_packed
-
-        base, omq, q3 = self._device_tables(device)
-        return pairhmm_pallas_packed(
-            u8_dev, i32_dev, jax.device_put(pairs, device),
-            base, omq, q3,
-            self.trans,
-            nr_pad=nr_pad,
-            nh_pad=nh_pad,
-            r_pad=r_pad,
-            c_pad=c_pad,
-            stripe=min(self.cfg.stripe_height, r_pad),
-            interpret=self.interpret,
-            algo=self.cfg.pallas_algo,
-            ppe_rows=self.cfg.ppe_rows,
-        )
 
 
 class NativePairHMMRunner:
