@@ -163,16 +163,27 @@ def main(argv=None) -> int:
             )
         elif cfg.pairhmm_engine in ("pallas", "jax", "native"):
             # native uses the CPU batch runner inside call_batched (same
-            # grouping + columnar data path); "python" stays on the simple
-            # per-region oracle pipeline
-            from .parallel.compile_cache import enable_compile_cache
+            # grouping + columnar data path) and never touches jax — its
+            # backend init costs ~1s of latency; "python" stays on the
+            # simple per-region oracle pipeline
+            runner = None
+            if cfg.pairhmm_engine in ("pallas", "jax"):
+                from .parallel.compile_cache import enable_compile_cache
 
-            enable_compile_cache()
+                enable_compile_cache()
+            if cfg.pairhmm_engine == "pallas":
+                from .ops.runner import PallasPairHMMRunner
+
+                runner = PallasPairHMMRunner(cfg)
+                # trace/compile the expected first dispatch programs in the
+                # background while the host parses and assembles
+                runner.prewarm()
             with maybe_profile():
                 results = call_batched(
                     args.input, args.reference, args.output, cfg,
                     region_filter=region_filter, logger=logger,
                     timers=timers, counters=counters, manifest=manifest,
+                    runner=runner,
                 )
         else:
             results = call(

@@ -118,7 +118,14 @@ class PallasPairHMMRunner:
         ph2pr = PH2PR_F32
         self._omq_table = (np.float32(1.0) - ph2pr).astype(np.float32)
         self._q3_table = (ph2pr / np.float32(3.0)).astype(np.float32)
+        import threading
+
         self._dev_tables: Dict = {}  # device -> lazily device_put tables
+        self._call_cache: Dict = {}  # packed-dispatch signature -> callable
+        # serializes program load/trace: a dispatch needing a signature the
+        # prewarm thread is mid-way through waits for it instead of tracing
+        # the same program concurrently
+        self._call_lock = threading.Lock()
 
     def _device_tables(self, device):
         tables = self._dev_tables.get(device)
@@ -131,6 +138,95 @@ class PallasPairHMMRunner:
             )
             self._dev_tables[device] = tables
         return tables
+
+    def _packed_callable(self, nr_pad, nh_pad, r_pad, c_pad, n_pairs):
+        """Callable for the single-chunk packed dispatch program: an AOT
+        export when one exists (skips ~3s of per-process tracing), else the
+        regular jit.  Both lower to the same StableHLO, so results are
+        bitwise identical."""
+        key = (nr_pad, nh_pad, r_pad, c_pad, n_pairs)
+        fn = self._call_cache.get(key)
+        if fn is not None:
+            return fn
+        with self._call_lock:
+            fn = self._call_cache.get(key)
+            if fn is not None:
+                return fn
+            import functools
+
+            import jax
+
+            from . import aot
+            from .pairhmm_pallas import pairhmm_pallas_packed
+
+            stripe = min(self.cfg.stripe_height, r_pad)
+            if not self.interpret:
+                fn = aot.load(
+                    aot.packed_signature_key(
+                        jax.default_backend(), nr_pad, nh_pad, r_pad, c_pad,
+                        n_pairs, stripe, self.cfg.pallas_algo,
+                        self.cfg.ppe_rows, self.trans,
+                    )
+                )
+            else:
+                fn = None
+            if fn is None:
+                fn = functools.partial(
+                    pairhmm_pallas_packed,
+                    trans=self.trans,
+                    nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
+                    stripe=stripe, interpret=self.interpret,
+                    algo=self.cfg.pallas_algo, ppe_rows=self.cfg.ppe_rows,
+                )
+            self._call_cache[key] = fn
+            return fn
+
+    def prewarm(self, signatures=None, block: bool = False):
+        """Trace/compile the expected first dispatch programs concurrently
+        with host parse/assembly (a daemon thread; the per-process cost of
+        a cold program is ~1.5-7s even with a warm executable cache).
+
+        signatures: iterable of (nr_pad, nh_pad, r_pad, c_pad, n_pairs);
+        defaults to the programs a standard short-read contig hits first.
+        """
+        import threading
+
+        if signatures is None:
+            r0 = self.cfg.read_pad_buckets[1] if len(
+                self.cfg.read_pad_buckets
+            ) > 1 else self.cfg.read_pad_buckets[0]
+            c0 = self.cfg.hap_pad_buckets[0]
+            signatures = [
+                (self.READ_BUCKETS[-1], self.HAP_BUCKETS[-1], r0, c0, s)
+                for s in self._chunks[:2]
+            ]
+
+        def work():
+            import numpy as np
+
+            for nr, nh, r, c, B in signatures:
+                try:
+                    fn = self._packed_callable(nr, nh, r, c, B)
+                    u8 = np.zeros(2 * nr * r + nh * c, np.uint8)
+                    i32 = np.ones(nr + 2 * nh, np.int32)
+                    pairs = np.zeros((2, B), np.int32)
+                    device = self._devices[0]
+                    import jax
+
+                    base, omq, q3 = self._device_tables(device)
+                    args = jax.device_put([u8, i32, pairs], device)
+                    fn(*args, base, omq, q3).block_until_ready()
+                except Exception:  # pragma: no cover - prewarm is best-effort
+                    pass
+
+        # non-daemon: interpreter teardown mid-device-call aborts the
+        # process; the thread is bounded (a few program loads) and finishes
+        # long before any real run does
+        thread = threading.Thread(target=work, daemon=False)
+        thread.start()
+        if block:
+            thread.join()
+        return thread
 
     def _round_stripe(self, r: int) -> int:
         h = self.cfg.stripe_height
@@ -375,14 +471,9 @@ class PallasPairHMMRunner:
         base, omq, q3 = self._device_tables(device)
         outs = []
         if len(sizes) == 1:
+            fn = self._packed_callable(nr_pad, nh_pad, r_pad, c_pad, sizes[0])
             outs.append(
-                pairhmm_pallas_packed(
-                    u8_dev, i32_dev, pairs_devs[0], base, omq, q3, self.trans,
-                    nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
-                    stripe=min(self.cfg.stripe_height, r_pad),
-                    interpret=self.interpret,
-                    algo=self.cfg.pallas_algo, ppe_rows=self.cfg.ppe_rows,
-                )
+                fn(u8_dev, i32_dev, pairs_devs[0], base, omq, q3)
             )
             return (outs, (spans, total))
 

@@ -180,3 +180,43 @@ class TestManifest:
         out = tmp_path / "out.vcf"
         m2.write_vcf(str(out), "#header\n")
         assert out.read_text() == "#header\n" + v.to_vcf_row()
+
+
+class TestAOTCache:
+    def test_roundtrip_matches_jit(self, tmp_path, monkeypatch):
+        # the aot cache must return a callable whose outputs are identical
+        # to the plain jit path (same StableHLO); exercised here with a
+        # small stand-in program on the CPU backend
+        import jax.numpy as jnp
+
+        from gatk_hc_tpu.ops import aot
+
+        monkeypatch.setattr(aot, "_CACHE_DIR", str(tmp_path))
+
+        def f(a, b):
+            return jnp.log10(jnp.maximum(a * b + 1.0, 1e-30)).sum(axis=1)
+
+        shapes = (
+            jax.ShapeDtypeStruct((8, 16), jnp.float32),
+            jax.ShapeDtypeStruct((8, 16), jnp.float32),
+        )
+        key = "test-prog-abc123"
+        assert aot.load(key) is None
+        aot.save(key, f, shapes)
+        fn = aot.load(key)
+        assert fn is not None
+        rng = np.random.default_rng(3)
+        a = rng.random((8, 16), np.float32)
+        b = rng.random((8, 16), np.float32)
+        np.testing.assert_array_equal(np.asarray(fn(a, b)), np.asarray(jax.jit(f)(a, b)))
+
+    def test_source_hash_invalidates(self):
+        from gatk_hc_tpu.ops import aot
+
+        key1 = aot.packed_signature_key(
+            "cpu", 8, 8, 32, 128, 256, 8, "ppe", 2, (0.1,) * 6
+        )
+        key2 = aot.packed_signature_key(
+            "cpu", 8, 8, 32, 128, 256, 8, "ppe", 2, (0.2,) * 6
+        )
+        assert key1 != key2  # transition constants are part of the key

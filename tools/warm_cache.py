@@ -46,23 +46,57 @@ def main():
     q3 = jnp.asarray((PH2PR_F32 / np.float32(3.0)).astype(np.float32))
 
     runner = PallasPairHMMRunner(cfg)  # for chunk defaults
-    chunks = runner._chunks[:1] if args.quick else runner._chunks
+    chunks = runner._chunks[:2] if args.quick else runner._chunks
     r_pads = (160,) if args.quick else cfg.read_pad_buckets
-    combos = list(
-        itertools.product(
-            ((1024, 128),) if args.quick else
-            tuple(itertools.product(
-                PallasPairHMMRunner.READ_BUCKETS, PallasPairHMMRunner.HAP_BUCKETS
-            )),
-            r_pads,
-            cfg.hap_pad_buckets,
-            chunks,
-        )
+    # quick: the programs bench.py, chrM, and a standard short-read contig
+    # hit first (also the runner.prewarm() default set)
+    buckets = (
+        ((1024, 128), (4096, 512)) if args.quick else
+        tuple(itertools.product(
+            PallasPairHMMRunner.READ_BUCKETS, PallasPairHMMRunner.HAP_BUCKETS
+        ))
     )
+    c_pads = (448,) if args.quick else cfg.hap_pad_buckets
+    combos = list(itertools.product(buckets, r_pads, c_pads, chunks))
+    from gatk_hc_tpu.ops import aot
+
+    platform = jax.default_backend()
     rng = np.random.default_rng(0)
     for (nr, nh), r_pad, c_pad, chunk in combos:
-        u8 = np.zeros(2 * nr * r_pad + nh * c_pad, np.uint8)
-        u8[:] = 65
+        stripe = min(cfg.stripe_height, r_pad)
+
+        def f(u8, i32, pairs, base, omq, q3, nr=nr, nh=nh, r_pad=r_pad,
+              c_pad=c_pad, stripe=stripe):
+            return pairhmm_pallas_packed(
+                u8, i32, pairs, base, omq, q3, trans,
+                nr_pad=nr, nh_pad=nh, r_pad=r_pad, c_pad=c_pad,
+                stripe=stripe, interpret=False,
+                algo=cfg.pallas_algo, ppe_rows=cfg.ppe_rows,
+            )
+
+        key = aot.packed_signature_key(
+            platform, nr, nh, r_pad, c_pad, chunk, stripe,
+            cfg.pallas_algo, cfg.ppe_rows, trans,
+        )
+        shapes = (
+            jax.ShapeDtypeStruct((2 * nr * r_pad + nh * c_pad,), jnp.uint8),
+            jax.ShapeDtypeStruct((nr + 2 * nh,), jnp.int32),
+            jax.ShapeDtypeStruct((2, chunk), jnp.int32),
+            jax.ShapeDtypeStruct((256,), jnp.int32),
+            jax.ShapeDtypeStruct((128,), jnp.float32),
+            jax.ShapeDtypeStruct((128,), jnp.float32),
+        )
+        t0 = time.time()
+        fn = aot.load(key)
+        exported = "cached-export"
+        if fn is None:
+            aot.save(key, f, shapes)  # one-time ~10s trace+serialize
+            fn = aot.load(key)
+            exported = "exported"
+        if fn is None:  # export unsupported on this backend: plain jit
+            fn, exported = f, "jit"
+
+        u8 = np.full(2 * nr * r_pad + nh * c_pad, 65, np.uint8)
         i32 = np.concatenate([
             np.full(nr, r_pad - 1, np.int32), np.full(nh, c_pad - 1, np.int32),
             (np.float32(2.0**120) / np.float32(c_pad - 1))
@@ -71,17 +105,14 @@ def main():
         pairs = np.zeros((2, chunk), np.int32)
         pairs[0] = rng.integers(0, nr, chunk)
         pairs[1] = rng.integers(0, nh, chunk)
-        t0 = time.time()
-        out = pairhmm_pallas_packed(
+        out = fn(
             jnp.asarray(u8), jnp.asarray(i32), jnp.asarray(pairs),
-            base, omq, q3, trans,
-            nr_pad=nr, nh_pad=nh, r_pad=r_pad, c_pad=c_pad,
-            stripe=min(cfg.stripe_height, r_pad), interpret=False,
+            base, omq, q3,
         )
         np.asarray(out)
         print(
             f"nr={nr} nh={nh} r_pad={r_pad} c_pad={c_pad} chunk={chunk}: "
-            f"{time.time()-t0:.1f}s",
+            f"{time.time()-t0:.1f}s ({exported})",
             flush=True,
         )
 
