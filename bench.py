@@ -145,6 +145,9 @@ def main() -> None:
     device_cells_per_s = bench_device(reads, haps)
     kernel_cells_per_s = bench_kernel_only()
     e2e_s = bench_e2e_chrm()
+    # CI-style floor: the sustained number must never regress below this
+    # (measured range across relay throttle phases: 59-90 Gcells/s)
+    floor = 30e9
     result = {
         "metric": "pairhmm_cell_updates_per_s_per_chip",
         "value": round(device_cells_per_s),
@@ -152,6 +155,8 @@ def main() -> None:
         "vs_baseline": round(device_cells_per_s / cpu_cells_per_s, 2),
         "baseline_cpu_cells_per_s": round(cpu_cells_per_s),
         "kernel_only_cells_per_s": round(kernel_cells_per_s),
+        "sustained_floor_cells_per_s": round(floor),
+        "floor_ok": bool(device_cells_per_s >= floor),
         "e2e_chrM_wall_s": round(e2e_s, 3),
         "workload": (
             f"16 region jobs of {N_READS}x{N_HAPS} pairs each in one "

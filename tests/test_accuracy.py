@@ -57,18 +57,29 @@ def test_sensitivity_and_precision_on_planted_truth(tmp_path):
 
     hits = 0
     near_truth = set()
+    by_kind = {}
     for pos, kind, _payload in truth:
         window = (
             {pos, pos + 1, pos + 2}
             if kind == "snp"
             else set(range(pos - 1, pos + 3))
         )
-        if called & window:
-            hits += 1
+        hit = bool(called & window)
+        hits += hit
+        total_k, hits_k = by_kind.get(kind, (0, 0))
+        by_kind[kind] = (total_k + 1, hits_k + hit)
         near_truth.update(range(pos - 2, pos + 6))
     assert len(truth) > 150
     sensitivity = hits / len(truth)
     false_like = sum(1 for r in rows if r.pos not in near_truth)
     precision_proxy = 1.0 - false_like / max(len(rows), 1)
-    assert sensitivity >= 0.90, f"sensitivity {sensitivity:.3f}"
+    # the fixture is seeded, so these are regression bounds just under the
+    # measured values (snp 1.000, ins 0.974, del 0.951, total 0.985)
+    assert sensitivity >= 0.97, f"sensitivity {sensitivity:.3f}"
+    per_kind_floor = {"snp": 0.99, "ins": 0.94, "del": 0.92}
+    for kind, (total_k, hits_k) in sorted(by_kind.items()):
+        sens_k = hits_k / total_k
+        assert sens_k >= per_kind_floor[kind], (
+            f"{kind} sensitivity {sens_k:.3f} < {per_kind_floor[kind]}"
+        )
     assert precision_proxy >= 0.99, f"near-truth precision {precision_proxy:.3f}"

@@ -1,30 +1,44 @@
-"""Multi-device scaling check for the sharded likelihood step.
+"""Scaling-efficiency measurement: production runner + multihost DCN.
 
-Runs the (data, hap)-mesh likelihood step of parallel/sharded_step.py over
-1/2/4/8 devices with a fixed per-device workload (weak scaling) and reports
-step time — on virtual CPU devices this validates the sharding/collective
-mechanism; on a real pod slice the same code measures ICI scaling
-efficiency (BASELINE.json north star: >=80% at 2 hosts).
+Emits ONE JSON line with three sections:
 
-Usage: [JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8]
-       python tools/scaling_bench.py
+* ``runner_weak_scaling``: the production PallasPairHMMRunner dispatching a
+  fixed per-device workload across 1/2/4/8 devices of a mesh (round-robin
+  group placement, exactly the call_batched path).  Ideal weak scaling
+  keeps wall time flat; efficiency = t(1) / t(N).
+* ``sharded_step_weak_scaling``: the shard_map (data, hap) likelihood step.
+* ``dcn_2proc``: a real 2-process jax.distributed run of run_multihost over
+  the chrM fixture vs the same single-process run; strong-scaling
+  efficiency = t(1) / (2 * t(2)).
+
+On virtual CPU devices (this CI host: one physical core) all devices share
+one core, so compute-bound weak scaling degenerates toward 1/N — those
+numbers validate the MECHANISM and measure the per-device orchestration
+overhead; on a real pod slice the same script measures ICI/DCN efficiency
+against the >=80% @ 2 hosts north star (BASELINE.json).
+
+Usage: python tools/scaling_bench.py [--skip-dcn]
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import os
+import socket
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import numpy as np
 
 
-def main() -> None:
+def _ensure_devices(n: int) -> None:
     import jax
 
-    # config must change BEFORE the first backend use (jax.devices() pins it)
     try:
         from jax._src import xla_bridge
 
@@ -34,15 +48,74 @@ def main() -> None:
     if not backend_up:
         try:
             jax.config.update("jax_platforms", "cpu")
-            jax.config.update("jax_num_cpu_devices", 8)
+            jax.config.update("jax_num_cpu_devices", n)
         except Exception:
             pass
-    n_avail = len(jax.devices())
-    if n_avail < 2:
-        print(
-            f"WARNING: only {n_avail} device visible — scaling sweep "
-            "degenerates to the 1-device row"
+
+
+def _runner_jobs(n_jobs: int, seed: int = 0):
+    from gatk_hc_tpu.ops.runner import PairHMMJob
+
+    rng = np.random.default_rng(seed)
+    jobs = []
+    for _ in range(n_jobs):
+        hap = np.frombuffer(
+            np.array([65, 67, 71, 84], np.uint8)[rng.integers(0, 4, 120)]
+            .tobytes(),
+            np.uint8,
         )
+        reads = [
+            (hap[s : s + 24].copy(), np.full(24, ord("I"), np.uint8))
+            for s in rng.integers(0, 90, 16)
+        ]
+        jobs.append(PairHMMJob(reads, [hap, hap[:100].copy()]))
+    return jobs
+
+
+def bench_runner_weak_scaling(counts):
+    """Production runner, one group per job via a small read budget; jobs
+    per device fixed (weak scaling)."""
+    import dataclasses
+
+    import jax
+
+    from gatk_hc_tpu.config import DEFAULT_CONFIG
+    from gatk_hc_tpu.ops.runner import PallasPairHMMRunner
+
+    jobs_per_dev = 8
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, read_pad_buckets=(32,), hap_pad_buckets=(128,),
+        stripe_height=8,
+    )
+    rows = {}
+    for n_dev in counts:
+        if n_dev > len(jax.devices()):
+            break
+        runner = PallasPairHMMRunner(
+            cfg, pair_budget=128, devices=jax.devices()[:n_dev]
+        )
+        runner.READ_BUCKETS = (16,)
+        runner.HAP_BUCKETS = (4,)
+        runner.run(_runner_jobs(n_dev * jobs_per_dev))  # warm
+        best = float("inf")
+        for _ in range(3):
+            jobs = _runner_jobs(n_dev * jobs_per_dev)
+            t0 = time.perf_counter()
+            runner.run(jobs)
+            best = min(best, time.perf_counter() - t0)
+        rows[n_dev] = best
+    base = rows[min(rows)]
+    return {
+        "jobs_per_device": jobs_per_dev,
+        "seconds": {str(k): round(v, 4) for k, v in rows.items()},
+        "efficiency": {
+            str(k): round(base / v, 3) for k, v in rows.items()
+        },
+    }
+
+
+def bench_sharded_step_weak_scaling(counts):
+    import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
@@ -57,20 +130,12 @@ def main() -> None:
     reads_per_dev, n_haps = 256, 8
     use_pallas = jax.default_backend() in ("tpu", "axon")
     rng = np.random.default_rng(0)
-
-    if not use_pallas:
-        print(
-            "NOTE: virtual CPU devices share one host's cores — weak-scaling "
-            "efficiency is expected to look like 1/N here; this validates "
-            "the sharding mechanism, the efficiency number is only "
-            "meaningful on a real pod slice."
-        )
-    base = None
-    for n_dev in (1, 2, 4, 8):
-        if n_dev > n_avail:
+    rows = {}
+    for n_dev in counts:
+        if n_dev > len(jax.devices()):
             break
         mesh = make_mesh(n_dev, hap_parallel=1)
-        n_reads = reads_per_dev * n_dev  # weak scaling: fixed work/device
+        n_reads = reads_per_dev * n_dev
         hc = rng.integers(0, 4, (n_haps, c_pad)).astype(np.int32)
         hl = np.full(n_haps, c_pad - 8, np.int32)
         rc = np.stack(
@@ -89,21 +154,117 @@ def main() -> None:
             P("hap", None), P("hap"), P("hap"),
         )
         args = shard_inputs(mesh, (rc, omq, q3, rl, hc, hl, iy), specs)
-        out = step(*args)
-        jax.block_until_ready(out)
+        jax.block_until_ready(step(*args))
         t0 = time.perf_counter()
         for _ in range(5):
             out = step(*args)
         jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / 5
-        cells = n_reads * n_haps * (r_pad - 2) * (c_pad - 8)
-        if base is None:
-            base = dt
-        eff = base / dt  # weak scaling: ideal keeps step time flat
-        print(
-            f"devices={n_dev}: {dt*1e3:7.2f} ms/step  "
-            f"{cells/dt/1e9:6.2f} Gcells/s  weak-scaling eff {eff*100:5.1f}%"
+        rows[n_dev] = (time.perf_counter() - t0) / 5
+    base = rows[min(rows)]
+    return {
+        "reads_per_device": reads_per_dev,
+        "seconds": {str(k): round(v, 4) for k, v in rows.items()},
+        "efficiency": {
+            str(k): round(base / v, 3) for k, v in rows.items()
+        },
+    }
+
+
+_DCN_WORKER = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import dataclasses
+from gatk_hc_tpu.config import DEFAULT_CONFIG
+from gatk_hc_tpu.parallel.multihost import run_multihost
+cfg = dataclasses.replace(
+    DEFAULT_CONFIG, pairhmm_engine="native", assembler_engine="native"
+)
+pid = int(sys.argv[1]); n = int(sys.argv[2])
+t0 = time.perf_counter()
+run_multihost({sam!r}, {fa!r}, None, cfg,
+              coordinator={coord!r} if n > 1 else None,
+              num_processes=n if n > 1 else None,
+              process_id=pid if n > 1 else None)
+print(f"WALL {{time.perf_counter()-t0:.3f}}")
+"""
+
+
+def bench_dcn_2proc():
+    sam = os.path.join(REPO, "fixtures", "chrM.sam")
+    fa = os.path.join(REPO, "fixtures", "chrM.fa")
+    if not os.path.exists(sam):
+        return None
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+
+    def wall_of(outputs):
+        for line in outputs.splitlines():
+            if line.startswith("WALL "):
+                return float(line.split()[1])
+        raise RuntimeError(outputs[-2000:])
+
+    # single process
+    script = _DCN_WORKER.format(repo=REPO, sam=sam, fa=fa, coord="")
+    out = subprocess.run(
+        [sys.executable, "-c", script, "0", "1"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    t1 = wall_of(out.stdout)
+    # two processes over localhost DCN
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = _DCN_WORKER.format(
+        repo=REPO, sam=sam, fa=fa, coord=f"127.0.0.1:{port}"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(pid), "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
         )
+        for pid in (0, 1)
+    ]
+    walls = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        if p.returncode != 0:
+            raise RuntimeError(stdout[-2000:])
+        walls.append(wall_of(stdout))
+    t2 = max(walls)
+    return {
+        "t_1proc_s": round(t1, 3),
+        "t_2proc_s": round(t2, 3),
+        # strong scaling over a fixed workload: ideal halves the time
+        "efficiency": round(t1 / (2 * t2), 3),
+        "note": "chrM fixture, native engine, localhost DCN; both "
+                "processes share this host's single core, so CPU-bound "
+                "efficiency is bounded by ~0.5 here",
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-dcn", action="store_true")
+    args = ap.parse_args()
+
+    _ensure_devices(8)
+    import jax
+
+    counts = (1, 2, 4, 8)
+    result = {
+        "platform": jax.default_backend(),
+        "n_devices": len(jax.devices()),
+        "runner_weak_scaling": bench_runner_weak_scaling(counts),
+        "sharded_step_weak_scaling": bench_sharded_step_weak_scaling(counts),
+    }
+    if not args.skip_dcn:
+        result["dcn_2proc"] = bench_dcn_2proc()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
