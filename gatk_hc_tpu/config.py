@@ -153,7 +153,7 @@ class HCConfig:
     pallas_algo: str = _env_choice(
         "GATK_HC_TPU_PALLAS_ALGO", "ppe", ("ppe", "striped")
     )
-    ppe_rows: int = _env_int_choice("GATK_HC_TPU_PPE_ROWS", 2, (1, 2))
+    ppe_rows: int = _env_int_choice("GATK_HC_TPU_PPE_ROWS", 2, (1, 2, 4))
     # Host-side region pipeline threads (prepare + assemble + job packing
     # run in a pool; ctypes releases the GIL, so this scales with cores —
     # the reference's OpenMP analogue for the HOST stages).  0 = one thread

@@ -27,6 +27,7 @@ def measure_kernel(
     stripe: int = 32,
     iters: int = 10,
     algo: str = "auto",
+    ppe_rows: int = 2,
 ):
     """Returns (seconds/call, true cells/s, padded cells/s) for the Pallas
     forward kernel on synthetic device-resident inputs."""
@@ -48,7 +49,9 @@ def measure_kernel(
     iy = jnp.asarray(np.full(B, np.float32(2.0**120) / clen, np.float32))
     trans = transition_constants(ord("I"), ord("+"))
     fn = jax.jit(
-        lambda *a: _pallas_forward(*a, trans, R, C, stripe, False, algo=algo)
+        lambda *a: _pallas_forward(
+            *a, trans, R, C, stripe, False, algo=algo, ppe_rows=ppe_rows
+        )
     )
     _ = np.asarray(fn(rc, omq, q3, rl, hc, hl, iy))  # warm + sync
     t0 = time.perf_counter()
@@ -69,21 +72,29 @@ def main():
     ap.add_argument("--algos", type=str, default="ppe,striped")
     ap.add_argument("--stripe", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--ppe-rows", type=str, default="2",
+                    help="comma list of row counts to A/B for the ppe algo")
     args = ap.parse_args()
 
     from gatk_hc_tpu.parallel.compile_cache import enable_compile_cache
 
     enable_compile_cache()
     for algo in args.algos.split(","):
-        dt, true_cps, padded_cps = measure_kernel(
-            args.pairs, args.rpad, args.rlen, args.cpad, args.clen,
-            args.stripe, args.iters, algo,
+        rows_list = (
+            [int(x) for x in args.ppe_rows.split(",")]
+            if algo == "ppe" else [2]
         )
-        print(
-            f"{algo:8s}: {dt*1e3:8.2f} ms/call  "
-            f"{true_cps/1e9:7.2f} Gcells/s (true)  "
-            f"{padded_cps/1e9:7.2f} Gcells/s (padded)"
-        )
+        for rows in rows_list:
+            dt, true_cps, padded_cps = measure_kernel(
+                args.pairs, args.rpad, args.rlen, args.cpad, args.clen,
+                args.stripe, args.iters, algo, rows,
+            )
+            tag = f"{algo}{rows}" if algo == "ppe" else algo
+            print(
+                f"{tag:8s}: {dt*1e3:8.2f} ms/call  "
+                f"{true_cps/1e9:7.2f} Gcells/s (true)  "
+                f"{padded_cps/1e9:7.2f} Gcells/s (padded)"
+            )
 
 
 if __name__ == "__main__":
