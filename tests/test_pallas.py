@@ -140,3 +140,17 @@ class TestPairPerElementKernel:
         np.testing.assert_allclose(ppe, striped, rtol=2.4e-7)  # <= 2 ulp
         # the overwhelming majority must still be bit-identical even on CPU
         assert (ppe == striped).mean() > 0.98
+
+
+class TestJobValidation:
+    def test_rejects_zero_length_rows(self):
+        import numpy as np
+        import pytest as _pytest
+
+        q = np.full(5, 60, np.uint8)
+        b = np.full(5, 65, np.uint8)
+        with _pytest.raises(ValueError):
+            PairHMMJob([(np.zeros(0, np.uint8), np.zeros(0, np.uint8))], [b])
+        with _pytest.raises(ValueError):
+            PairHMMJob([(b, q)], [np.zeros(0, np.uint8)])
+        PairHMMJob([(b, q)], [b])  # non-empty rows are fine
