@@ -204,6 +204,7 @@ def call_batched(
     from ..ops.pairhmm_oracle import normalize_and_filter
     from ..ops.runner import PairHMMJob, PallasPairHMMRunner
 
+    assemble_overridden = assemble_fn is not None
     if assemble_fn is None:
         assemble_fn = make_assemble_fn(cfg)
     if runner is None:
@@ -249,10 +250,54 @@ def call_batched(
     # of host threads (the native prepare/assemble/SW calls release the GIL,
     # so this scales with cores; a 1-CPU host runs the inline path), with
     # chunked device submission from the consuming thread.
+    # whole-window native fast path: downsample/filter/clip + assembly + SW
+    # in ONE ctypes call per region (only when nothing is overridden — the
+    # separate-stage path remains the differential oracle)
+    fused_fn = None
+    if (
+        use_columnar
+        and not assemble_overridden
+        and cfg.assembler_engine == "native"
+        and cfg.sw_engine == "native"
+    ):
+        from .. import native as _native
+
+        fused_fn = _native.fused_window_fn(cfg, store)
+
+    def build_job(reads, haplotypes):
+        if len(haplotypes) <= 1:
+            return None
+        read_arrays = [
+            (r.seq_u8, r.qual_u8)
+            if hasattr(r, "seq_u8")
+            else (
+                np.frombuffer(r.seq.encode(), dtype=np.uint8),
+                np.frombuffer(r.qual.encode(), dtype=np.uint8),
+            )
+            for r in reads
+        ]
+        hap_arrays = [
+            np.frombuffer(h.bases.encode(), dtype=np.uint8) for h in haplotypes
+        ]
+        return PairHMMJob(read_arrays, hap_arrays)
+
     def prep_assemble(contig, origin, padded):
         """Worker body: everything per-region that needs no shared state.
         Returns (status, payload, prep_seconds, assemble_seconds)."""
         t0 = time.perf_counter()
+        if fused_fn is not None:
+            window_ref = contig.seq[padded.begin : padded.end]
+            reads, n_downsampled, haplotypes = fused_fn(
+                contig.name, padded.begin, padded.end, window_ref
+            )
+            t1 = time.perf_counter()
+            if n_downsampled == 0:
+                return "ignored", None, t1 - t0, 0.0
+            if not reads:
+                return "empty", None, t1 - t0, 0.0
+            payload = (reads, haplotypes, window_ref, build_job(reads, haplotypes))
+            # one fused call: attribute its time to the assemble stage
+            return "ok", payload, 0.0, t1 - t0
         if use_columnar:
             reads, n_downsampled = store.prepare_window(
                 contig.name, padded.begin, padded.end, cfg
@@ -272,23 +317,7 @@ def call_batched(
             return "empty", None, t1 - t0, 0.0
         window_ref = contig.seq[padded.begin : padded.end]
         haplotypes = assemble_fn(reads, window_ref, cfg)
-        job = None
-        if len(haplotypes) > 1:
-            read_arrays = [
-                (r.seq_u8, r.qual_u8)
-                if hasattr(r, "seq_u8")
-                else (
-                    np.frombuffer(r.seq.encode(), dtype=np.uint8),
-                    np.frombuffer(r.qual.encode(), dtype=np.uint8),
-                )
-                for r in reads
-            ]
-            hap_arrays = [
-                np.frombuffer(h.bases.encode(), dtype=np.uint8)
-                for h in haplotypes
-            ]
-            job = PairHMMJob(read_arrays, hap_arrays)
-        payload = (reads, haplotypes, window_ref, job)
+        payload = (reads, haplotypes, window_ref, build_job(reads, haplotypes))
         return "ok", payload, t1 - t0, time.perf_counter() - t1
 
     pending = []  # (result, reads, haplotypes, window_ref, job)

@@ -106,6 +106,28 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_int64,  # cigar arena capacity (elements)
     ]
 
+    lib.hc_prepare_assemble_sw.restype = ctypes.c_int32
+    lib.hc_prepare_assemble_sw.argtypes = [
+        i32p, i32p, i32p, u8p,  # pos, flag, mapq, rnext_eq
+        i64p, u8p, i32p,  # cigar offsets/ops/lens
+        i64p, u8p, u8p,  # seq offsets, seq, qual
+        i64p, ctypes.c_int32,  # selected store rows, count
+        ctypes.c_int32, ctypes.c_int32,  # min_mapq, min_len
+        ctypes.c_int64, ctypes.c_int64,  # window begin/end
+        u8p, u8p, i64p,  # out seq/qual blobs + CSR offsets
+        i64p, i64p,  # out alignment begin/end
+        i32p,  # out kept-read count
+        u8p, ctypes.c_int64,  # window ref
+        i32p, i32p,  # assembler config ints, SW config ints
+        u8p, ctypes.c_int64,  # out hap bases arena
+        i64p,  # out hap offsets (n+1)
+        f64p,  # out scores
+        ctypes.c_int32,  # max haplotypes
+        i32p,  # out per-hap alignment offsets
+        u8p, i32p, i64p,  # out cigar ops/lens arenas + offsets
+        ctypes.c_int64,  # cigar arena capacity
+    ]
+
     lib.hc_load_tables.restype = None
     lib.hc_load_tables.argtypes = [f32p, f64p, f32p, f64p, f32p, f64p]
     lib.hc_table_probe.restype = None
@@ -322,6 +344,94 @@ class _AssembleScratch(threading.local):
 
 
 _ASSEMBLE_SCRATCH = _AssembleScratch()
+
+
+def fused_window_fn(cfg, store):
+    """Whole-window native fast path over a ColumnarReadStore:
+    ``(contig, begin, end, window_ref) -> (reads, n_downsampled, haps)``.
+    One ctypes call per region runs downsample/filter/clip + assembly +
+    per-haplotype SW (hc_prepare_assemble_sw); the separate
+    prepare_window/assemble path remains the differential oracle."""
+    from ..io.columnar import PreparedRead
+    from ..models.haplotype import Haplotype
+
+    lib = _load()
+    c = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    i64 = ctypes.c_int64
+    p = cfg.sw_params
+    sw_ints = np.array(
+        [p.w_match, p.w_mismatch, p.w_open, p.w_extend,
+         cfg.sw_max_mismatches_all_match],
+        dtype=np.int32,
+    )
+    cfg_ints = _assemble_cfg_ints(cfg)
+    max_h = cfg.max_num_haplotypes
+
+    def run(contig: str, begin: int, end: int, window_ref: str):
+        sel = store._indexes[contig].select(begin, end, cfg)
+        if sel.size == 0:
+            return [], 0, []
+        cap = int((store.seq_off[sel + 1] - store.seq_off[sel]).sum())
+        out_seq = np.empty(max(cap, 1), np.uint8)
+        out_qual = np.empty(max(cap, 1), np.uint8)
+        out_off = np.empty(len(sel) + 1, np.int64)
+        out_ab = np.empty(len(sel), np.int64)
+        out_ae = np.empty(len(sel), np.int64)
+        kept_out = np.zeros(1, np.int32)
+        ref_b = np.frombuffer(window_ref.encode(), dtype=np.uint8)
+        s = _ASSEMBLE_SCRATCH.ensure(max_h, len(ref_b))
+        n = lib.hc_prepare_assemble_sw(
+            *store._static_ptrs,
+            c(sel, i64), ctypes.c_int32(len(sel)),
+            ctypes.c_int32(cfg.min_mapping_quality),
+            ctypes.c_int32(cfg.min_read_length_after_trimming),
+            i64(begin), i64(end),
+            c(out_seq, ctypes.c_uint8), c(out_qual, ctypes.c_uint8),
+            c(out_off, i64), c(out_ab, i64), c(out_ae, i64),
+            c(kept_out, ctypes.c_int32),
+            c(ref_b, ctypes.c_uint8), len(ref_b),
+            c(cfg_ints, ctypes.c_int32), c(sw_ints, ctypes.c_int32),
+            c(s.arena, ctypes.c_uint8), len(s.arena),
+            c(s.hap_offsets, i64), c(s.scores, ctypes.c_double), max_h,
+            c(s.align_offsets, ctypes.c_int32),
+            c(s.cigar_ops, ctypes.c_uint8), c(s.cigar_lens, ctypes.c_int32),
+            c(s.cigar_offsets, i64), len(s.cigar_ops),
+        )
+        if n < 0:
+            raise RuntimeError(f"hc_prepare_assemble_sw failed rc={n}")
+        kept = int(kept_out[0])
+        kept_bytes = int(out_off[kept]) if kept else 0
+        if kept_bytes < cap:
+            out_seq = out_seq[:kept_bytes].copy()
+            out_qual = out_qual[:kept_bytes].copy()
+        reads = [
+            PreparedRead(
+                seq_u8=out_seq[out_off[k] : out_off[k + 1]],
+                qual_u8=out_qual[out_off[k] : out_off[k + 1]],
+                rname=contig,
+                alignment_begin=int(out_ab[k]),
+                alignment_end=int(out_ae[k]),
+            )
+            for k in range(kept)
+        ]
+        haplotypes = []
+        for i in range(n):
+            bases = (
+                s.arena[s.hap_offsets[i] : s.hap_offsets[i + 1]]
+                .tobytes()
+                .decode()
+            )
+            h = Haplotype(bases, s.scores[i])
+            h.alignment_begin_wrt_ref = int(s.align_offsets[i])
+            lo, hi = s.cigar_offsets[i], s.cigar_offsets[i + 1]
+            ops = s.cigar_ops[lo:hi].tobytes().decode()
+            h.cigar = tuple(
+                (int(s.cigar_lens[lo + k]), ops[k]) for k in range(hi - lo)
+            )
+            haplotypes.append(h)
+        return reads, int(sel.size), haplotypes
+
+    return run
 
 
 def native_assemble_fn(cfg):

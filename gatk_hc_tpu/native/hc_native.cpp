@@ -1237,4 +1237,34 @@ int32_t hc_prepare_window(const int32_t* pos, const int32_t* flag,
   return kept;
 }
 
+// Whole-window fusion: downsample/filter/clip (hc_prepare_window) +
+// assembly + per-haplotype SW in ONE native call.  The per-region Python
+// driver previously made two ctypes calls and re-flattened the prepared
+// reads into fresh blobs for the assembler; here the assembler consumes
+// the prepared CSR blobs directly.  Returns n_haplotypes (>= 0) or a
+// negative hc_assemble error; *out_kept reports the prepared read count.
+int32_t hc_prepare_assemble_sw(
+    const int32_t* pos, const int32_t* flag, const int32_t* mapq,
+    const uint8_t* rnext_eq, const int64_t* cig_off, const uint8_t* cig_op,
+    const int32_t* cig_len, const int64_t* seq_off, const uint8_t* seq,
+    const uint8_t* qual, const int64_t* sel, int32_t n_sel, int32_t min_mapq,
+    int32_t min_len, int64_t win_begin, int64_t win_end, uint8_t* out_seq,
+    uint8_t* out_qual, int64_t* out_off, int64_t* out_abegin,
+    int64_t* out_aend, int32_t* out_kept, const uint8_t* ref, int64_t ref_len,
+    const int32_t* cfg, const int32_t* sw_cfg, uint8_t* out_bases,
+    int64_t out_cap, int64_t* out_offsets, double* out_scores,
+    int32_t max_out, int32_t* out_align_offset, uint8_t* out_cigar_ops,
+    int32_t* out_cigar_lens, int64_t* out_cigar_offsets, int64_t cigar_cap) {
+  const int32_t kept = hc_prepare_window(
+      pos, flag, mapq, rnext_eq, cig_off, cig_op, cig_len, seq_off, seq,
+      qual, sel, n_sel, min_mapq, min_len, win_begin, win_end, out_seq,
+      out_qual, out_off, out_abegin, out_aend);
+  *out_kept = kept;
+  if (kept == 0) return 0;
+  return hc_assemble_sw(ref, ref_len, out_seq, out_qual, out_off, kept, cfg,
+                        sw_cfg, out_bases, out_cap, out_offsets, out_scores,
+                        max_out, out_align_offset, out_cigar_ops,
+                        out_cigar_lens, out_cigar_offsets, cigar_cap);
+}
+
 }  // extern "C"

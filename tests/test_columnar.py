@@ -180,3 +180,33 @@ def test_unknown_contig_reads_dropped(tmp_path):
     store = ColumnarReadStore(str(sam), {"c": 100})
     assert store.n_reads == 2
     assert store.n_bucketed == 1
+
+
+def test_fused_window_path_matches_separate_stages(tmp_path):
+    """call_batched's one-ctypes-call fused path (prepare+assemble+SW) must
+    byte-match the separate prepare_window + assemble path."""
+    import dataclasses
+    import os
+
+    from gatk_hc_tpu.config import DEFAULT_CONFIG
+    from gatk_hc_tpu.models.caller import call_batched
+    from gatk_hc_tpu.ops.engines import make_assemble_fn
+
+    fixtures = os.path.join(os.path.dirname(__file__), "..", "fixtures")
+    sam = os.path.join(fixtures, "chrM.sam")
+    fa = os.path.join(fixtures, "chrM.fa")
+    if not os.path.exists(sam):
+        import pytest
+
+        pytest.skip("fixture missing")
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, pairhmm_engine="native", assembler_engine="native"
+    )
+    out_fused = tmp_path / "fused.vcf"
+    call_batched(sam, fa, str(out_fused), cfg)
+    out_sep = tmp_path / "separate.vcf"
+    # passing assemble_fn explicitly disables the fused fast path
+    call_batched(sam, fa, str(out_sep), cfg, assemble_fn=make_assemble_fn(cfg))
+    assert out_fused.read_text() == out_sep.read_text()
+    golden = os.path.join(fixtures, "chrM.golden.vcf")
+    assert out_fused.read_text() == open(golden).read()
