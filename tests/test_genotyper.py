@@ -165,3 +165,67 @@ class TestEndToEndGenotyping:
         assert v.gt == (0, 1)
         assert v.alleles[0] == ref[pos]
         assert v.alleles[1] == alt[pos]
+
+
+class TestDeviceGenotyper:
+    """ops/genotyper_jax.py vs the host (NumPy, f64) genotyper reductions:
+    on CPU jax (f64) the device tile must match bit-for-bit."""
+
+    def test_matches_host_reductions(self):
+        import numpy as np
+
+        from gatk_hc_tpu.models.genotyper import (
+            _calculate_genotype_likelihoods,
+            _gq_and_max_index,
+            _marginalize,
+        )
+        from gatk_hc_tpu.ops.genotyper_jax import (
+            MAX_ALLELES,
+            genotype_pair_tables,
+            genotype_sites_host,
+        )
+
+        rng = np.random.default_rng(42)
+        S, R, H = 6, 24, 10
+        lik = (rng.random((S, R, H)) * -40.0).astype(np.float64)
+        # make ties plausible: clone some columns
+        lik[:, :, 3] = lik[:, :, 1]
+        allele_count = rng.integers(2, MAX_ALLELES + 1, S).astype(np.int32)
+        hap_to_allele = np.stack(
+            [rng.integers(0, a, H) for a in allele_count]
+        ).astype(np.int32)
+        read_keep = rng.random((S, R)) < 0.8
+        read_keep[:, 0] = True  # at least one read per site
+        hap_valid = np.ones((S, H), dtype=bool)
+        hap_valid[:, -2:] = rng.random((S, 2)) < 0.5
+        # invalid haps must not map anywhere meaningful on the host side:
+        # the host path simply doesn't include them in the mapper list
+        gl_dev, best_dev, gq_dev = genotype_sites_host(
+            lik, hap_to_allele, read_keep, hap_valid, allele_count
+        )
+        gl_dev = np.asarray(gl_dev)
+        a1, a2 = genotype_pair_tables()
+        for s in range(S):
+            a_count = int(allele_count[s])
+            valid = np.nonzero(hap_valid[s])[0]
+            mapper = [int(hap_to_allele[s, h]) for h in valid]
+            allele_lik = _marginalize(
+                mapper, a_count, read_keep[s], lik[s][:, valid]
+            )
+            gl_host = np.asarray(
+                _calculate_genotype_likelihoods(allele_lik, a_count)
+            )
+            best_host, gq_host = _gq_and_max_index(list(gl_host), 99)
+            # map host genotype order (a1<=a2 within a_count) to tile slots
+            slot_of = {
+                (int(x), int(y)): g
+                for g, (x, y) in enumerate(zip(a1, a2))
+            }
+            host_slots = [
+                slot_of[(x, y)]
+                for x in range(a_count)
+                for y in range(x, a_count)
+            ]
+            np.testing.assert_array_equal(gl_dev[s, host_slots], gl_host)
+            assert int(best_dev[s]) == host_slots[best_host]
+            assert int(gq_dev[s]) == gq_host
