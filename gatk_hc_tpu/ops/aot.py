@@ -58,6 +58,23 @@ def packed_signature_key(
     )
 
 
+def planes_signature_key(
+    platform: str,
+    nr_pad: int,
+    nh_pad: int,
+    r_pad: int,
+    c_pad: int,
+    n_pairs: int,
+    ppe_rows: int,
+    trans: Tuple,
+) -> str:
+    trans_tag = hashlib.sha256(repr(tuple(trans)).encode()).hexdigest()[:8]
+    return (
+        f"planes-{platform}-{nr_pad}x{nh_pad}-{r_pad}x{c_pad}-B{n_pairs}"
+        f"-ppe{ppe_rows}-t{trans_tag}-{_source_hash()}"
+    )
+
+
 def _path(key: str) -> str:
     return os.path.join(_CACHE_DIR, key + ".jaxexport")
 

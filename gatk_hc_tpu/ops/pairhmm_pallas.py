@@ -748,12 +748,13 @@ def pairhmm_pallas_unique(
     ),
 )
 def pairhmm_pallas_packed(
-    u8buf: jnp.ndarray,  # (2*nr_pad*r_pad + nh_pad*c_pad,) u8: reads|quals|haps
+    u8buf: jnp.ndarray,  # (3*nr_pad*r_pad + nh_pad*c_pad,) u8: reads|quals|quals|haps
     i32buf: jnp.ndarray,  # (nr_pad + 2*nh_pad,) i32: rlens|hlens|init_y bits
     pairs: jnp.ndarray,  # (2, B) i32: pair_read, pair_hap
     base_table: jnp.ndarray,  # (256,) i32  (device-resident constant)
     ph2pr_omq: jnp.ndarray,  # (128,) f32  (device-resident constant)
     ph2pr_q3: jnp.ndarray,  # (128,) f32  (device-resident constant)
+    ppe_table: jnp.ndarray,  # (768,) i32 combined table (ppe_element_table)
     trans: Tuple,
     nr_pad: int,
     nh_pad: int,
@@ -766,63 +767,56 @@ def pairhmm_pallas_packed(
 ) -> jnp.ndarray:
     """Packed-transfer variant of ``pairhmm_pallas_unique``.
 
-    The relay link between host and chip charges per-transfer latency, so the
-    runner ships each dispatch group as exactly TWO host buffers (one uint8,
-    one int32) plus a per-dispatch pair-index array; everything is unpacked
-    on device inside this single jit.  init_y crosses as int32 bit patterns
-    so the f32 values stay bit-identical to the host's (TPU f32 division is
-    reciprocal-based and may differ in the last ulp).
+    The relay link between host and chip charges per-transfer latency AND a
+    multi-ms fixed cost per (non-fused) XLA op, so the runner ships each
+    dispatch group as exactly TWO host buffers — one uint8, with the quals
+    duplicated so the ppe path's whole element encoding is ONE
+    combined-table gather, and one int32 — plus a per-dispatch pair-index
+    array; everything is unpacked on device inside this single jit.
+    init_y crosses as int32 bit patterns so the f32 values stay
+    bit-identical to the host's (TPU f32 division is reciprocal-based and
+    may differ in the last ulp).
     """
-    nrr = nr_pad * r_pad
-    read_u8 = u8buf[:nrr].reshape(nr_pad, r_pad)
-    qual_u8 = u8buf[nrr : 2 * nrr].reshape(nr_pad, r_pad)
-    hap_u8 = u8buf[2 * nrr : 2 * nrr + nh_pad * c_pad].reshape(nh_pad, c_pad)
-    read_lens = i32buf[:nr_pad]
-    hap_lens = i32buf[nr_pad : nr_pad + nh_pad]
-    init_y = jax.lax.bitcast_convert_type(
-        i32buf[nr_pad + nh_pad : nr_pad + 2 * nh_pad], jnp.float32
-    )
-
-    rc_unique = jnp.take(base_table, read_u8.astype(jnp.int32), axis=0)
-    q_idx = (qual_u8 & 127).astype(jnp.int32)
-    omq_unique = jnp.take(ph2pr_omq, q_idx, axis=0)
-    q3_unique = jnp.take(ph2pr_q3, q_idx, axis=0)
-    hc_unique = jnp.take(base_table, hap_u8.astype(jnp.int32), axis=0)
-
     pair_read, pair_hap = pairs[0], pairs[1]
     B = pair_read.shape[0]
-    rlens = jnp.take(read_lens, pair_read)
-    clens = jnp.take(hap_lens, pair_hap)
-    iy = jnp.take(init_y, pair_hap)
 
     if _ppe_eligible(B, c_pad, interpret, algo):
-        # fused production path: mask/bit conversion happens on the SMALL
-        # unique tables and the read side expands with ONE row gather whose
-        # output reshape/transpose lands directly in the kernel's
+        # fused production path: ONE gather builds the (3, NR, R) element
+        # planes + hap masks; the read side then expands with one row
+        # gather whose reshape/transpose lands in the kernel's
         # (nb, R, 3, 8, 128) layout
-        bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
-        ru = jnp.stack(
-            [_ppe_base_mask(rc_unique), bits(omq_unique), bits(q3_unique)],
-            axis=1,
-        )  # (NR, 3, R)
+        ru, hu, read_lens, hap_lens, init_y = _unpack_u8_ppe(
+            u8buf, i32buf, ppe_table, nr_pad, nh_pad, r_pad, c_pad
+        )
         nb = B // (8 * LANES)
         rows_hbm = (
-            jnp.take(ru, pair_read, axis=0)
-            .reshape(nb, 8, LANES, 3, r_pad)
-            .transpose(0, 4, 3, 1, 2)
+            jnp.take(ru, pair_read, axis=1)
+            .reshape(3, nb, 8, LANES, r_pad)
+            .transpose(1, 4, 0, 2, 3)
         )
         hap_blk = (
-            jnp.take(_ppe_base_mask(hc_unique), pair_hap, axis=0)
+            jnp.take(hu, pair_hap, axis=0)
             .reshape(nb, 8, LANES, c_pad)
             .transpose(0, 3, 1, 2)
         )
         vec = lambda v: v.reshape(nb, 8, LANES)
+        rlens = jnp.take(read_lens, pair_read).astype(jnp.int32)
+        clens = jnp.take(hap_lens, pair_hap).astype(jnp.int32)
+        iy = jnp.take(init_y, pair_hap)
         return _pallas_call_ppe(
-            rows_hbm, hap_blk, vec(rlens.astype(jnp.int32)),
-            vec(clens.astype(jnp.int32)), vec(iy),
+            rows_hbm, hap_blk, vec(rlens), vec(clens), vec(iy),
             trans, r_pad, c_pad, interpret, ppe_rows,
         )
 
+    rc_unique, omq_unique, q3_unique, hc_unique, read_lens, hap_lens, init_y = (
+        _unpack_u8(
+            u8buf, i32buf, base_table, ph2pr_omq, ph2pr_q3,
+            nr_pad, nh_pad, r_pad, c_pad,
+        )
+    )
+    rlens = jnp.take(read_lens, pair_read)
+    clens = jnp.take(hap_lens, pair_hap)
+    iy = jnp.take(init_y, pair_hap)
     read_codes = jnp.take(rc_unique, pair_read, axis=0)
     read_omq = jnp.take(omq_unique, pair_read, axis=0)
     read_q3 = jnp.take(q3_unique, pair_read, axis=0)
@@ -964,12 +958,32 @@ def pallas_pairhmm_engine(cfg: HCConfig):
 # removing redundant table work, not extra fusion.
 
 
+def ppe_element_table(base_table: np.ndarray, ph2pr_f32: np.ndarray) -> np.ndarray:
+    """The 768-entry combined lookup table for the one-gather prep:
+    [0:256]   byte -> one-hot base mask (A=1 C=2 G=4 T=8, N=15),
+    [256:512] byte -> (1 - ph2pr[byte & 127]) f32 bits,
+    [512:768] byte -> (ph2pr[byte & 127] / 3) f32 bits.
+    Segment offsets come from the packed-buffer position, so ONE jnp.take
+    produces every per-element plane (each small-table gather is a separate
+    XLA op with a multi-ms fixed cost on the relay-tunnelled chip)."""
+    codes = base_table.astype(np.int64)
+    masks = np.where(codes == 4, 15, 1 << codes).astype(np.int32)
+    k = np.arange(256) & 127
+    omq = (np.float32(1.0) - ph2pr_f32)[k].astype(np.float32)
+    q3 = (ph2pr_f32 / np.float32(3.0))[k].astype(np.float32)
+    return np.concatenate(
+        [masks, omq.view(np.int32), q3.view(np.int32)]
+    ).astype(np.int32)
+
+
 def _unpack_u8(u8buf, i32buf, base_table, ph2pr_omq, ph2pr_q3,
                nr_pad, nh_pad, r_pad, c_pad):
+    """Raw-encoding unpack (striped kernel path).  u8buf layout:
+    [reads | quals | quals(dup for the ppe path) | haps]."""
     nrr = nr_pad * r_pad
     read_u8 = u8buf[:nrr].reshape(nr_pad, r_pad)
     qual_u8 = u8buf[nrr : 2 * nrr].reshape(nr_pad, r_pad)
-    hap_u8 = u8buf[2 * nrr : 2 * nrr + nh_pad * c_pad].reshape(nh_pad, c_pad)
+    hap_u8 = u8buf[3 * nrr : 3 * nrr + nh_pad * c_pad].reshape(nh_pad, c_pad)
     rc = jnp.take(base_table, read_u8.astype(jnp.int32), axis=0)
     q_idx = (qual_u8 & 127).astype(jnp.int32)
     omq = jnp.take(ph2pr_omq, q_idx, axis=0)
@@ -983,23 +997,118 @@ def _unpack_u8(u8buf, i32buf, base_table, ph2pr_omq, ph2pr_q3,
     return rc, omq, q3, hc, read_lens, hap_lens, init_y
 
 
+def plane_tables(base_table: np.ndarray, ph2pr_f32: np.ndarray):
+    """Host-side 256-entry lookup tables for the planes path:
+    (byte -> one-hot mask i32, byte -> omq f32 bits, byte -> q3 f32 bits).
+    Identical values to ppe_element_table's segments — the host applies
+    them with numpy fancy-indexing and ships ready i32 planes, because the
+    relay-tunnelled chip runs small-table gathers at ~5 ns/element."""
+    t = ppe_element_table(base_table, ph2pr_f32)
+    return t[:256].copy(), t[256:512].copy(), t[512:768].copy()
+
+
+def _unpack_planes(buf, nr_pad, nh_pad, r_pad, c_pad):
+    """View-only unpack of the host-prepared plane buffer:
+    [rlens(NR) | hlens(NH) | iy bits(NH) | ru(3*NR*R) | hu(NH*C)] i32."""
+    nrr = nr_pad * r_pad
+    head = nr_pad + 2 * nh_pad
+    read_lens = buf[:nr_pad]
+    hap_lens = buf[nr_pad : nr_pad + nh_pad]
+    init_y = jax.lax.bitcast_convert_type(
+        buf[nr_pad + nh_pad : head], jnp.float32
+    )
+    ru = buf[head : head + 3 * nrr].reshape(3, nr_pad, r_pad)
+    hu = buf[head + 3 * nrr : head + 3 * nrr + nh_pad * c_pad].reshape(
+        nh_pad, c_pad
+    )
+    return ru, hu, read_lens, hap_lens, init_y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nr_pad", "nh_pad", "r_pad", "c_pad", "ppe_rows", "interpret",
+    ),
+)
+def pairhmm_pallas_planes(
+    buf: jnp.ndarray,  # host-prepared i32 plane buffer (_unpack_planes)
+    pairs: jnp.ndarray,  # (2, B) i32
+    trans: Tuple,
+    nr_pad: int,
+    nh_pad: int,
+    r_pad: int,
+    c_pad: int,
+    ppe_rows: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Planes-path dispatch: view-only unpack + pair expansion + ppe kernel.
+    Works for single- and multi-chunk groups alike (re-viewing the shared
+    buffer per chunk is free), so no separate table-prep program exists on
+    this path at all."""
+    ru, hu, read_lens, hap_lens, init_y = _unpack_planes(
+        buf, nr_pad, nh_pad, r_pad, c_pad
+    )
+    pair_read, pair_hap = pairs[0], pairs[1]
+    B = pair_read.shape[0]
+    nb = B // (8 * LANES)
+    rows_hbm = (
+        jnp.take(ru, pair_read, axis=1)
+        .reshape(3, nb, 8, LANES, r_pad)
+        .transpose(1, 4, 0, 2, 3)
+    )
+    hap_blk = (
+        jnp.take(hu, pair_hap, axis=0)
+        .reshape(nb, 8, LANES, c_pad)
+        .transpose(0, 3, 1, 2)
+    )
+    vec = lambda v: v.reshape(nb, 8, LANES)
+    rlens = jnp.take(read_lens, pair_read).astype(jnp.int32)
+    clens = jnp.take(hap_lens, pair_hap).astype(jnp.int32)
+    iy = jnp.take(init_y, pair_hap)
+    return _pallas_call_ppe(
+        rows_hbm, hap_blk, vec(rlens), vec(clens), vec(iy),
+        trans, r_pad, c_pad, interpret, ppe_rows,
+    )
+
+
+def _unpack_u8_ppe(u8buf, i32buf, ppe_table, nr_pad, nh_pad, r_pad, c_pad):
+    """One-gather unpack for the ppe kernel.  Returns ru in (3, NR, R)
+    layout (segment-major: masks | omq bits | q3 bits) plus hu (NH, C)."""
+    nrr = nr_pad * r_pad
+    n = 3 * nrr + nh_pad * c_pad
+    pos = jax.lax.iota(jnp.int32, n)
+    # segment offsets into ppe_element_table; the hap segment uses the mask
+    # segment (offset 0) like the reads.  These selects fuse into the
+    # gather's index computation — the whole prep is ONE gather op.
+    offs = jnp.where(
+        (pos >= nrr) & (pos < 2 * nrr), jnp.int32(256),
+        jnp.where((pos >= 2 * nrr) & (pos < 3 * nrr), jnp.int32(512),
+                  jnp.int32(0)),
+    )
+    flat = jnp.take(ppe_table, u8buf[:n].astype(jnp.int32) + offs)
+    ru = flat[: 3 * nrr].reshape(3, nr_pad, r_pad)
+    hu = flat[3 * nrr :].reshape(nh_pad, c_pad)
+    read_lens = i32buf[:nr_pad]
+    hap_lens = i32buf[nr_pad : nr_pad + nh_pad]
+    init_y = jax.lax.bitcast_convert_type(
+        i32buf[nr_pad + nh_pad : nr_pad + 2 * nh_pad], jnp.float32
+    )
+    return ru, hu, read_lens, hap_lens, init_y
+
+
 @functools.partial(
     jax.jit, static_argnames=("nr_pad", "nh_pad", "r_pad", "c_pad")
 )
 def prepare_tables_ppe(
-    u8buf, i32buf, base_table, ph2pr_omq, ph2pr_q3,
+    u8buf, i32buf, ppe_table,
     nr_pad: int, nh_pad: int, r_pad: int, c_pad: int,
 ):
-    """Unique tables in the ppe kernel's element encodings:
-    ru (NR, 3, R) i32 [base mask | omq bits | q3 bits], hu (NH, C) i32."""
-    rc, omq, q3, hc, read_lens, hap_lens, init_y = _unpack_u8(
-        u8buf, i32buf, base_table, ph2pr_omq, ph2pr_q3,
-        nr_pad, nh_pad, r_pad, c_pad,
+    """Unique tables in the ppe kernel's element encodings, via the
+    one-gather combined table: ru (3, NR, R) i32 [masks | omq | q3 bits],
+    hu (NH, C) i32 masks."""
+    return _unpack_u8_ppe(
+        u8buf, i32buf, ppe_table, nr_pad, nh_pad, r_pad, c_pad
     )
-    bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
-    ru = jnp.stack([_ppe_base_mask(rc), bits(omq), bits(q3)], axis=1)
-    hu = _ppe_base_mask(hc)
-    return ru, hu, read_lens, hap_lens, init_y
 
 
 @functools.partial(
@@ -1009,14 +1118,15 @@ def dispatch_pairs_ppe(
     ru, hu, read_lens, hap_lens, init_y, pairs,
     trans: Tuple, r_pad: int, c_pad: int, ppe_rows: int = 2,
 ):
-    """Pair expansion (gathers from prepared tables) + the ppe kernel."""
+    """Pair expansion (gathers from prepared tables) + the ppe kernel.
+    ru arrives segment-major (3, NR, R)."""
     pair_read, pair_hap = pairs[0], pairs[1]
     B = pair_read.shape[0]
     nb = B // (8 * LANES)
     rows_hbm = (
-        jnp.take(ru, pair_read, axis=0)
-        .reshape(nb, 8, LANES, 3, r_pad)
-        .transpose(0, 4, 3, 1, 2)
+        jnp.take(ru, pair_read, axis=1)
+        .reshape(3, nb, 8, LANES, r_pad)
+        .transpose(1, 4, 0, 2, 3)
     )
     hap_blk = (
         jnp.take(hu, pair_hap, axis=0)

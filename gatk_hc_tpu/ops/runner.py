@@ -118,6 +118,11 @@ class PallasPairHMMRunner:
         ph2pr = PH2PR_F32
         self._omq_table = (np.float32(1.0) - ph2pr).astype(np.float32)
         self._q3_table = (ph2pr / np.float32(3.0)).astype(np.float32)
+        from .pairhmm_pallas import plane_tables
+
+        self._mask_tab, self._omq_bits_tab, self._q3_bits_tab = plane_tables(
+            BASE_TABLE, PH2PR_F32
+        )
         import threading
 
         self._dev_tables: Dict = {}  # device -> lazily device_put tables
@@ -132,18 +137,23 @@ class PallasPairHMMRunner:
         if tables is None:
             import jax
 
+            from .pairhmm_pallas import ppe_element_table
+
             tables = tuple(
                 jax.device_put(t, device)
-                for t in (self._base_table, self._omq_table, self._q3_table)
+                for t in (
+                    self._base_table, self._omq_table, self._q3_table,
+                    ppe_element_table(BASE_TABLE, PH2PR_F32),
+                )
             )
             self._dev_tables[device] = tables
         return tables
 
-    def _packed_callable(self, nr_pad, nh_pad, r_pad, c_pad, n_pairs):
-        """Callable for the single-chunk packed dispatch program: an AOT
-        export when one exists (skips ~3s of per-process tracing), else the
-        regular jit.  Both lower to the same StableHLO, so results are
-        bitwise identical."""
+    def _planes_callable(self, nr_pad, nh_pad, r_pad, c_pad, n_pairs):
+        """Callable for a planes-path dispatch program: an AOT export when
+        one exists (skips ~3s of per-process tracing), else the regular
+        jit.  Both lower to the same StableHLO, so results are bitwise
+        identical."""
         key = (nr_pad, nh_pad, r_pad, c_pad, n_pairs)
         fn = self._call_cache.get(key)
         if fn is not None:
@@ -157,26 +167,20 @@ class PallasPairHMMRunner:
             import jax
 
             from . import aot
-            from .pairhmm_pallas import pairhmm_pallas_packed
+            from .pairhmm_pallas import pairhmm_pallas_planes
 
-            stripe = min(self.cfg.stripe_height, r_pad)
-            if not self.interpret:
-                fn = aot.load(
-                    aot.packed_signature_key(
-                        jax.default_backend(), nr_pad, nh_pad, r_pad, c_pad,
-                        n_pairs, stripe, self.cfg.pallas_algo,
-                        self.cfg.ppe_rows, self.trans,
-                    )
+            fn = aot.load(
+                aot.planes_signature_key(
+                    jax.default_backend(), nr_pad, nh_pad, r_pad, c_pad,
+                    n_pairs, self.cfg.ppe_rows, self.trans,
                 )
-            else:
-                fn = None
+            )
             if fn is None:
                 fn = functools.partial(
-                    pairhmm_pallas_packed,
+                    pairhmm_pallas_planes,
                     trans=self.trans,
                     nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
-                    stripe=stripe, interpret=self.interpret,
-                    algo=self.cfg.pallas_algo, ppe_rows=self.cfg.ppe_rows,
+                    ppe_rows=self.cfg.ppe_rows,
                 )
             self._call_cache[key] = fn
             return fn
@@ -206,16 +210,16 @@ class PallasPairHMMRunner:
 
             for nr, nh, r, c, B in signatures:
                 try:
-                    fn = self._packed_callable(nr, nh, r, c, B)
-                    u8 = np.zeros(2 * nr * r + nh * c, np.uint8)
-                    i32 = np.ones(nr + 2 * nh, np.int32)
+                    fn = self._planes_callable(nr, nh, r, c, B)
+                    buf = np.ones(
+                        nr + 2 * nh + 3 * nr * r + nh * c, np.int32
+                    )
                     pairs = np.zeros((2, B), np.int32)
                     device = self._devices[0]
                     import jax
 
-                    base, omq, q3 = self._device_tables(device)
-                    args = jax.device_put([u8, i32, pairs], device)
-                    fn(*args, base, omq, q3).block_until_ready()
+                    args = jax.device_put([buf, pairs], device)
+                    fn(*args).block_until_ready()
                 except Exception:  # pragma: no cover - prewarm is best-effort
                     pass
 
@@ -430,52 +434,22 @@ class PallasPairHMMRunner:
         pr[:total] = np.concatenate(pr_parts)
         ph[:total] = np.concatenate(ph_parts)
 
-        # ship the group's tables ONCE as two packed buffers (the relay link
-        # charges ~0.5ms latency per transfer; 11 small transfers per
-        # dispatch dominated the old submit path)
         import jax
 
-        u8buf = np.concatenate(
-            [read_u8.ravel(), qual_u8.ravel(), hap_u8.ravel()]
+        from .pairhmm_pallas import (
+            _PPE_UNROLL,
+            dispatch_pairs_striped,
+            prepare_tables_striped,
         )
-        i32buf = np.concatenate(
-            [read_lens, hap_lens, hap_init_y.view(np.int32)]
-        )
+
         device = self._devices[self._next_device % len(self._devices)]
         self._next_device += 1
-        # one device_put for the whole group (each put pays ~1ms of relay
-        # overhead regardless of size)
         chunk_pairs = []
         off = 0
         for size in sizes:
             sl = slice(off, off + size)
             chunk_pairs.append(np.stack([pr[sl], ph[sl]]))
             off += size
-        u8_dev, i32_dev, *pairs_devs = jax.device_put(
-            [u8buf, i32buf] + chunk_pairs, device
-        )
-
-        # Single-chunk groups (the common case) run prep + expansion + kernel
-        # as ONE program (every program launch has a fixed relay cost).
-        # Multi-chunk groups hoist unique-table prep into its own program so
-        # chunks don't redo it.
-        from .pairhmm_pallas import (
-            _PPE_UNROLL,
-            dispatch_pairs_ppe,
-            dispatch_pairs_striped,
-            pairhmm_pallas_packed,
-            prepare_tables_ppe,
-            prepare_tables_striped,
-        )
-
-        base, omq, q3 = self._device_tables(device)
-        outs = []
-        if len(sizes) == 1:
-            fn = self._packed_callable(nr_pad, nh_pad, r_pad, c_pad, sizes[0])
-            outs.append(
-                fn(u8_dev, i32_dev, pairs_devs[0], base, omq, q3)
-            )
-            return (outs, (spans, total))
 
         use_ppe = (
             not self.interpret
@@ -484,29 +458,65 @@ class PallasPairHMMRunner:
             and c_pad <= 640
             and all(s % 1024 == 0 for s in sizes)
         )
-        prepare = prepare_tables_ppe if use_ppe else prepare_tables_striped
-        tables = prepare(
+        outs = []
+        if use_ppe:
+            # planes path: the HOST applies the 256-entry element tables
+            # (numpy fancy-indexing, ~2ms/group) and ships ready i32 planes
+            # in one buffer — the device does view-only unpack + expansion
+            # + kernel (small-table gathers run at ~5ns/element through the
+            # relay and cost more than the extra upload bytes)
+            buf = self._build_planes(
+                read_u8, qual_u8, hap_u8, read_lens, hap_lens, hap_init_y,
+                nr_pad, nh_pad, r_pad, c_pad,
+            )
+            buf_dev, *pairs_devs = jax.device_put([buf] + chunk_pairs, device)
+            for pairs_dev, size in zip(pairs_devs, sizes):
+                fn = self._planes_callable(nr_pad, nh_pad, r_pad, c_pad, size)
+                outs.append(fn(buf_dev, pairs_dev))
+            return (outs, (spans, total))
+
+        # striped / interpret fallback: packed uint8 shipping + device prep
+        u8buf = np.concatenate(
+            [read_u8.ravel(), qual_u8.ravel(), qual_u8.ravel(), hap_u8.ravel()]
+        )
+        i32buf = np.concatenate(
+            [read_lens, hap_lens, hap_init_y.view(np.int32)]
+        )
+        u8_dev, i32_dev, *pairs_devs = jax.device_put(
+            [u8buf, i32buf] + chunk_pairs, device
+        )
+        base, omq, q3, _ppe_tab = self._device_tables(device)
+        tables = prepare_tables_striped(
             u8_dev, i32_dev, base, omq, q3,
             nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
         )
         for pairs_dev in pairs_devs:
-            if use_ppe:
-                outs.append(
-                    dispatch_pairs_ppe(
-                        *tables, pairs_dev, self.trans,
-                        r_pad=r_pad, c_pad=c_pad, ppe_rows=self.cfg.ppe_rows,
-                    )
+            outs.append(
+                dispatch_pairs_striped(
+                    *tables, pairs_dev, self.trans,
+                    r_pad=r_pad, c_pad=c_pad,
+                    stripe=min(self.cfg.stripe_height, r_pad),
+                    interpret=self.interpret,
                 )
-            else:
-                outs.append(
-                    dispatch_pairs_striped(
-                        *tables, pairs_dev, self.trans,
-                        r_pad=r_pad, c_pad=c_pad,
-                        stripe=min(self.cfg.stripe_height, r_pad),
-                        interpret=self.interpret,
-                    )
-                )
+            )
         return (outs, (spans, total))
+
+    def _build_planes(self, read_u8, qual_u8, hap_u8, read_lens, hap_lens,
+                      hap_init_y, nr_pad, nh_pad, r_pad, c_pad):
+        """Host-side plane buffer for pairhmm_pallas_planes:
+        [rlens | hlens | iy bits | read masks | omq bits | q3 bits | hap
+        masks], all int32."""
+        nrr = nr_pad * r_pad
+        head = nr_pad + 2 * nh_pad
+        buf = np.empty(head + 3 * nrr + nh_pad * c_pad, np.int32)
+        buf[:nr_pad] = read_lens
+        buf[nr_pad : nr_pad + nh_pad] = hap_lens
+        buf[nr_pad + nh_pad : head] = hap_init_y.view(np.int32)
+        np.take(self._mask_tab, read_u8, out=buf[head : head + nrr])
+        np.take(self._omq_bits_tab, qual_u8, out=buf[head + nrr : head + 2 * nrr])
+        np.take(self._q3_bits_tab, qual_u8, out=buf[head + 2 * nrr : head + 3 * nrr])
+        np.take(self._mask_tab, hap_u8, out=buf[head + 3 * nrr :])
+        return buf
 
     def _finalize_group(self, jobs, outs, spans_total) -> None:
         spans, total = spans_total

@@ -154,3 +154,116 @@ class TestJobValidation:
         with _pytest.raises(ValueError):
             PairHMMJob([(b, q)], [np.zeros(0, np.uint8)])
         PairHMMJob([(b, q)], [b])  # non-empty rows are fine
+
+
+class TestPlanesPath:
+    """Host-prepared plane buffers vs the device one-gather prep: identical
+    i32 planes, and the planes dispatch agrees with the striped kernel."""
+
+    def test_host_planes_equal_device_prep(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from gatk_hc_tpu.ops.pairhmm_pallas import (
+            ppe_element_table,
+            plane_tables,
+            prepare_tables_ppe,
+            _unpack_planes,
+        )
+        from gatk_hc_tpu.utils.quality import BASE_TABLE, PH2PR_F32
+
+        nr_pad, nh_pad, r_pad, c_pad = 8, 4, 16, 64
+        nrr = nr_pad * r_pad
+        rng2 = np.random.default_rng(5)
+        read_u8 = rng2.integers(0, 255, nrr).astype(np.uint8)
+        qual_u8 = rng2.integers(33, 127, nrr).astype(np.uint8)
+        hap_u8 = rng2.integers(0, 255, nh_pad * c_pad).astype(np.uint8)
+        read_lens = rng2.integers(1, r_pad, nr_pad).astype(np.int32)
+        hap_lens = rng2.integers(1, c_pad, nh_pad).astype(np.int32)
+        iy = rng2.random(nh_pad).astype(np.float32)
+
+        # device one-gather prep from the packed u8 layout
+        u8buf = np.concatenate([read_u8, qual_u8, qual_u8, hap_u8])
+        i32buf = np.concatenate([read_lens, hap_lens, iy.view(np.int32)])
+        tab = jnp.asarray(ppe_element_table(BASE_TABLE, PH2PR_F32))
+        ru_d, hu_d, rl_d, hl_d, iy_d = prepare_tables_ppe(
+            jnp.asarray(u8buf), jnp.asarray(i32buf), tab,
+            nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
+        )
+
+        # host-built plane buffer (what the runner ships)
+        mask_t, omq_t, q3_t = plane_tables(BASE_TABLE, PH2PR_F32)
+        buf = np.concatenate([
+            read_lens, hap_lens, iy.view(np.int32),
+            mask_t[read_u8], omq_t[qual_u8], q3_t[qual_u8], mask_t[hap_u8],
+        ]).astype(np.int32)
+        ru_h, hu_h, rl_h, hl_h, iy_h = _unpack_planes(
+            jnp.asarray(buf), nr_pad, nh_pad, r_pad, c_pad
+        )
+        np.testing.assert_array_equal(np.asarray(ru_d), np.asarray(ru_h))
+        np.testing.assert_array_equal(np.asarray(hu_d), np.asarray(hu_h))
+        np.testing.assert_array_equal(np.asarray(rl_d), np.asarray(rl_h))
+        np.testing.assert_array_equal(np.asarray(hl_d), np.asarray(hl_h))
+        np.testing.assert_array_equal(np.asarray(iy_d), np.asarray(iy_h))
+
+    def test_planes_dispatch_matches_striped(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from gatk_hc_tpu.ops.pairhmm_jax import transition_constants
+        from gatk_hc_tpu.ops.pairhmm_pallas import (
+            _pallas_forward, pairhmm_pallas_planes, plane_tables,
+        )
+        from gatk_hc_tpu.utils.quality import BASE_TABLE, PH2PR_F32
+
+        trans = transition_constants(ord("I"), ord("+"))
+        nr_pad, nh_pad, r_pad, c_pad, B = 16, 8, 32, 128, 1024
+        rng2 = np.random.default_rng(6)
+        bases = np.frombuffer(b"ACGTN", np.uint8)
+        read_u8 = bases[rng2.integers(0, 5, nr_pad * r_pad)]
+        qual_u8 = rng2.integers(53, 73, nr_pad * r_pad).astype(np.uint8)
+        hap_u8 = bases[rng2.integers(0, 5, nh_pad * c_pad)]
+        read_lens = np.full(nr_pad, r_pad - 3, np.int32)
+        hap_lens = np.full(nh_pad, c_pad - 5, np.int32)
+        iy = (np.float32(2.0**120) / hap_lens.astype(np.float32)).astype(
+            np.float32
+        )
+        mask_t, omq_t, q3_t = plane_tables(BASE_TABLE, PH2PR_F32)
+        buf = np.concatenate([
+            read_lens, hap_lens, iy.view(np.int32),
+            mask_t[read_u8], omq_t[qual_u8], q3_t[qual_u8], mask_t[hap_u8],
+        ]).astype(np.int32)
+        pairs = np.stack([
+            (np.arange(B) % nr_pad).astype(np.int32),
+            (np.arange(B) % nh_pad).astype(np.int32),
+        ])
+        got = np.asarray(
+            pairhmm_pallas_planes(
+                jnp.asarray(buf), jnp.asarray(pairs), trans,
+                nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
+                ppe_rows=2, interpret=True,
+            )
+        )
+        # striped reference on the expanded pairs
+        from gatk_hc_tpu.utils.quality import BASE_TABLE as BT
+
+        codes = BT[read_u8].astype(np.int32).reshape(nr_pad, r_pad)
+        omqv = (np.float32(1.0) - PH2PR_F32)[qual_u8 & 127].reshape(
+            nr_pad, r_pad
+        )
+        q3v = (PH2PR_F32 / np.float32(3.0))[qual_u8 & 127].reshape(
+            nr_pad, r_pad
+        )
+        hcodes = BT[hap_u8].astype(np.int32).reshape(nh_pad, c_pad)
+        pr, ph = pairs[0], pairs[1]
+        want = np.asarray(
+            _pallas_forward(
+                jnp.asarray(codes[pr]), jnp.asarray(omqv[pr]),
+                jnp.asarray(q3v[pr]), jnp.asarray(read_lens[pr]),
+                jnp.asarray(hcodes[ph]), jnp.asarray(hap_lens[ph]),
+                jnp.asarray(iy[ph]), trans, r_pad, c_pad, 8, True,
+                algo="striped",
+            )
+        )
+        # interpret-mode FMA contraction differs per program: 1-2 ulp
+        np.testing.assert_allclose(got, want, rtol=3e-7)
