@@ -248,6 +248,8 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
   struct Scratch {
     std::vector<uint8_t> bt;
     std::vector<int32_t> h_prev, h_cur, F_prev, last_col, bottom_row;
+    std::vector<int32_t> m11p, hnoe;
+    std::vector<uint8_t> del_ext;
   };
   thread_local Scratch s;
   const size_t bt_size = static_cast<size_t>(n + 1) * (m + 1);
@@ -258,48 +260,103 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
   s.F_prev.assign(m + 1, kLowInit32);
   s.last_col.assign(n + 1, 0);
   s.bottom_row.assign(m + 1, 0);
+  s.m11p.resize(m + 1);
+  s.hnoe.resize(m + 1);
+  s.del_ext.resize(m + 1);
   auto& h_prev = s.h_prev;
   auto& h_cur = s.h_cur;
   auto& F_prev = s.F_prev;
   auto& last_col = s.last_col;
   auto& bottom_row = s.bottom_row;
 
+  // Two-pass rows when w_open <= w_extend (all presets): pass A has no
+  // loop-carried dependence and autovectorizes; pass B keeps only the
+  // E-recurrence.  The lazy-E substitution (opening a gap from an
+  // E-won cell is dominated by extending, since open <= extend) leaves
+  // every score, tie-break, and backtrack flag bit-identical to the
+  // single-pass reference loop, which is kept as the fallback.
+  const bool lazy_e_ok = w_open <= w_extend;
   for (int i = 1; i <= n; ++i) {
     h_cur[0] = 0;
-    int32_t E = kLowInit32;  // E[i][0]
     uint8_t* bt_row = bt.data() + static_cast<size_t>(i) * (m + 1);
     const uint8_t ri = ref[i - 1];
-    for (int j = 1; j <= m; ++j) {
-      const int32_t h_left = h_cur[j - 1];
-      const int32_t e_open = h_left + w_open;
-      const int32_t e_ext = E + w_extend;
-      const bool ins_ext = !(e_open > e_ext);
-      const int32_t e11 = std::max(e_open, e_ext);
-
-      const int32_t h_top = h_prev[j];
-      const int32_t f_open = h_top + w_open;
-      const int32_t f_ext = F_prev[j] + w_extend;
-      const bool del_ext = !(f_open > f_ext);
-      const int32_t f11 = std::max(f_open, f_ext);
-
-      const int32_t m11 =
-          h_prev[j - 1] + (ri == alt[j - 1] ? w_match : w_mismatch);
-      int32_t h11 = std::max(kMinCutoff32, m11);
-      uint8_t code = SW_MATCH;
-      if (e11 > h11) {
-        code = SW_INSERT;
-        h11 = e11;
+    if (lazy_e_ok) {
+      int32_t* m11p = s.m11p.data();
+      int32_t* hnoe = s.hnoe.data();
+      uint8_t* dele = s.del_ext.data();
+      const int32_t* hp = h_prev.data();
+      int32_t* fp = F_prev.data();
+      for (int j = 1; j <= m; ++j) {  // pass A (vectorizable)
+        const int32_t m11 =
+            hp[j - 1] + (ri == alt[j - 1] ? w_match : w_mismatch);
+        const int32_t mp = m11 > kMinCutoff32 ? m11 : kMinCutoff32;
+        const int32_t f_open = hp[j] + w_open;
+        const int32_t f_ext = fp[j] + w_extend;
+        const int32_t f11 = f_open > f_ext ? f_open : f_ext;
+        m11p[j] = mp;
+        dele[j] = f_open > f_ext ? 0 : SW_DELETE_EXT;
+        fp[j] = f11;
+        hnoe[j] = mp > f11 ? mp : f11;
       }
-      if (f11 > h11) {
-        code = SW_DELETE;
-        h11 = f11;
+      int32_t E = kLowInit32;
+      int32_t h_left_noe = 0;  // h(i, 0) = 0; E never wins at column 0
+      for (int j = 1; j <= m; ++j) {  // pass B (E chain only)
+        const int32_t e_open = h_left_noe + w_open;
+        const int32_t e_ext = E + w_extend;
+        const int32_t e11 = e_open > e_ext ? e_open : e_ext;
+        const int32_t mp = m11p[j];
+        const int32_t f11 = fp[j];
+        int32_t h11 = mp;
+        uint8_t code = SW_MATCH;
+        if (e11 > h11) {
+          code = SW_INSERT;
+          h11 = e11;
+        }
+        if (f11 > h11) {
+          code = SW_DELETE;
+          h11 = f11;
+        }
+        if (!(e_open > e_ext)) code |= SW_INSERT_EXT;
+        code |= dele[j];
+        h_cur[j] = h11;
+        bt_row[j] = code;
+        E = e11;
+        h_left_noe = hnoe[j];
       }
-      if (ins_ext) code |= SW_INSERT_EXT;
-      if (del_ext) code |= SW_DELETE_EXT;
-      h_cur[j] = h11;
-      bt_row[j] = code;
-      E = e11;
-      F_prev[j] = f11;
+    } else {  // reference single-pass loop (exotic parameters)
+      int32_t E = kLowInit32;  // E[i][0]
+      for (int j = 1; j <= m; ++j) {
+        const int32_t h_left = h_cur[j - 1];
+        const int32_t e_open = h_left + w_open;
+        const int32_t e_ext = E + w_extend;
+        const bool ins_ext = !(e_open > e_ext);
+        const int32_t e11 = std::max(e_open, e_ext);
+
+        const int32_t h_top = h_prev[j];
+        const int32_t f_open = h_top + w_open;
+        const int32_t f_ext = F_prev[j] + w_extend;
+        const bool del_ext = !(f_open > f_ext);
+        const int32_t f11 = std::max(f_open, f_ext);
+
+        const int32_t m11 =
+            h_prev[j - 1] + (ri == alt[j - 1] ? w_match : w_mismatch);
+        int32_t h11 = std::max(kMinCutoff32, m11);
+        uint8_t code = SW_MATCH;
+        if (e11 > h11) {
+          code = SW_INSERT;
+          h11 = e11;
+        }
+        if (f11 > h11) {
+          code = SW_DELETE;
+          h11 = f11;
+        }
+        if (ins_ext) code |= SW_INSERT_EXT;
+        if (del_ext) code |= SW_DELETE_EXT;
+        h_cur[j] = h11;
+        bt_row[j] = code;
+        E = e11;
+        F_prev[j] = f11;
+      }
     }
     last_col[i] = h_cur[m];
     if (i == n) bottom_row = h_cur;
