@@ -248,8 +248,7 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
   struct Scratch {
     std::vector<uint8_t> bt;
     std::vector<int32_t> h_prev, h_cur, F_prev, last_col, bottom_row;
-    std::vector<int32_t> m11p, hnoe;
-    std::vector<uint8_t> del_ext;
+    std::vector<int32_t> m11p, hnoe, del_ext, etmp, e_a, e_b;
   };
   thread_local Scratch s;
   const size_t bt_size = static_cast<size_t>(n + 1) * (m + 1);
@@ -263,6 +262,9 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
   s.m11p.resize(m + 1);
   s.hnoe.resize(m + 1);
   s.del_ext.resize(m + 1);
+  s.etmp.resize(m + 1);
+  s.e_a.resize(m + 1);
+  s.e_b.resize(m + 1);
   auto& h_prev = s.h_prev;
   auto& h_cur = s.h_cur;
   auto& F_prev = s.F_prev;
@@ -281,14 +283,19 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
     uint8_t* bt_row = bt.data() + static_cast<size_t>(i) * (m + 1);
     const uint8_t ri = ref[i - 1];
     if (lazy_e_ok) {
-      int32_t* m11p = s.m11p.data();
-      int32_t* hnoe = s.hnoe.data();
-      uint8_t* dele = s.del_ext.data();
-      const int32_t* hp = h_prev.data();
-      int32_t* fp = F_prev.data();
+      int32_t* __restrict__ m11p = s.m11p.data();
+      int32_t* __restrict__ hnoe = s.hnoe.data();
+      int32_t* __restrict__ dele = s.del_ext.data();
+      const int32_t* __restrict__ hp = h_prev.data();
+      int32_t* __restrict__ fp = F_prev.data();
+      const uint8_t* __restrict__ altp = alt;
+      // all six arrays are distinct allocations (thread_local scratch);
+      // ivdep suppresses gcc's >10 runtime alias checks that otherwise
+      // block vectorization
+#pragma GCC ivdep
       for (int j = 1; j <= m; ++j) {  // pass A (vectorizable)
         const int32_t m11 =
-            hp[j - 1] + (ri == alt[j - 1] ? w_match : w_mismatch);
+            hp[j - 1] + (ri == altp[j - 1] ? w_match : w_mismatch);
         const int32_t mp = m11 > kMinCutoff32 ? m11 : kMinCutoff32;
         const int32_t f_open = hp[j] + w_open;
         const int32_t f_ext = fp[j] + w_extend;
@@ -298,16 +305,42 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
         fp[j] = f11;
         hnoe[j] = mp > f11 ? mp : f11;
       }
-      int32_t E = kLowInit32;
-      int32_t h_left_noe = 0;  // h(i, 0) = 0; E never wins at column 0
-      for (int j = 1; j <= m; ++j) {  // pass B (E chain only)
-        const int32_t e_open = h_left_noe + w_open;
-        const int32_t e_ext = E + w_extend;
-        const int32_t e11 = e_open > e_ext ? e_open : e_ext;
+      // pass B: the E recurrence e[j] = max(hnoe[j-1] + open, e[j-1] + ext)
+      // is a max-plus inclusive scan — computed with log2(m) vectorized
+      // Hillis-Steele passes (integer max-plus is associative: exact)
+      int32_t* __restrict__ etmp = s.etmp.data();
+      int32_t* __restrict__ ea = s.e_a.data();
+      hnoe[0] = 0;  // h(i, 0) = 0; E never wins at column 0
+#pragma GCC ivdep
+      for (int j = 1; j <= m; ++j) etmp[j] = hnoe[j - 1] + w_open;
+      ea[0] = kLowInit32;
+#pragma GCC ivdep
+      for (int j = 1; j <= m; ++j) ea[j] = etmp[j];
+      {
+        int32_t* __restrict__ src = ea;
+        int32_t* __restrict__ dst = s.e_b.data();
+        for (int step = 1; step <= m; step <<= 1) {
+          const int32_t add = static_cast<int32_t>(step) * w_extend;
+#pragma GCC ivdep
+          for (int j = step; j <= m; ++j) {
+            const int32_t via = src[j - step] + add;
+            dst[j] = src[j] > via ? src[j] : via;
+          }
+          for (int j = 0; j < step && j <= m; ++j) dst[j] = src[j];
+          std::swap(src, dst);
+        }
+        ea = src;
+      }
+      uint8_t* __restrict__ btp = bt_row;
+      int32_t* __restrict__ hc = h_cur.data();
+#pragma GCC ivdep
+      for (int j = 1; j <= m; ++j) {  // codes + H (vectorizable)
+        const int32_t e_ext = ea[j - 1] + w_extend;
+        const int32_t e11 = ea[j];
         const int32_t mp = m11p[j];
         const int32_t f11 = fp[j];
         int32_t h11 = mp;
-        uint8_t code = SW_MATCH;
+        int32_t code = SW_MATCH;
         if (e11 > h11) {
           code = SW_INSERT;
           h11 = e11;
@@ -316,12 +349,10 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
           code = SW_DELETE;
           h11 = f11;
         }
-        if (!(e_open > e_ext)) code |= SW_INSERT_EXT;
+        if (!(etmp[j] > e_ext)) code |= SW_INSERT_EXT;
         code |= dele[j];
-        h_cur[j] = h11;
-        bt_row[j] = code;
-        E = e11;
-        h_left_noe = hnoe[j];
+        hc[j] = h11;
+        btp[j] = static_cast<uint8_t>(code);
       }
     } else {  // reference single-pass loop (exotic parameters)
       int32_t E = kLowInit32;  // E[i][0]
