@@ -440,6 +440,8 @@ def call_batched(
     with timers.stage("io"):
         if out_path is not None:
             write_vcf(out_path, contigs[0].name, len(contigs[0].seq), results, cfg)
+    if hasattr(runner, "stop_prewarm"):
+        runner.stop_prewarm()
     logger.done()
     return results
 

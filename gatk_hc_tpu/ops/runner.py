@@ -131,6 +131,7 @@ class PallasPairHMMRunner:
         # prewarm thread is mid-way through waits for it instead of tracing
         # the same program concurrently
         self._call_lock = threading.Lock()
+        self._prewarm_stop = threading.Event()
 
     def _device_tables(self, device):
         tables = self._dev_tables.get(device)
@@ -209,6 +210,8 @@ class PallasPairHMMRunner:
             import numpy as np
 
             for nr, nh, r, c, B in signatures:
+                if self._prewarm_stop.is_set():
+                    return
                 try:
                     fn = self._planes_callable(nr, nh, r, c, B)
                     buf = np.ones(
@@ -224,13 +227,18 @@ class PallasPairHMMRunner:
                     pass
 
         # non-daemon: interpreter teardown mid-device-call aborts the
-        # process; the thread is bounded (a few program loads) and finishes
-        # long before any real run does
+        # process; stop_prewarm() caps the exit wait at one in-flight
+        # program load when a short run finishes before warming does
         thread = threading.Thread(target=work, daemon=False)
         thread.start()
         if block:
             thread.join()
         return thread
+
+    def stop_prewarm(self) -> None:
+        """Skip any prewarm signatures not yet started (called once the
+        pipeline has drained — further warming is pure exit latency)."""
+        self._prewarm_stop.set()
 
     def _round_stripe(self, r: int) -> int:
         h = self.cfg.stripe_height
