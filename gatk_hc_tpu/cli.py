@@ -160,6 +160,7 @@ def main(argv=None) -> int:
                 args.input, args.reference, args.output, cfg,
                 args.coordinator, args.num_processes, args.process_id,
                 logger=logger, timers=timers, counters=counters,
+                manifest_path=args.manifest,
             )
         elif cfg.pairhmm_engine in ("pallas", "jax", "native"):
             # native uses the CPU batch runner inside call_batched (same

@@ -159,6 +159,7 @@ def run_multihost(
     logger=None,
     timers=None,
     counters=None,
+    manifest_path: Optional[str] = None,
 ):
     """Whole-pipeline multi-host entry: shard regions, call, gather, write.
 
@@ -180,11 +181,20 @@ def run_multihost(
     mine = partition_regions(n_regions, pidx, pcount)
     mine_set = set(mine)
 
+    manifest = None
+    if manifest_path is not None:
+        # per-process manifest: region ids are the global index, so each
+        # shard's checkpoint file resumes independently
+        from .checkpoint import RegionManifest
+
+        manifest = RegionManifest(f"{manifest_path}.p{pidx}")
+
     results = call_batched(
         sam_path, fasta_path, None, cfg,
         region_filter=lambda i: i in mine_set,
         logger=logger or NULL_LOGGER,
         timers=timers, counters=counters,
+        manifest=manifest,
     )
     region_ids: List[int] = []
     variants: List[Variant] = []

@@ -220,3 +220,30 @@ class TestAOTCache:
             "cpu", 8, 8, 32, 128, 256, 8, "ppe", 2, (0.2,) * 6
         )
         assert key1 != key2  # transition constants are part of the key
+
+
+class TestMultihostManifest:
+    def test_per_process_manifest_resume(self, tmp_path):
+        """run_multihost with a manifest path checkpoints per process and
+        resumes to identical output (single-process here; region ids are
+        the same global index multihost shards use)."""
+        import dataclasses
+        import os
+
+        from gatk_hc_tpu.parallel.multihost import run_multihost
+
+        fixtures = os.path.join(os.path.dirname(__file__), "..", "fixtures")
+        sam = os.path.join(fixtures, "chrM.sam")
+        fa = os.path.join(fixtures, "chrM.fa")
+        if not os.path.exists(sam):
+            pytest.skip("fixture missing")
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, pairhmm_engine="native", assembler_engine="native"
+        )
+        out1 = str(tmp_path / "a.vcf")
+        mpath = str(tmp_path / "m.jsonl")
+        run_multihost(sam, fa, out1, cfg, manifest_path=mpath)
+        assert os.path.getsize(mpath + ".p0") > 0
+        out2 = str(tmp_path / "b.vcf")
+        run_multihost(sam, fa, out2, cfg, manifest_path=mpath)
+        assert open(out1).read() == open(out2).read()
