@@ -52,6 +52,19 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("auto", "native", "python"),
         help="SAM parse + window prep: columnar C++ or per-record Python",
     )
+    parser.add_argument(
+        "--host-threads", type=int, default=DEFAULT_CONFIG.host_threads,
+        help="host pipeline threads (0 = one per CPU, 1 = inline)",
+    )
+    parser.add_argument(
+        "--pallas-algo", default=DEFAULT_CONFIG.pallas_algo,
+        choices=("ppe", "striped"),
+        help="TPU kernel: pair-per-element (production) or striped",
+    )
+    parser.add_argument(
+        "--ppe-rows", type=int, default=DEFAULT_CONFIG.ppe_rows,
+        choices=(1, 2, 4), help="rows per sweep in the ppe kernel",
+    )
     parser.add_argument("--seed", type=int, default=DEFAULT_CONFIG.downsample_seed)
     parser.add_argument("--region-size", type=int, default=DEFAULT_CONFIG.region_size)
     parser.add_argument("--padding-size", type=int, default=DEFAULT_CONFIG.padding_size)
@@ -115,6 +128,9 @@ def main(argv=None) -> int:
         downsample_seed=args.seed,
         region_size=args.region_size,
         padding_size=args.padding_size,
+        host_threads=args.host_threads,
+        pallas_algo=args.pallas_algo,
+        ppe_rows=args.ppe_rows,
     )
     if args.dump_graph is not None:
         return _dump_graph(args, cfg)
