@@ -100,12 +100,14 @@ def bench_device(reads, haps, n_jobs: int = 16):
     cells = len(reads) * len(haps) * READ_LEN * HAP_LEN
     best = float("inf")
     rounds = 0
-    while rounds < 8 or (cells / best < 30e9 and rounds < 18):
+    while True:
         jobs = [PairHMMJob(reads, haps) for _ in range(n_jobs)]
         t0 = time.perf_counter()
         runner.run(jobs)
         best = min(best, (time.perf_counter() - t0) / n_jobs)
         rounds += 1
+        if not (rounds < 8 or (cells / best < 30e9 and rounds < 18)):
+            break
         time.sleep(20)
     return cells / best
 

@@ -195,13 +195,19 @@ def main(argv=None) -> int:
                 # trace/compile the expected first dispatch programs in the
                 # background while the host parses and assembles
                 runner.prewarm()
-            with maybe_profile():
-                results = call_batched(
-                    args.input, args.reference, args.output, cfg,
-                    region_filter=region_filter, logger=logger,
-                    timers=timers, counters=counters, manifest=manifest,
-                    runner=runner,
-                )
+            try:
+                with maybe_profile():
+                    results = call_batched(
+                        args.input, args.reference, args.output, cfg,
+                        region_filter=region_filter, logger=logger,
+                        timers=timers, counters=counters, manifest=manifest,
+                        runner=runner,
+                    )
+            finally:
+                # on ANY exit (errors included): don't let unstarted prewarm
+                # signatures keep compiling and block interpreter shutdown
+                if runner is not None:
+                    runner.stop_prewarm()
         else:
             results = call(
                 args.input, args.reference, args.output, cfg,

@@ -188,6 +188,20 @@ class ColumnarReadStore:
             int(idx.rows.size) for idx in self._indexes.values()
         )
 
+    def window_buffers(self, sel: np.ndarray):
+        """Output buffers for a window's prepared reads: (out_seq, out_qual,
+        out_off, out_ab, out_ae, cap).  Shared by prepare_window and the
+        fused native window path."""
+        cap = int((self.seq_off[sel + 1] - self.seq_off[sel]).sum())
+        return (
+            np.empty(max(cap, 1), np.uint8),
+            np.empty(max(cap, 1), np.uint8),
+            np.empty(len(sel) + 1, np.int64),
+            np.empty(len(sel), np.int64),
+            np.empty(len(sel), np.int64),
+            cap,
+        )
+
     def prepare_window(
         self, contig: str, begin: int, end: int, cfg: HCConfig
     ):
@@ -199,14 +213,7 @@ class ColumnarReadStore:
         sel = self._indexes[contig].select(begin, end, cfg)
         if sel.size == 0:
             return [], 0
-        cap = int(
-            (self.seq_off[sel + 1] - self.seq_off[sel]).sum()
-        )
-        out_seq = np.empty(max(cap, 1), np.uint8)
-        out_qual = np.empty(max(cap, 1), np.uint8)
-        out_off = np.empty(len(sel) + 1, np.int64)
-        out_ab = np.empty(len(sel), np.int64)
-        out_ae = np.empty(len(sel), np.int64)
+        out_seq, out_qual, out_off, out_ab, out_ae, cap = self.window_buffers(sel)
         c = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
         i64 = ctypes.c_int64
         kept = self._lib.hc_prepare_window(
@@ -218,23 +225,32 @@ class ColumnarReadStore:
             c(out_seq, ctypes.c_uint8), c(out_qual, ctypes.c_uint8),
             c(out_off, i64), c(out_ab, i64), c(out_ae, i64),
         )
-        # right-size the blobs so the views do not pin the pre-filter
-        # superset allocation for the pipeline's lifetime
-        kept_bytes = int(out_off[kept])
-        if kept_bytes < cap:
-            out_seq = out_seq[:kept_bytes].copy()
-            out_qual = out_qual[:kept_bytes].copy()
-        reads = [
-            PreparedRead(
-                seq_u8=out_seq[out_off[k] : out_off[k + 1]],
-                qual_u8=out_qual[out_off[k] : out_off[k + 1]],
-                rname=contig,
-                alignment_begin=int(out_ab[k]),
-                alignment_end=int(out_ae[k]),
-            )
-            for k in range(kept)
-        ]
+        reads = reads_from_window_outputs(
+            contig, out_seq, out_qual, out_off, out_ab, out_ae, kept, cap
+        )
         return reads, int(sel.size)
+
+
+def reads_from_window_outputs(
+    contig: str, out_seq, out_qual, out_off, out_ab, out_ae, kept: int,
+    cap: int,
+):
+    """PreparedRead views over a window's native output blobs, right-sized
+    so the views do not pin the pre-filter superset allocation."""
+    kept_bytes = int(out_off[kept]) if kept else 0
+    if kept_bytes < cap:
+        out_seq = out_seq[:kept_bytes].copy()
+        out_qual = out_qual[:kept_bytes].copy()
+    return [
+        PreparedRead(
+            seq_u8=out_seq[out_off[k] : out_off[k + 1]],
+            qual_u8=out_qual[out_off[k] : out_off[k + 1]],
+            rname=contig,
+            alignment_begin=int(out_ab[k]),
+            alignment_end=int(out_ae[k]),
+        )
+        for k in range(kept)
+    ]
 
 
 def columnar_available() -> bool:

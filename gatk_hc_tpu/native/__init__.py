@@ -323,23 +323,31 @@ def _flatten_read_blobs(reads):
 
 class _AssembleScratch(threading.local):
     """Per-thread reusable output arenas (the pool-parallel assembler gives
-    every worker its own buffers)."""
+    every worker its own buffers).  max_h and the capacities are tracked
+    separately: a larger max_h with a smaller ref_len must still grow the
+    per-haplotype arrays (they are indexed up to max_h regardless of arena
+    byte size)."""
 
     def ensure(self, max_h: int, ref_len: int):
         arena_cap = max_h * (ref_len + 64)
-        cigar_cap = max_h * (ref_len + 256)
-        if getattr(self, "arena", None) is None or len(self.arena) < arena_cap:
-            self.arena = np.empty(arena_cap, dtype=np.uint8)
+        # true per-alignment element bound is n + m + 2 with m <= the arena
+        # row budget (ref_len + 64), so 2*ref_len + 128 per haplotype can
+        # never overflow (hc_assemble_sw returns -5 as a last-resort guard)
+        cigar_cap = max_h * (2 * ref_len + 128)
+        if getattr(self, "max_h", 0) < max_h:
+            self.max_h = max_h
             self.hap_offsets = np.empty(max_h + 1, dtype=np.int64)
             self.scores = np.empty(max_h, dtype=np.float64)
             self.align_offsets = np.empty(max_h, dtype=np.int32)
+            self.cigar_offsets = np.empty(max_h + 1, dtype=np.int64)
+        if getattr(self, "arena", None) is None or len(self.arena) < arena_cap:
+            self.arena = np.empty(arena_cap, dtype=np.uint8)
         if (
             getattr(self, "cigar_ops", None) is None
             or len(self.cigar_ops) < cigar_cap
         ):
             self.cigar_ops = np.empty(cigar_cap, dtype=np.uint8)
             self.cigar_lens = np.empty(cigar_cap, dtype=np.int32)
-            self.cigar_offsets = np.empty(max_h + 1, dtype=np.int64)
         return self
 
 
@@ -352,7 +360,7 @@ def fused_window_fn(cfg, store):
     One ctypes call per region runs downsample/filter/clip + assembly +
     per-haplotype SW (hc_prepare_assemble_sw); the separate
     prepare_window/assemble path remains the differential oracle."""
-    from ..io.columnar import PreparedRead
+    from ..io.columnar import reads_from_window_outputs
     from ..models.haplotype import Haplotype
 
     lib = _load()
@@ -371,12 +379,9 @@ def fused_window_fn(cfg, store):
         sel = store._indexes[contig].select(begin, end, cfg)
         if sel.size == 0:
             return [], 0, []
-        cap = int((store.seq_off[sel + 1] - store.seq_off[sel]).sum())
-        out_seq = np.empty(max(cap, 1), np.uint8)
-        out_qual = np.empty(max(cap, 1), np.uint8)
-        out_off = np.empty(len(sel) + 1, np.int64)
-        out_ab = np.empty(len(sel), np.int64)
-        out_ae = np.empty(len(sel), np.int64)
+        out_seq, out_qual, out_off, out_ab, out_ae, cap = (
+            store.window_buffers(sel)
+        )
         kept_out = np.zeros(1, np.int32)
         ref_b = np.frombuffer(window_ref.encode(), dtype=np.uint8)
         s = _ASSEMBLE_SCRATCH.ensure(max_h, len(ref_b))
@@ -400,20 +405,9 @@ def fused_window_fn(cfg, store):
         if n < 0:
             raise RuntimeError(f"hc_prepare_assemble_sw failed rc={n}")
         kept = int(kept_out[0])
-        kept_bytes = int(out_off[kept]) if kept else 0
-        if kept_bytes < cap:
-            out_seq = out_seq[:kept_bytes].copy()
-            out_qual = out_qual[:kept_bytes].copy()
-        reads = [
-            PreparedRead(
-                seq_u8=out_seq[out_off[k] : out_off[k + 1]],
-                qual_u8=out_qual[out_off[k] : out_off[k + 1]],
-                rname=contig,
-                alignment_begin=int(out_ab[k]),
-                alignment_end=int(out_ae[k]),
-            )
-            for k in range(kept)
-        ]
+        reads = reads_from_window_outputs(
+            contig, out_seq, out_qual, out_off, out_ab, out_ae, kept, cap
+        )
         haplotypes = []
         for i in range(n):
             bases = (

@@ -267,3 +267,44 @@ class TestPlanesPath:
         )
         # interpret-mode FMA contraction differs per program: 1-2 ulp
         np.testing.assert_allclose(got, want, rtol=3e-7)
+
+
+class TestPpe4Kernel:
+    def test_ppe4_close_to_ppe2_interpret(self, nprng=None):
+        """ppe_rows=4 vs 2 in interpret mode: XLA:CPU FMA contraction makes
+        distinct programs drift ~1 ulp (same caveat as ppe-vs-striped); on
+        real TPU hardware ppe4 was verified bitwise-identical at production
+        shapes.  This guards the 4-row register hand-off logic on CPU."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from gatk_hc_tpu.ops.pairhmm_jax import transition_constants
+        from gatk_hc_tpu.ops.pairhmm_pallas import _pallas_forward
+
+        trans = transition_constants(ord("I"), ord("+"))
+        B, R, C = 1024, 32, 128
+        rng2 = np.random.default_rng(11)
+        rc = jnp.asarray(rng2.integers(0, 5, (B, R)).astype(np.int32))
+        q = np.float32(3e-3)
+        omq = jnp.asarray(np.full((B, R), 1.0 - q, np.float32))
+        q3 = jnp.asarray(np.full((B, R), q / 3.0, np.float32))
+        rl = jnp.asarray(rng2.integers(10, R + 1, B).astype(np.int32))
+        hc = jnp.asarray(rng2.integers(0, 5, (B, C)).astype(np.int32))
+        hl = jnp.asarray(rng2.integers(40, C + 1, B).astype(np.int32))
+        iy = jnp.asarray(
+            (np.float32(2.0**120) / np.asarray(hl, np.float32)).astype(
+                np.float32
+            )
+        )
+        outs = {
+            rows: np.asarray(
+                _pallas_forward(
+                    rc, omq, q3, rl, hc, hl, iy, trans, R, C, 8, True,
+                    algo="ppe", ppe_rows=rows,
+                )
+            )
+            for rows in (2, 4)
+        }
+        np.testing.assert_allclose(outs[4], outs[2], rtol=3e-7)
+        # the bulk must still be bit-identical even in interpret mode
+        assert np.mean(outs[4] == outs[2]) > 0.9
