@@ -246,7 +246,10 @@ def _calculate_genotype_likelihoods(
     ).astype(np.int64)
     het = np.where(in_range, big + JACOBIAN_F64[ind], big)
     vals = np.where(a1_idx == a2_idx, l1 + _LOG10_2, het)
-    return np.cumsum(vals, axis=0)[-1] - n_reads * _LOG10_2
+    # alleles with no supporting haplotype carry LOWEST; summing two of
+    # them overflows to -inf exactly like the reference's double addition
+    with np.errstate(over="ignore"):
+        return np.cumsum(vals, axis=0)[-1] - n_reads * _LOG10_2
 
 
 def _gq_and_max_index(genotypes: List[float], max_gq: int) -> Tuple[int, int]:
