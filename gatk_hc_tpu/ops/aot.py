@@ -39,25 +39,6 @@ def _source_hash() -> str:
     return h.hexdigest()[:16]
 
 
-def packed_signature_key(
-    platform: str,
-    nr_pad: int,
-    nh_pad: int,
-    r_pad: int,
-    c_pad: int,
-    n_pairs: int,
-    stripe: int,
-    algo: str,
-    ppe_rows: int,
-    trans: Tuple,
-) -> str:
-    trans_tag = hashlib.sha256(repr(tuple(trans)).encode()).hexdigest()[:8]
-    return (
-        f"packed-{platform}-{nr_pad}x{nh_pad}-{r_pad}x{c_pad}-B{n_pairs}"
-        f"-s{stripe}-{algo}{ppe_rows}-t{trans_tag}-{_source_hash()}"
-    )
-
-
 def planes_signature_key(
     platform: str,
     nr_pad: int,

@@ -740,94 +740,6 @@ def pairhmm_pallas_unique(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "nr_pad", "nh_pad", "r_pad", "c_pad", "stripe", "interpret",
-        "algo", "ppe_rows",
-    ),
-)
-def pairhmm_pallas_packed(
-    u8buf: jnp.ndarray,  # (3*nr_pad*r_pad + nh_pad*c_pad,) u8: reads|quals|quals|haps
-    i32buf: jnp.ndarray,  # (nr_pad + 2*nh_pad,) i32: rlens|hlens|init_y bits
-    pairs: jnp.ndarray,  # (2, B) i32: pair_read, pair_hap
-    base_table: jnp.ndarray,  # (256,) i32  (device-resident constant)
-    ph2pr_omq: jnp.ndarray,  # (128,) f32  (device-resident constant)
-    ph2pr_q3: jnp.ndarray,  # (128,) f32  (device-resident constant)
-    ppe_table: jnp.ndarray,  # (768,) i32 combined table (ppe_element_table)
-    trans: Tuple,
-    nr_pad: int,
-    nh_pad: int,
-    r_pad: int,
-    c_pad: int,
-    stripe: int = 8,
-    interpret: bool = False,
-    algo: str = "ppe",
-    ppe_rows: int = 2,
-) -> jnp.ndarray:
-    """Packed-transfer variant of ``pairhmm_pallas_unique``.
-
-    The relay link between host and chip charges per-transfer latency AND a
-    multi-ms fixed cost per (non-fused) XLA op, so the runner ships each
-    dispatch group as exactly TWO host buffers — one uint8, with the quals
-    duplicated so the ppe path's whole element encoding is ONE
-    combined-table gather, and one int32 — plus a per-dispatch pair-index
-    array; everything is unpacked on device inside this single jit.
-    init_y crosses as int32 bit patterns so the f32 values stay
-    bit-identical to the host's (TPU f32 division is reciprocal-based and
-    may differ in the last ulp).
-    """
-    pair_read, pair_hap = pairs[0], pairs[1]
-    B = pair_read.shape[0]
-
-    if _ppe_eligible(B, c_pad, interpret, algo):
-        # fused production path: ONE gather builds the (3, NR, R) element
-        # planes + hap masks; the read side then expands with one row
-        # gather whose reshape/transpose lands in the kernel's
-        # (nb, R, 3, 8, 128) layout
-        ru, hu, read_lens, hap_lens, init_y = _unpack_u8_ppe(
-            u8buf, i32buf, ppe_table, nr_pad, nh_pad, r_pad, c_pad
-        )
-        nb = B // (8 * LANES)
-        rows_hbm = (
-            jnp.take(ru, pair_read, axis=1)
-            .reshape(3, nb, 8, LANES, r_pad)
-            .transpose(1, 4, 0, 2, 3)
-        )
-        hap_blk = (
-            jnp.take(hu, pair_hap, axis=0)
-            .reshape(nb, 8, LANES, c_pad)
-            .transpose(0, 3, 1, 2)
-        )
-        vec = lambda v: v.reshape(nb, 8, LANES)
-        rlens = jnp.take(read_lens, pair_read).astype(jnp.int32)
-        clens = jnp.take(hap_lens, pair_hap).astype(jnp.int32)
-        iy = jnp.take(init_y, pair_hap)
-        return _pallas_call_ppe(
-            rows_hbm, hap_blk, vec(rlens), vec(clens), vec(iy),
-            trans, r_pad, c_pad, interpret, ppe_rows,
-        )
-
-    rc_unique, omq_unique, q3_unique, hc_unique, read_lens, hap_lens, init_y = (
-        _unpack_u8(
-            u8buf, i32buf, base_table, ph2pr_omq, ph2pr_q3,
-            nr_pad, nh_pad, r_pad, c_pad,
-        )
-    )
-    rlens = jnp.take(read_lens, pair_read)
-    clens = jnp.take(hap_lens, pair_hap)
-    iy = jnp.take(init_y, pair_hap)
-    read_codes = jnp.take(rc_unique, pair_read, axis=0)
-    read_omq = jnp.take(omq_unique, pair_read, axis=0)
-    read_q3 = jnp.take(q3_unique, pair_read, axis=0)
-    hap_codes = jnp.take(hc_unique, pair_hap, axis=0)
-    return _pallas_forward(
-        read_codes, read_omq, read_q3, rlens, hap_codes, clens, iy,
-        trans, r_pad, c_pad, stripe, interpret,
-        default_algo=algo, ppe_rows=ppe_rows,
-    )
-
-
 def _pallas_forward(
     read_codes, read_omq, read_q3, read_lens, hap_codes, hap_lens, init_y,
     trans, r_pad, c_pad, stripe, interpret, algo: str = "auto",
@@ -947,15 +859,16 @@ def pallas_pairhmm_engine(cfg: HCConfig):
 
 
 # ---------------------------------------------------------------------------
-# Two-stage dispatch: per-GROUP table preparation + per-CHUNK pair dispatch.
+# Group dispatch building blocks.
 #
-# pairhmm_pallas_packed runs unique-table prep inside every chunk dispatch,
-# so a group split into N chunks pays the (u8 -> codes/one-hot/f32) lookups
-# N times.  The production runner instead calls prepare_tables_* once per
-# group (one program) and feeds the prepared device arrays to each chunk's
-# dispatch_pairs_* call.  Both stages stay single XLA programs — on the
-# relay-tunnelled chip every program launch has a fixed cost, so the win is
-# removing redundant table work, not extra fusion.
+# Production (ppe on real TPUs): the runner ships HOST-prepared element
+# planes and calls pairhmm_pallas_planes per chunk — zero device-side table
+# prep (the relay-tunnelled chip charges multiple ms per non-fused XLA op,
+# and small-table gathers run at ~5ns/element there).
+# prepare_tables_ppe + dispatch_pairs_ppe keep the device-side one-gather
+# prep as the alternative for hardware without per-op relay costs.
+# Striped/interpret groups use prepare_tables_striped (once per group) +
+# dispatch_pairs_striped per chunk over packed uint8 buffers.
 
 
 def ppe_element_table(base_table: np.ndarray, ph2pr_f32: np.ndarray) -> np.ndarray:
@@ -979,11 +892,11 @@ def ppe_element_table(base_table: np.ndarray, ph2pr_f32: np.ndarray) -> np.ndarr
 def _unpack_u8(u8buf, i32buf, base_table, ph2pr_omq, ph2pr_q3,
                nr_pad, nh_pad, r_pad, c_pad):
     """Raw-encoding unpack (striped kernel path).  u8buf layout:
-    [reads | quals | quals(dup for the ppe path) | haps]."""
+    [reads | quals | haps]."""
     nrr = nr_pad * r_pad
     read_u8 = u8buf[:nrr].reshape(nr_pad, r_pad)
     qual_u8 = u8buf[nrr : 2 * nrr].reshape(nr_pad, r_pad)
-    hap_u8 = u8buf[3 * nrr : 3 * nrr + nh_pad * c_pad].reshape(nh_pad, c_pad)
+    hap_u8 = u8buf[2 * nrr : 2 * nrr + nh_pad * c_pad].reshape(nh_pad, c_pad)
     rc = jnp.take(base_table, read_u8.astype(jnp.int32), axis=0)
     q_idx = (qual_u8 & 127).astype(jnp.int32)
     omq = jnp.take(ph2pr_omq, q_idx, axis=0)

@@ -485,7 +485,7 @@ class PallasPairHMMRunner:
 
         # striped / interpret fallback: packed uint8 shipping + device prep
         u8buf = np.concatenate(
-            [read_u8.ravel(), qual_u8.ravel(), qual_u8.ravel(), hap_u8.ravel()]
+            [read_u8.ravel(), qual_u8.ravel(), hap_u8.ravel()]
         )
         i32buf = np.concatenate(
             [read_lens, hap_lens, hap_init_y.view(np.int32)]

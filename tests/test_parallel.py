@@ -213,11 +213,11 @@ class TestAOTCache:
     def test_source_hash_invalidates(self):
         from gatk_hc_tpu.ops import aot
 
-        key1 = aot.packed_signature_key(
-            "cpu", 8, 8, 32, 128, 256, 8, "ppe", 2, (0.1,) * 6
+        key1 = aot.planes_signature_key(
+            "cpu", 8, 8, 32, 128, 256, 2, (0.1,) * 6
         )
-        key2 = aot.packed_signature_key(
-            "cpu", 8, 8, 32, 128, 256, 8, "ppe", 2, (0.2,) * 6
+        key2 = aot.planes_signature_key(
+            "cpu", 8, 8, 32, 128, 256, 2, (0.2,) * 6
         )
         assert key1 != key2  # transition constants are part of the key
 
