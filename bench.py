@@ -112,6 +112,27 @@ def bench_device(reads, haps, n_jobs: int = 16):
     return cells / best
 
 
+def probe_relay_op_ms() -> float:
+    """Steady-state cost of one trivial XLA op + sync through the relay.
+    Healthy phases measure ~4-8 ms; degraded phases (which can last hours)
+    measure 25+ ms and scale every number in this file by the same factor —
+    recorded in the output so a bad-phase run is interpretable."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.device_put(np.ones((1024, 480), np.float32))
+    f = jax.jit(lambda a: a * 2 + 1)
+    _ = jax.device_get(jnp.sum(f(x)))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = jax.device_get(jnp.sum(f(x)))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
 def bench_kernel_only() -> float:
     """Device-resident kernel throughput (stable across relay phases):
     true cells/s of the production kernel at production shapes.  Shares its
@@ -147,6 +168,7 @@ def bench_e2e_chrm() -> float:
 def main() -> None:
     reads, haps = make_workload()
     cpu_cells_per_s = bench_cpu_baseline(reads, haps)
+    relay_op_ms = probe_relay_op_ms()
     device_cells_per_s = bench_device(reads, haps)
     kernel_cells_per_s = bench_kernel_only()
     e2e_s = bench_e2e_chrm()
@@ -162,6 +184,10 @@ def main() -> None:
         "kernel_only_cells_per_s": round(kernel_cells_per_s),
         "sustained_floor_cells_per_s": round(floor),
         "floor_ok": bool(device_cells_per_s >= floor),
+        # relay health context: ~4-8ms = healthy phase; 25+ms = degraded
+        # phase (hours-long observed) that scales every number above
+        "relay_op_ms": round(relay_op_ms, 1),
+        "relay_degraded": bool(relay_op_ms > 12.0),
         "e2e_chrM_wall_s": round(e2e_s, 3),
         "workload": (
             f"16 region jobs of {N_READS}x{N_HAPS} pairs each in one "
