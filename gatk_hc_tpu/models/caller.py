@@ -287,9 +287,14 @@ def call_batched(
         t0 = time.perf_counter()
         if fused_fn is not None:
             window_ref = contig.seq[padded.begin : padded.end]
-            reads, n_downsampled, haplotypes = fused_fn(
-                contig.name, padded.begin, padded.end, window_ref
-            )
+            try:
+                reads, n_downsampled, haplotypes = fused_fn(
+                    contig.name, padded.begin, padded.end, window_ref
+                )
+            except RuntimeError as exc:
+                # pathological window (e.g. assembly path explosion): skip
+                # the region instead of aborting a whole-genome run
+                return "failed", str(exc), time.perf_counter() - t0, 0.0
             t1 = time.perf_counter()
             if n_downsampled == 0:
                 return "ignored", None, t1 - t0, 0.0
@@ -316,7 +321,10 @@ def call_batched(
         if not reads:
             return "empty", None, t1 - t0, 0.0
         window_ref = contig.seq[padded.begin : padded.end]
-        haplotypes = assemble_fn(reads, window_ref, cfg)
+        try:
+            haplotypes = assemble_fn(reads, window_ref, cfg)
+        except RuntimeError as exc:
+            return "failed", str(exc), t1 - t0, time.perf_counter() - t1
         payload = (reads, haplotypes, window_ref, build_job(reads, haplotypes))
         return "ok", payload, t1 - t0, time.perf_counter() - t1
 
@@ -337,6 +345,10 @@ def call_batched(
             return
         if status == "empty":
             counters.regions_skipped += 1
+            return
+        if status == "failed":
+            counters.regions_failed += 1
+            logger.region_failed(origin, payload)
             return
         reads, haplotypes, window_ref, job = payload
         result.n_reads = len(reads)

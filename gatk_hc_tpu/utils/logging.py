@@ -29,6 +29,7 @@ from typing import Dict, Optional
 class RunCounters:
     regions: int = 0
     regions_skipped: int = 0
+    regions_failed: int = 0
     reads_parsed: int = 0
     reads_used: int = 0
     haplotypes: int = 0
@@ -89,6 +90,10 @@ class HCLogger:
                 f"Ignore {origin.to_string()}:    "
                 f"(with overlap region = {padded.to_string()})"
             )
+
+    def region_failed(self, origin, reason: str) -> None:
+        # always emitted: a skipped-on-error region should never be silent
+        self._emit(f"WARNING: skipping {origin.to_string()}: {reason}")
 
     def kmer_rejected(self, kmer_size: int, reason: str) -> None:
         if self.verbosity >= 1:

@@ -77,3 +77,39 @@ class TestEndToEnd:
         rows_python = [v.to_vcf_row() for r in r_python for v in r.variants]
         assert rows_native == rows_python
         assert rows_native  # non-trivial
+
+
+@needs_fixture
+class TestRegionFailureIsolation:
+    def test_exploding_region_skipped_not_fatal(self, tmp_path):
+        """A pathological window (assembly failure) must skip that region
+        with a warning, not abort the run (WGS robustness)."""
+        import io as _io
+
+        from gatk_hc_tpu.models.caller import call_batched
+        from gatk_hc_tpu.utils.logging import HCLogger, RunCounters
+
+        calls = {"n": 0}
+
+        def flaky_assemble(reads, ref, config):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise RuntimeError("assembly path explosion")
+            from gatk_hc_tpu.ops.engines import make_assemble_fn
+
+            return make_assemble_fn(config)(reads, ref, config)
+
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, pairhmm_engine="native", assembler_engine="native"
+        )
+        stream = _io.StringIO()
+        counters = RunCounters()
+        out = tmp_path / "flaky.vcf"
+        results = call_batched(
+            SAM, FASTA, str(out), cfg, assemble_fn=flaky_assemble,
+            logger=HCLogger(verbosity=0, stream=stream), counters=counters,
+        )
+        assert counters.regions_failed == 1
+        assert "path explosion" in stream.getvalue()
+        # the rest of the contig still called most of its variants
+        assert sum(len(r.variants) for r in results) >= 30
