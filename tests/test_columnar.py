@@ -150,6 +150,21 @@ def test_malformed_sam_line_raises(tmp_path):
         ColumnarReadStore(str(sam), {"c": 100})
 
 
+def test_non_numeric_field_raises(tmp_path):
+    """FLAG/POS/MAPQ digit validation matches the Python oracle's int()
+    error contract (a non-numeric field is a malformed line)."""
+    from gatk_hc_tpu.io.columnar import ColumnarReadStore
+
+    sam = tmp_path / "bad2.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\n"
+        "ok\t0\tc\t5\t60\t4M\t=\t0\t0\tACGT\tIIII\n"
+        "bad\t0\tc\tabc\t60\t4M\t=\t0\t0\tACGT\tIIII\n"
+    )
+    with pytest.raises(ValueError, match="line 3"):
+        ColumnarReadStore(str(sam), {"c": 100})
+
+
 def test_empty_sam_yields_header_only_vcf(tmp_path):
     from gatk_hc_tpu.models.caller import call_batched
 
