@@ -612,8 +612,15 @@ struct Assembly {
   int k;
   int prune_factor;
   std::vector<std::string_view> kmers;        // vertex -> kmer
-  std::vector<std::vector<int>> out_edges;    // vertex -> edge ids
-  std::vector<std::vector<int>> in_edges;
+  // adjacency as intrusive singly-linked edge lists with TAIL insertion:
+  // iteration order == insertion order (path enumeration order and the
+  // fp edge-score fan-out sums depend on it), and vertex creation stops
+  // allocating a vector per vertex (~1.1k allocations per region before)
+  std::vector<int> out_head, out_tail, out_deg;  // per vertex
+  std::vector<int> out_next;                     // per edge
+  std::vector<int> in_head, in_deg;              // per vertex (head = first
+                                                 // inserted; only deg==1
+                                                 // paths ever read it)
   std::vector<int> e_src, e_dst, e_count;
   std::vector<uint8_t> e_is_ref;
   std::unordered_map<std::string_view, int> unique_kmers;
@@ -651,8 +658,11 @@ struct Assembly {
   int create_vertex(std::string_view kmer, uint64_t key) {
     int vid = static_cast<int>(kmers.size());
     kmers.push_back(kmer);
-    out_edges.emplace_back();
-    in_edges.emplace_back();
+    out_head.push_back(-1);
+    out_tail.push_back(-1);
+    out_deg.push_back(0);
+    in_head.push_back(-1);
+    in_deg.push_back(0);
     if (packed) {
       if (!dup_p.contains(key)) unique_p.emplace(key, vid);
     } else {
@@ -679,14 +689,21 @@ struct Assembly {
     e_dst.push_back(v);
     e_count.push_back(1);
     e_is_ref.push_back(is_ref);
-    out_edges[u].push_back(eid);
-    in_edges[v].push_back(eid);
+    out_next.push_back(-1);
+    if (out_tail[u] < 0)
+      out_head[u] = eid;
+    else
+      out_next[out_tail[u]] = eid;
+    out_tail[u] = eid;
+    ++out_deg[u];
+    if (in_head[v] < 0) in_head[v] = eid;
+    ++in_deg[v];
   }
 
   void increase_counts_backwards(int v, std::string_view kmer) {
     while (!kmer.empty()) {
-      if (in_edges[v].size() != 1) return;
-      const int eid = in_edges[v][0];
+      if (in_deg[v] != 1) return;
+      const int eid = in_head[v];
       const int u = e_src[eid];
       if (kmers[u].back() != kmer.back()) return;
       ++e_count[eid];
@@ -697,7 +714,7 @@ struct Assembly {
 
   int extend_chain(int u, std::string_view kmer, uint64_t key, bool is_ref) {
     const char last = kmer.back();
-    for (int eid : out_edges[u]) {
+    for (int eid = out_head[u]; eid >= 0; eid = out_next[eid]) {
       const int v = e_dst[eid];
       if (kmers[v].back() == last) {
         ++e_count[eid];
@@ -727,23 +744,24 @@ struct Assembly {
 
   bool edge_passes(int eid) const {
     return e_is_ref[eid] || e_count[eid] >= prune_factor ||
-           out_edges[e_src[eid]].size() == 1;
+           out_deg[e_src[eid]] == 1;
   }
 
   bool has_cycles() const {
     enum { WHITE, GRAY, BLACK };
     std::vector<uint8_t> color(kmers.size(), WHITE);
-    std::vector<std::pair<int, size_t>> stack;
+    std::vector<std::pair<int, int>> stack;  // (vertex, next edge cursor)
     for (size_t root = 0; root < kmers.size(); ++root) {
       if (color[root] != WHITE) continue;
       color[root] = GRAY;
       stack.clear();
-      stack.emplace_back(static_cast<int>(root), 0);
+      stack.emplace_back(static_cast<int>(root), out_head[root]);
       while (!stack.empty()) {
-        auto& [v, pos] = stack.back();
+        auto& [v, cursor] = stack.back();
         int next = -1;
-        while (pos < out_edges[v].size()) {
-          const int eid = out_edges[v][pos++];
+        while (cursor >= 0) {
+          const int eid = cursor;
+          cursor = out_next[eid];
           if (!edge_passes(eid)) continue;
           const int w = e_dst[eid];
           if (color[w] == GRAY) return true;
@@ -757,7 +775,7 @@ struct Assembly {
           stack.pop_back();
         } else {
           color[next] = GRAY;
-          stack.emplace_back(next, 0);
+          stack.emplace_back(next, out_head[next]);
         }
       }
     }
@@ -768,17 +786,18 @@ struct Assembly {
   bool find_paths(std::vector<std::vector<int>>* paths, size_t max_paths) const {
     std::vector<int> path;
     std::vector<uint8_t> on_path(kmers.size(), 0);
-    // explicit stack of (vertex, edge cursor)
-    std::vector<std::pair<int, size_t>> stack;
-    stack.emplace_back(source, 0);
+    // explicit stack of (vertex, next edge cursor)
+    std::vector<std::pair<int, int>> stack;
+    stack.emplace_back(source, out_head[source]);
     path.push_back(source);
     on_path[source] = 1;
     if (source == sink) paths->push_back(path);
     while (!stack.empty()) {
-      auto& [v, pos] = stack.back();
+      auto& [v, cursor] = stack.back();
       int next = -1;
-      while (pos < out_edges[v].size()) {
-        const int eid = out_edges[v][pos++];
+      while (cursor >= 0) {
+        const int eid = cursor;
+        cursor = out_next[eid];
         if (!edge_passes(eid)) continue;
         const int w = e_dst[eid];
         if (!on_path[w]) {
@@ -793,7 +812,7 @@ struct Assembly {
       } else {
         path.push_back(next);
         on_path[next] = 1;
-        stack.emplace_back(next, 0);
+        stack.emplace_back(next, out_head[next]);
         if (next == sink) {
           if (paths->size() >= max_paths) return false;
           paths->push_back(path);
@@ -804,7 +823,7 @@ struct Assembly {
   }
 
   int edge_between(int u, int v) const {
-    for (int eid : out_edges[u])
+    for (int eid = out_head[u]; eid >= 0; eid = out_next[eid])
       if (e_dst[eid] == v) return eid;
     return -1;
   }
@@ -1003,7 +1022,7 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
 
     // scores
     // dense flags/score arrays over the contiguous vertex/edge id spaces;
-    // per-vertex fan-out sums follow each vertex's own out_edges order so
+    // per-vertex fan-out sums follow each vertex's own edge insertion order so
     // results are identical to the former hash-set iteration
     std::vector<uint8_t> vertex_on_path(graph.kmers.size(), 0);
     std::vector<uint8_t> edge_on_path(graph.e_src.size(), 0);
@@ -1016,9 +1035,9 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
     for (size_t v = 0; v < vertex_on_path.size(); ++v) {
       if (!vertex_on_path[v]) continue;
       double sum = 0;
-      for (int eid : graph.out_edges[v])
+      for (int eid = graph.out_head[v]; eid >= 0; eid = graph.out_next[eid])
         if (edge_on_path[eid]) sum += graph.e_count[eid];
-      for (int eid : graph.out_edges[v])
+      for (int eid = graph.out_head[v]; eid >= 0; eid = graph.out_next[eid])
         if (edge_on_path[eid])
           edge_score[eid] = std::log10(graph.e_count[eid] / sum);
     }
