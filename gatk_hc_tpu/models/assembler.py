@@ -39,6 +39,15 @@ from .haplotype import Haplotype
 MAX_ENUMERATED_PATHS = 200_000
 
 
+class PathExplosionError(RuntimeError):
+    """A region whose assembly graph enumerates >MAX_ENUMERATED_PATHS paths.
+
+    The driver treats this (and only this) per-region failure as routine:
+    skip the region with a warning instead of aborting a whole-genome run.
+    Other native error codes (SW failure, arena overflow) are internal bugs
+    and propagate as plain RuntimeError."""
+
+
 class _Graph:
     def __init__(self, kmer_size: int, cfg: HCConfig):
         self.k = kmer_size
@@ -162,7 +171,7 @@ class _Graph:
             on_path.add(frm)
             if frm == self.sink:
                 if len(paths) >= MAX_ENUMERATED_PATHS:
-                    raise RuntimeError("assembly path explosion")
+                    raise PathExplosionError("assembly path explosion")
                 paths.append(list(path))
             else:
                 for eid in self.out_edges[frm]:

@@ -30,6 +30,7 @@ from ..io.fasta import read_all_fasta, read_fasta
 from ..io.sam import SAMRecord, load_reads_by_contig, load_reads_by_start, read_sam
 from ..utils.interval import Interval
 from ..utils.logging import NULL_LOGGER, HCLogger, RunCounters, StageTimers
+from .assembler import PathExplosionError
 from .downsampler import downsample_window
 from .genotyper import assign_genotype_likelihoods
 from .haplotype import Haplotype, Variant
@@ -58,14 +59,25 @@ class RegionResult:
     region_id: int = -1
 
 
-def vcf_header(contig: str, contig_length: int, cfg: HCConfig) -> str:
-    """haplotypecaller.hpp:132-135, byte-for-byte (reference emits no contig
-    line; keep parity)."""
+def vcf_header(contigs: Sequence[Tuple[str, int]], cfg: HCConfig) -> str:
+    """haplotypecaller.hpp:132-135.  ``contigs`` is [(name, length), ...] in
+    FASTA order.  The single-contig header is byte-for-byte the reference's
+    (it emits no ##contig line — the chrM golden depends on this); when rows
+    can span multiple contigs the header declares every contig so the file
+    stays VCF-spec compliant."""
+    contig_lines = (
+        "".join(
+            f"##contig=<ID={name},length={length}>\n" for name, length in contigs
+        )
+        if len(contigs) > 1
+        else ""
+    )
     return (
         "##fileformat=VCFv4.2\n"
         '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype Quality">\n'
         '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
-        f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{cfg.sample_name}\n"
+        + contig_lines
+        + f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{cfg.sample_name}\n"
     )
 
 
@@ -179,7 +191,7 @@ def call(
         )
 
     if out_path is not None:
-        write_vcf(out_path, fasta.name, len(ref), results, cfg)
+        write_vcf(out_path, [(fasta.name, len(ref))], results, cfg)
     return results
 
 
@@ -291,9 +303,10 @@ def call_batched(
                 reads, n_downsampled, haplotypes = fused_fn(
                     contig.name, padded.begin, padded.end, window_ref
                 )
-            except RuntimeError as exc:
-                # pathological window (e.g. assembly path explosion): skip
-                # the region instead of aborting a whole-genome run
+            except PathExplosionError as exc:
+                # pathological window (assembly path explosion): skip the
+                # region instead of aborting a whole-genome run.  Other
+                # native errors are internal bugs and propagate.
                 return "failed", str(exc), time.perf_counter() - t0, 0.0
             t1 = time.perf_counter()
             if n_downsampled == 0:
@@ -323,7 +336,7 @@ def call_batched(
         window_ref = contig.seq[padded.begin : padded.end]
         try:
             haplotypes = assemble_fn(reads, window_ref, cfg)
-        except RuntimeError as exc:
+        except PathExplosionError as exc:
             return "failed", str(exc), t1 - t0, time.perf_counter() - t1
         payload = (reads, haplotypes, window_ref, build_job(reads, haplotypes))
         return "ok", payload, t1 - t0, time.perf_counter() - t1
@@ -451,7 +464,9 @@ def call_batched(
 
     with timers.stage("io"):
         if out_path is not None:
-            write_vcf(out_path, contigs[0].name, len(contigs[0].seq), results, cfg)
+            write_vcf(
+                out_path, [(c.name, len(c.seq)) for c in contigs], results, cfg
+            )
     if hasattr(runner, "stop_prewarm"):
         runner.stop_prewarm()
     logger.done()
@@ -460,13 +475,12 @@ def call_batched(
 
 def write_vcf(
     out_path: str,
-    contig: str,
-    contig_length: int,
+    contigs: Sequence[Tuple[str, int]],
     results: Sequence[RegionResult],
     cfg: HCConfig,
 ) -> None:
     with open(out_path, "w") as handle:
-        handle.write(vcf_header(contig, contig_length, cfg))
+        handle.write(vcf_header(contigs, cfg))
         for region in results:
             for variant in region.variants:
                 handle.write(variant.to_vcf_row())

@@ -228,6 +228,17 @@ def table_probe_native():
     return ph32, ph64, mm32, mm64, jac32, jac64
 
 
+def _raise_assemble_error(fn_name: str, rc: int):
+    """rc==-3 (path explosion) is the one per-region condition the driver
+    may skip; -4 (SW failure) / -5 (cigar arena overflow) are internal bugs
+    that must surface, not be silently dropped as region skips."""
+    from ..models.assembler import PathExplosionError
+
+    if rc == -3:
+        raise PathExplosionError("assembly path explosion")
+    raise RuntimeError(f"{fn_name} failed rc={rc}")
+
+
 # ---------------------------------------------------------------------------
 # Engine factories used by ops/engines.py
 
@@ -403,7 +414,7 @@ def fused_window_fn(cfg, store):
             c(s.cigar_offsets, i64), len(s.cigar_ops),
         )
         if n < 0:
-            raise RuntimeError(f"hc_prepare_assemble_sw failed rc={n}")
+            _raise_assemble_error("hc_prepare_assemble_sw", n)
         kept = int(kept_out[0])
         reads = reads_from_window_outputs(
             contig, out_seq, out_qual, out_off, out_ab, out_ae, kept, cap
@@ -475,7 +486,9 @@ def native_assemble_fn(cfg):
                 max_h,
             )
         if n < 0:
-            raise RuntimeError(f"hc_assemble failed rc={n}")
+            _raise_assemble_error(
+                "hc_assemble_sw" if fused_sw else "hc_assemble", n
+            )
         haplotypes = []
         for i in range(n):
             bases = (

@@ -49,7 +49,10 @@ class PairHMMJob:
 
     reads: Sequence[ReadArray]
     haps: Sequence[np.ndarray]
-    # filled by the runner: read-major log10 matrix (n_reads, n_haps)
+    # filled by the runner: read-major log10 matrix (n_reads, n_haps).
+    # CAVEAT: with cfg.f64_rescue="sentinel" (default), underflowed entries
+    # hold RESCUE_SENTINEL_LOG10 (-100.0), not exact values — see the class
+    # docstring before consuming raw likelihoods downstream.
     result: Optional[np.ndarray] = None
 
     def __post_init__(self) -> None:

@@ -67,15 +67,25 @@ def encode_variants(
 ):
     """Variants -> (int32 table, uint8 allele blob) fixed-width records.
     Records carry the contig as an index into ``contig_names`` (FASTA
-    order), so multi-contig runs gather losslessly."""
+    order), so multi-contig runs gather losslessly.  Unknown contigs raise
+    (a silent index-0 relabel would corrupt the gathered VCF)."""
+    if isinstance(contig_names, str):
+        contig_names = (contig_names,)
     index = {name: i for i, name in enumerate(contig_names)}
     n = len(variants)
     table = np.zeros((n, _FIXED_COLS + _MAX_ALLELES), dtype=np.int32)
     blob = np.zeros((n, _MAX_ALLELES, _MAX_ALLELE_LEN), dtype=np.uint8)
     for i, (rid, v) in enumerate(zip(region_ids, variants)):
         alleles = v.alleles[:_MAX_ALLELES]
+        if v.location.contig not in index:
+            # fail loudly: relabeling to contig 0 would silently corrupt
+            # the gathered VCF if the contig/FASTA invariant ever broke
+            raise KeyError(
+                f"variant contig {v.location.contig!r} not in FASTA "
+                f"contigs {list(contig_names)!r}"
+            )
         table[i, :_FIXED_COLS] = (
-            rid, index.get(v.location.contig, 0),
+            rid, index[v.location.contig],
             v.location.begin, v.location.end, v.gt[0], v.gt[1], v.gq,
         )
         for a, allele in enumerate(alleles):
@@ -208,7 +218,9 @@ def run_multihost(
     merged = gather_variants(region_ids, variants, contig_names)
     if out_path is not None and pidx == 0:
         with open(out_path, "w") as handle:
-            handle.write(vcf_header(contig_names[0], len(contigs[0].seq), cfg))
+            handle.write(
+                vcf_header([(c.name, len(c.seq)) for c in contigs], cfg)
+            )
             for _, variant in merged:
                 handle.write(variant.to_vcf_row())
     return results, merged

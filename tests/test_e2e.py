@@ -92,9 +92,11 @@ class TestRegionFailureIsolation:
         calls = {"n": 0}
 
         def flaky_assemble(reads, ref, config):
+            from gatk_hc_tpu.models.assembler import PathExplosionError
+
             calls["n"] += 1
             if calls["n"] == 3:
-                raise RuntimeError("assembly path explosion")
+                raise PathExplosionError("assembly path explosion")
             from gatk_hc_tpu.ops.engines import make_assemble_fn
 
             return make_assemble_fn(config)(reads, ref, config)
@@ -113,3 +115,21 @@ class TestRegionFailureIsolation:
         assert "path explosion" in stream.getvalue()
         # the rest of the contig still called most of its variants
         assert sum(len(r.variants) for r in results) >= 30
+
+    def test_internal_assembly_error_propagates(self, tmp_path):
+        """Only path explosion is a routine skip; any other native/internal
+        error (e.g. SW failure rc=-4, arena overflow rc=-5) must abort the
+        run so bugs surface instead of silently dropping calls."""
+        from gatk_hc_tpu.models.caller import call_batched
+
+        def broken_assemble(reads, ref, config):
+            raise RuntimeError("hc_assemble_sw failed rc=-4")
+
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, pairhmm_engine="native", assembler_engine="native"
+        )
+        with pytest.raises(RuntimeError, match="rc=-4"):
+            call_batched(
+                SAM, FASTA, str(tmp_path / "x.vcf"), cfg,
+                assemble_fn=broken_assemble,
+            )

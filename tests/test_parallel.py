@@ -148,7 +148,7 @@ class TestMultihost:
                 gq=50,
             ),
         ]
-        table, blob = multihost.encode_variants([3, 1], variants)
+        table, blob = multihost.encode_variants([3, 1], variants, "chrM")
         decoded = multihost.decode_variants(table, blob, "chrM")
         assert [rid for rid, _ in decoded] == [1, 3]
         roundtripped = {rid: v for rid, v in decoded}
