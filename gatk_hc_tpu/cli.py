@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="host pipeline threads (0 = one per CPU, 1 = inline)",
     )
     parser.add_argument(
+        "--stream-contigs", action="store_true",
+        help="bounded-memory data path: parse one contig slice at a time "
+        "and free its columns when its regions finish (WGS-scale inputs)",
+    )
+    parser.add_argument(
         "--pallas-algo", default=DEFAULT_CONFIG.pallas_algo,
         choices=("ppe", "striped"),
         help="TPU kernel: pair-per-element (production) or striped",
@@ -129,6 +134,7 @@ def main(argv=None) -> int:
         region_size=args.region_size,
         padding_size=args.padding_size,
         host_threads=args.host_threads,
+        stream_contigs=args.stream_contigs,
         pallas_algo=args.pallas_algo,
         ppe_rows=args.ppe_rows,
     )

@@ -159,6 +159,13 @@ class HCConfig:
     # the reference's OpenMP analogue for the HOST stages).  0 = one thread
     # per CPU; 1 = inline single-thread path.
     host_threads: int = 0
+    # Bounded-memory data path for whole-genome inputs: parse one contig's
+    # reads at a time (one cheap ranged scan of the whole file, then a
+    # per-contig slice parse) and free each contig's columns when its last
+    # region has been assembled.  Peak RSS is then O(largest contig's
+    # reads), not O(whole SAM) — the reference holds every read in RAM
+    # (haplotypecaller.hpp:24-42).  Only affects the columnar data engine.
+    stream_contigs: bool = False
 
 
 DEFAULT_CONFIG = HCConfig()

@@ -17,7 +17,8 @@ from __future__ import annotations
 
 import ctypes
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -108,32 +109,160 @@ class _ContigIndex:
         return self.rows[self.starts[positions] + offsets]
 
 
-class ColumnarReadStore:
-    """The whole SAM file in struct-of-arrays form (C++ parsed)."""
+def map_sam_bytes(sam_path: str) -> np.ndarray:
+    """The SAM text as a read-only uint8 memmap: the kernel pages the file
+    in and out on demand, so scanning/parsing never holds a second full
+    copy of the text in RSS (the previous handle.read() did)."""
+    if os.path.getsize(sam_path) == 0:
+        return np.zeros(0, dtype=np.uint8)
+    return np.memmap(sam_path, dtype=np.uint8, mode="r")
 
-    def __init__(self, sam_path: str, contig_sizes: Dict[str, int]):
+
+def _contig_name_blob(names: Sequence[str]):
+    blob = (
+        np.frombuffer("".join(names).encode(), dtype=np.uint8)
+        if names
+        else np.zeros(1, dtype=np.uint8)
+    )
+    offs = np.zeros(len(names) + 1, dtype=np.int64)
+    np.cumsum([len(n.encode()) for n in names], out=offs[1:])
+    return blob, offs
+
+
+def _keep_arrays(
+    names: Sequence[str],
+    contig_sizes: Dict[str, int],
+    start_ranges: Optional[Dict[str, Tuple[int, int]]],
+):
+    """Per-contig [lo, hi) 0-based start-position keep ranges.  None means
+    keep every position; contigs absent from an explicit ``start_ranges``
+    keep nothing (they belong to another shard)."""
+    lo = np.zeros(len(names), np.int64)
+    hi = np.zeros(len(names), np.int64)
+    for i, name in enumerate(names):
+        if start_ranges is None:
+            lo[i], hi[i] = 0, contig_sizes[name]
+        elif name in start_ranges:
+            a, b = start_ranges[name]
+            lo[i], hi[i] = max(0, int(a)), min(contig_sizes[name], int(b))
+        else:
+            lo[i], hi[i] = 0, 0
+    return lo, hi
+
+
+class SamLayout:
+    """One ranged scan over the SAM text: per-contig allocation counts and
+    the byte range covering each contig's kept records.
+
+    Built once, it lets a streaming driver (cfg.stream_contigs) or a
+    multi-host shard parse each contig's slice without re-scanning the
+    file.  ``rows[c] = (reads, cigar-op bound, seq bytes, byte_lo,
+    byte_hi)`` with byte_lo/byte_hi == -1 when contig c kept nothing."""
+
+    def __init__(
+        self,
+        sam_path: str,
+        contig_sizes: Dict[str, int],
+        start_ranges: Optional[Dict[str, Tuple[int, int]]] = None,
+    ):
         from .. import native
 
         lib = native._load()
-        with open(sam_path, "rb") as handle:
-            buf = np.frombuffer(handle.read(), dtype=np.uint8)
+        buf = map_sam_bytes(sam_path)
         names = list(contig_sizes)
-        blob = np.frombuffer(
-            "".join(names).encode(), dtype=np.uint8
-        ) if names else np.zeros(1, dtype=np.uint8)
-        offs = np.zeros(len(names) + 1, dtype=np.int64)
-        np.cumsum([len(n.encode()) for n in names], out=offs[1:])
+        blob, offs = _contig_name_blob(names)
+        lo, hi = _keep_arrays(names, contig_sizes, start_ranges)
+        rows = np.zeros((max(len(names), 1), 5), np.int64)
+        c = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+        i64 = ctypes.c_int64
+        lib.hc_sam_scan_ranges(
+            c(buf, ctypes.c_uint8), i64(len(buf)),
+            c(blob, ctypes.c_uint8), c(offs, i64), ctypes.c_int32(len(names)),
+            c(lo, i64), c(hi, i64),
+            c(rows, i64),
+        )
+        self.sam_path = sam_path
+        self.contig_sizes = dict(contig_sizes)
+        self.names = names
+        self.rows = rows[: len(names)]
+        self.keep_lo = lo
+        self.keep_hi = hi
+        self.start_ranges = start_ranges
+
+    def contig_range(self, name: str) -> Tuple[int, int]:
+        """The kept start-position range for one contig."""
+        i = self.names.index(name)
+        return int(self.keep_lo[i]), int(self.keep_hi[i])
+
+    def store_for(self, *names: str) -> "ColumnarReadStore":
+        """A store holding only the named contigs' kept reads, parsed from
+        their byte slices (no re-scan)."""
+        ranges = {n: self.contig_range(n) for n in names}
+        return ColumnarReadStore(
+            self.sam_path, self.contig_sizes, start_ranges=ranges, layout=self
+        )
+
+
+class ColumnarReadStore:
+    """The SAM file (or one shard/contig slice of it) in struct-of-arrays
+    form (C++ parsed).
+
+    ``start_ranges`` restricts the store to records whose 0-based start
+    position falls inside a per-contig [lo, hi) range — the multi-host
+    shard parse (each process materializes only the reads its padded
+    windows can select, SURVEY.md §7 step 7) and the contig-streaming
+    bounded-memory mode both use this.  Window results are identical to a
+    full store for any window whose padded interval lies inside the kept
+    ranges: the deterministic downsampler only consults per-start-position
+    counts, which the range filter preserves (tests/test_sharding.py)."""
+
+    def __init__(
+        self,
+        sam_path: str,
+        contig_sizes: Dict[str, int],
+        start_ranges: Optional[Dict[str, Tuple[int, int]]] = None,
+        layout: Optional[SamLayout] = None,
+    ):
+        from .. import native
+
+        lib = native._load()
+        buf = map_sam_bytes(sam_path)
+        names = list(contig_sizes)
+        blob, offs = _contig_name_blob(names)
 
         c = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
         i64 = ctypes.c_int64
-        n_reads = np.zeros(1, np.int64)
-        n_ops = np.zeros(1, np.int64)
-        n_bytes = np.zeros(1, np.int64)
-        lib.hc_sam_scan(
-            c(buf, ctypes.c_uint8), i64(len(buf)),
-            c(n_reads, i64), c(n_ops, i64), c(n_bytes, i64),
-        )
-        n, ops, nbytes = int(n_reads[0]), int(n_ops[0]), int(n_bytes[0])
+        ranged = start_ranges is not None or layout is not None
+        if not ranged:
+            # keep-everything path: unknown-contig records are kept with
+            # rname_id = -1 (full validation, exact Python-loader parity)
+            n_reads = np.zeros(1, np.int64)
+            n_ops = np.zeros(1, np.int64)
+            n_bytes = np.zeros(1, np.int64)
+            lib.hc_sam_scan(
+                c(buf, ctypes.c_uint8), i64(len(buf)),
+                c(n_reads, i64), c(n_ops, i64), c(n_bytes, i64),
+            )
+            n, ops, nbytes = int(n_reads[0]), int(n_ops[0]), int(n_bytes[0])
+            byte_lo, byte_hi = 0, len(buf)
+            keep_lo = keep_hi = None
+        else:
+            keep_lo, keep_hi = _keep_arrays(names, contig_sizes, start_ranges)
+            if layout is None:
+                layout = SamLayout(sam_path, contig_sizes, start_ranges)
+            # a layout scanned with wider ranges still sizes correctly:
+            # only rows of contigs this store keeps contribute
+            active = keep_hi > keep_lo
+            rows = layout.rows[active]
+            matched = rows[:, 3] >= 0
+            n = int(rows[:, 0].sum())
+            ops = int(rows[:, 1].sum())
+            nbytes = int(rows[:, 2].sum())
+            if matched.any():
+                byte_lo = int(rows[matched, 3].min())
+                byte_hi = int(rows[matched, 4].max())
+            else:
+                byte_lo = byte_hi = 0
         self.pos = np.zeros(n, np.int32)
         self.flag = np.zeros(n, np.int32)
         self.mapq = np.zeros(n, np.int32)
@@ -145,9 +274,14 @@ class ColumnarReadStore:
         self.seq_off = np.zeros(n + 1, np.int64)
         self.seq = np.zeros(max(nbytes, 1), np.uint8)
         self.qual = np.zeros(max(nbytes, 1), np.uint8)
-        parsed = lib.hc_sam_parse(
-            c(buf, ctypes.c_uint8), i64(len(buf)),
+        sl = buf[byte_lo:byte_hi] if byte_hi > byte_lo else np.zeros(
+            0, dtype=np.uint8
+        )
+        common = (
+            c(sl, ctypes.c_uint8), i64(len(sl)),
             c(blob, ctypes.c_uint8), c(offs, i64), ctypes.c_int32(len(names)),
+        )
+        outs = (
             c(self.pos, ctypes.c_int32), c(self.flag, ctypes.c_int32),
             c(self.mapq, ctypes.c_int32), c(self.rnext_eq, ctypes.c_uint8),
             c(self.rname_id, ctypes.c_int32),
@@ -156,9 +290,17 @@ class ColumnarReadStore:
             c(self.seq_off, i64), c(self.seq, ctypes.c_uint8),
             c(self.qual, ctypes.c_uint8),
         )
+        if not ranged:
+            parsed = lib.hc_sam_parse(*common, *outs)
+        else:
+            parsed = lib.hc_sam_parse_ranges(
+                *common, c(keep_lo, i64), c(keep_hi, i64), *outs
+            )
         if parsed < 0:
+            # native line numbers are relative to the parsed slice
+            line = -parsed + int(np.count_nonzero(buf[:byte_lo] == ord("\n")))
             raise ValueError(
-                f"malformed SAM line {-parsed} in {sam_path} "
+                f"malformed SAM line {line} in {sam_path} "
                 "(fewer than 11 fields)"
             )
         assert parsed == n, (parsed, n)

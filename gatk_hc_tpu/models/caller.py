@@ -207,11 +207,20 @@ def call_batched(
     timers: Optional[StageTimers] = None,
     counters: Optional[RunCounters] = None,
     manifest=None,
+    start_ranges=None,
 ) -> List[RegionResult]:
     """Two-phase pipeline for device engines: assemble ALL regions on the
     host first, dispatch PairHMM for all regions in a few large device
     batches (ops/runner.py), then genotype.  Amortizes per-dispatch
-    host<->device latency across the whole contig."""
+    host<->device latency across the whole contig.
+
+    ``start_ranges`` ({contig: (lo, hi)} 0-based start positions) restricts
+    the columnar parse to reads the selected windows can actually use — the
+    multi-host shard path passes each process's padded region span so N
+    hosts no longer parse the full file N times (SURVEY.md §7 step 7).
+    With cfg.stream_contigs, contigs are parsed one at a time from byte
+    slices found by a single ranged scan, and each contig's columns are
+    freed once its last region is assembled (bounded memory for WGS)."""
     from ..ops.engines import make_assemble_fn
     from ..ops.pairhmm_oracle import normalize_and_filter
     from ..ops.runner import PairHMMJob, PallasPairHMMRunner
@@ -234,16 +243,26 @@ def call_batched(
         from .. import native
 
         use_columnar = native.available()
+    stream = use_columnar and cfg.stream_contigs
+    layout = None
     with timers.stage("parse"):
         contigs = read_all_fasta(fasta_path)
         for record in contigs:
             record.seq = record.seq.upper()
         contig_sizes = {c.name: len(c.seq) for c in contigs}
+        store = None
         if use_columnar:
-            from ..io.columnar import ColumnarReadStore
+            from ..io.columnar import ColumnarReadStore, SamLayout
 
-            store = ColumnarReadStore(sam_path, contig_sizes)
-            counters.reads_parsed = store.n_bucketed
+            if stream:
+                # one cheap ranged scan; per-contig slice parses happen
+                # lazily as the walk reaches each contig
+                layout = SamLayout(sam_path, contig_sizes, start_ranges)
+            else:
+                store = ColumnarReadStore(
+                    sam_path, contig_sizes, start_ranges=start_ranges
+                )
+                counters.reads_parsed = store.n_bucketed
         else:
             all_buckets = load_reads_by_contig(read_sam(sam_path), contig_sizes)
             counters.reads_parsed = sum(
@@ -265,16 +284,20 @@ def call_batched(
     # whole-window native fast path: downsample/filter/clip + assembly + SW
     # in ONE ctypes call per region (only when nothing is overridden — the
     # separate-stage path remains the differential oracle)
-    fused_fn = None
-    if (
+    fused_capable = (
         use_columnar
         and not assemble_overridden
         and cfg.assembler_engine == "native"
         and cfg.sw_engine == "native"
-    ):
+    )
+    if fused_capable:
         from .. import native as _native
 
-        fused_fn = _native.fused_window_fn(cfg, store)
+    # per-contig mutable data source (streaming swaps it at contig
+    # boundaries; the non-streaming path fills it once)
+    data = {"store": store, "fused": None}
+    if fused_capable and store is not None:
+        data["fused"] = _native.fused_window_fn(cfg, store)
 
     def build_job(reads, haplotypes):
         if len(haplotypes) <= 1:
@@ -295,8 +318,11 @@ def call_batched(
 
     def prep_assemble(contig, origin, padded):
         """Worker body: everything per-region that needs no shared state.
-        Returns (status, payload, prep_seconds, assemble_seconds)."""
+        Returns (status, payload, prep_seconds, assemble_seconds).  Reads
+        the data source through ``data`` so contig streaming can swap the
+        store between contigs (all in-flight workers are drained first)."""
         t0 = time.perf_counter()
+        fused_fn = data["fused"]
         if fused_fn is not None:
             window_ref = contig.seq[padded.begin : padded.end]
             try:
@@ -317,7 +343,7 @@ def call_batched(
             # one fused call: attribute its time to the assemble stage
             return "ok", payload, 0.0, t1 - t0
         if use_columnar:
-            reads, n_downsampled = store.prepare_window(
+            reads, n_downsampled = data["store"].prepare_window(
                 contig.name, padded.begin, padded.end, cfg
             )
             if n_downsampled == 0:
@@ -395,6 +421,25 @@ def call_batched(
     pool = ThreadPoolExecutor(n_workers) if n_workers > 1 else None
     inflight = deque()  # (result, origin, padded, future) in region order
     max_inflight = max(64, 8 * n_workers)
+    current_contig = [None]
+
+    def switch_contig(contig):
+        """Contig streaming: drain every in-flight worker touching the old
+        contig's columns, free them, and slice-parse the next contig."""
+        if not stream or current_contig[0] == contig.name:
+            return
+        while inflight:
+            r, o, p, fut = inflight.popleft()
+            consume(r, o, p, fut.result())
+        with timers.stage("parse"):
+            new_store = layout.store_for(contig.name)
+        counters.reads_parsed += new_store.n_bucketed
+        data["store"] = new_store
+        data["fused"] = (
+            _native.fused_window_fn(cfg, new_store) if fused_capable else None
+        )
+        current_contig[0] = contig.name
+
     try:
         for index, contig, origin, padded in all_windows():
             if region_filter is not None and not region_filter(index):
@@ -407,6 +452,7 @@ def call_batched(
                 counters.variants += len(result.variants)
                 continue
             result.region_id = index
+            switch_contig(contig)
             if pool is None:
                 consume(result, origin, padded, prep_assemble(contig, origin, padded))
             else:
@@ -423,6 +469,10 @@ def call_batched(
     finally:
         if pool is not None:
             pool.shutdown(wait=True)
+    if stream:
+        # all jobs hold copies of their read data; the last contig's
+        # columns are dead weight during pairhmm drain + genotyping
+        data["store"] = data["fused"] = None
 
     def genotype_entries(entries):
         for result, reads, haplotypes, window_ref, job in entries:

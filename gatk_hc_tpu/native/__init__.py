@@ -143,6 +143,22 @@ def _configure(lib: ctypes.CDLL) -> None:
         i64p, u8p, i32p,  # cigar offsets/ops/lens
         i64p, u8p, u8p,  # seq offsets, seq, qual
     ]
+    lib.hc_sam_scan_ranges.restype = None
+    lib.hc_sam_scan_ranges.argtypes = [
+        u8p, ctypes.c_int64,  # SAM text
+        u8p, i64p, ctypes.c_int32,  # contig names blob/offsets/count
+        i64p, i64p,  # keep_lo/keep_hi per contig
+        i64p,  # out (n_contigs x 5) rows
+    ]
+    lib.hc_sam_parse_ranges.restype = ctypes.c_int64
+    lib.hc_sam_parse_ranges.argtypes = [
+        u8p, ctypes.c_int64,  # SAM text (slice)
+        u8p, i64p, ctypes.c_int32,  # contig names blob/offsets/count
+        i64p, i64p,  # keep_lo/keep_hi per contig
+        i32p, i32p, i32p, u8p, i32p,  # pos, flag, mapq, rnext_eq, rname_id
+        i64p, u8p, i32p,  # cigar offsets/ops/lens
+        i64p, u8p, u8p,  # seq offsets, seq, qual
+    ]
     lib.hc_prepare_window.restype = ctypes.c_int32
     lib.hc_prepare_window.argtypes = [
         i32p, i32p, i32p, u8p,  # pos, flag, mapq, rnext_eq

@@ -1156,15 +1156,55 @@ void hc_sam_scan(const uint8_t* buf, int64_t n, int64_t* out_reads,
   *out_seq_bytes = bytes;
 }
 
+// Digit-validated int like Python's int(): a non-numeric FLAG/POS/MAPQ
+// field is a malformed line, same error contract as the <11-fields path.
+static inline int64_t sam_field_int(const uint8_t* p, int64_t len, bool* ok) {
+  int64_t v = 0;
+  bool neg = false;
+  int64_t k = 0;
+  if (len > 0 && (p[0] == '-' || p[0] == '+')) {
+    neg = p[0] == '-';
+    k = 1;
+  }
+  if (k >= len) *ok = false;
+  for (; k < len; ++k) {
+    if (p[k] < '0' || p[k] > '9') {
+      *ok = false;
+      return 0;
+    }
+    v = v * 10 + (p[k] - '0');
+  }
+  return neg ? -v : v;
+}
+
+static inline int32_t match_contig(const uint8_t* p, int64_t len,
+                                   const uint8_t* blob, const int64_t* offs,
+                                   int32_t n_contigs) {
+  for (int32_t c = 0; c < n_contigs; ++c) {
+    const int64_t clen = offs[c + 1] - offs[c];
+    if (clen == len && std::memcmp(blob + offs[c], p, clen) == 0) return c;
+  }
+  return -1;
+}
+
 // Pass 2: fill columnar arrays.  contig_blob/contig_offs name the FASTA
 // contigs; rname_id is the matching index or -1.  Returns records parsed,
 // or -(line_number) on a malformed line (fewer than 11 fields).
-int64_t hc_sam_parse(const uint8_t* buf, int64_t n, const uint8_t* contig_blob,
-                     const int64_t* contig_offs, int32_t n_contigs,
-                     int32_t* pos, int32_t* flag, int32_t* mapq,
-                     uint8_t* rnext_eq, int32_t* rname_id, int64_t* cig_off,
-                     uint8_t* cig_op, int32_t* cig_len, int64_t* seq_off,
-                     uint8_t* seq, uint8_t* qual) {
+//
+// When keep_lo/keep_hi are non-null they give a per-contig 0-based
+// start-position range and only records with keep_lo[c] <= POS-1 <
+// keep_hi[c] are materialized; records matching no contig are dropped
+// (the shard-restricted store only exists to hold usable reads).  The
+// unfiltered entry point keeps unmatched records with rname_id = -1.
+static int64_t sam_parse_impl(const uint8_t* buf, int64_t n,
+                              const uint8_t* contig_blob,
+                              const int64_t* contig_offs, int32_t n_contigs,
+                              const int64_t* keep_lo, const int64_t* keep_hi,
+                              int32_t* pos, int32_t* flag, int32_t* mapq,
+                              uint8_t* rnext_eq, int32_t* rname_id,
+                              int64_t* cig_off, uint8_t* cig_op,
+                              int32_t* cig_len, int64_t* seq_off, uint8_t* seq,
+                              uint8_t* qual) {
   int64_t r = 0, line_no = 0;
   int64_t ops_cursor = 0, seq_cursor = 0;
   cig_off[0] = 0;
@@ -1200,41 +1240,24 @@ int64_t hc_sam_parse(const uint8_t* buf, int64_t n, const uint8_t* contig_blob,
       }
       return -line_no;
     }
-    // digit-validated like Python's int(): a non-numeric FLAG/POS/MAPQ
-    // field is a malformed line, same error contract as the <11-fields path
-    auto to_int = [](const uint8_t* p, int64_t len, bool* ok) -> int64_t {
-      int64_t v = 0;
-      bool neg = false;
-      int64_t k = 0;
-      if (len > 0 && (p[0] == '-' || p[0] == '+')) {
-        neg = p[0] == '-';
-        k = 1;
-      }
-      if (k >= len) *ok = false;
-      for (; k < len; ++k) {
-        if (p[k] < '0' || p[k] > '9') {
-          *ok = false;
-          return 0;
-        }
-        v = v * 10 + (p[k] - '0');
-      }
-      return neg ? -v : v;
-    };
     bool num_ok = true;
-    flag[r] = static_cast<int32_t>(to_int(f_ptr[1], f_len[1], &num_ok));
-    pos[r] = static_cast<int32_t>(to_int(f_ptr[3], f_len[3], &num_ok));
-    mapq[r] = static_cast<int32_t>(to_int(f_ptr[4], f_len[4], &num_ok));
+    const int64_t f_flag = sam_field_int(f_ptr[1], f_len[1], &num_ok);
+    const int64_t f_pos = sam_field_int(f_ptr[3], f_len[3], &num_ok);
+    const int64_t f_mapq = sam_field_int(f_ptr[4], f_len[4], &num_ok);
     if (!num_ok) return -line_no;
-    rnext_eq[r] = (f_len[6] == 1 && f_ptr[6][0] == '=') ? 1 : 0;
-    rname_id[r] = -1;
-    for (int32_t c = 0; c < n_contigs; ++c) {
-      const int64_t clen = contig_offs[c + 1] - contig_offs[c];
-      if (clen == f_len[2] &&
-          std::memcmp(contig_blob + contig_offs[c], f_ptr[2], clen) == 0) {
-        rname_id[r] = c;
-        break;
+    const int32_t cid = match_contig(f_ptr[2], f_len[2], contig_blob,
+                                     contig_offs, n_contigs);
+    if (keep_lo != nullptr) {
+      if (cid < 0 || f_pos - 1 < keep_lo[cid] || f_pos - 1 >= keep_hi[cid]) {
+        i = eol + 1;
+        continue;
       }
     }
+    flag[r] = static_cast<int32_t>(f_flag);
+    pos[r] = static_cast<int32_t>(f_pos);
+    mapq[r] = static_cast<int32_t>(f_mapq);
+    rnext_eq[r] = (f_len[6] == 1 && f_ptr[6][0] == '=') ? 1 : 0;
+    rname_id[r] = cid;
     // cigar: "*" -> no ops
     if (!(f_len[5] == 1 && f_ptr[5][0] == '*')) {
       int64_t count = 0;
@@ -1262,6 +1285,94 @@ int64_t hc_sam_parse(const uint8_t* buf, int64_t n, const uint8_t* contig_blob,
     i = eol + 1;
   }
   return r;
+}
+
+int64_t hc_sam_parse(const uint8_t* buf, int64_t n, const uint8_t* contig_blob,
+                     const int64_t* contig_offs, int32_t n_contigs,
+                     int32_t* pos, int32_t* flag, int32_t* mapq,
+                     uint8_t* rnext_eq, int32_t* rname_id, int64_t* cig_off,
+                     uint8_t* cig_op, int32_t* cig_len, int64_t* seq_off,
+                     uint8_t* seq, uint8_t* qual) {
+  return sam_parse_impl(buf, n, contig_blob, contig_offs, n_contigs, nullptr,
+                        nullptr, pos, flag, mapq, rnext_eq, rname_id, cig_off,
+                        cig_op, cig_len, seq_off, seq, qual);
+}
+
+// Shard-restricted parse: only records inside the per-contig start ranges
+// are materialized (multi-host SAM sharding + contig-streaming memory
+// bounding, SURVEY.md §5/§7 step 7).  Same malformed-line error contract as
+// hc_sam_parse; line numbers are relative to `buf`, so callers handing a
+// byte slice must translate.
+int64_t hc_sam_parse_ranges(const uint8_t* buf, int64_t n,
+                            const uint8_t* contig_blob,
+                            const int64_t* contig_offs, int32_t n_contigs,
+                            const int64_t* keep_lo, const int64_t* keep_hi,
+                            int32_t* pos, int32_t* flag, int32_t* mapq,
+                            uint8_t* rnext_eq, int32_t* rname_id,
+                            int64_t* cig_off, uint8_t* cig_op,
+                            int32_t* cig_len, int64_t* seq_off, uint8_t* seq,
+                            uint8_t* qual) {
+  return sam_parse_impl(buf, n, contig_blob, contig_offs, n_contigs, keep_lo,
+                        keep_hi, pos, flag, mapq, rnext_eq, rname_id, cig_off,
+                        cig_op, cig_len, seq_off, seq, qual);
+}
+
+// Pass 1 (shard-restricted): per-contig allocation counts AND the byte range
+// of the file that covers each contig's kept records, so pass 2 (and any
+// later per-contig streaming parse) touches only that slice.  `out` is
+// (n_contigs x 5) int64 rows: kept reads, cigar-op upper bound, seq bytes,
+// byte_lo, byte_hi (byte_lo/byte_hi are -1 when nothing matched).  Records
+// whose RNAME matches no contig are not counted (unlike hc_sam_scan, which
+// sizes the keep-everything store).  Lines that fail numeric POS validation
+// are skipped here; pass 2 reports them if they fall inside a parsed slice.
+void hc_sam_scan_ranges(const uint8_t* buf, int64_t n,
+                        const uint8_t* contig_blob, const int64_t* contig_offs,
+                        int32_t n_contigs, const int64_t* keep_lo,
+                        const int64_t* keep_hi, int64_t* out) {
+  for (int32_t c = 0; c < n_contigs; ++c) {
+    int64_t* row = out + c * 5;
+    row[0] = row[1] = row[2] = 0;
+    row[3] = row[4] = -1;
+  }
+  int64_t i = 0;
+  while (i < n) {
+    int64_t eol = i;
+    while (eol < n && buf[eol] != '\n') ++eol;
+    if (eol > i && buf[i] != '@') {
+      const uint8_t* f_ptr[11];
+      int64_t f_len[11];
+      int field = 0;
+      int64_t j = i;
+      while (j < eol && field < 11) {
+        while (j < eol && (buf[j] == ' ' || buf[j] == '\t')) ++j;
+        int64_t start = j;
+        while (j < eol && buf[j] != ' ' && buf[j] != '\t') ++j;
+        if (j > start) {
+          f_ptr[field] = buf + start;
+          f_len[field] = j - start;
+          ++field;
+        }
+      }
+      if (field >= 11) {
+        const int32_t cid = match_contig(f_ptr[2], f_len[2], contig_blob,
+                                         contig_offs, n_contigs);
+        if (cid >= 0) {
+          bool ok = true;
+          const int64_t begin = sam_field_int(f_ptr[3], f_len[3], &ok) - 1;
+          if (ok && begin >= keep_lo[cid] && begin < keep_hi[cid]) {
+            int64_t* row = out + cid * 5;
+            row[0] += 1;
+            for (int64_t k = 0; k < f_len[5]; ++k)
+              if (!(f_ptr[5][k] >= '0' && f_ptr[5][k] <= '9')) row[1] += 1;
+            row[2] += f_len[9];
+            if (row[3] < 0) row[3] = i;
+            row[4] = std::min<int64_t>(eol + 1, n);
+          }
+        }
+      }
+    }
+    i = eol + 1;
+  }
 }
 
 static inline bool ref_consuming(uint8_t op) {

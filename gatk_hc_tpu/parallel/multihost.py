@@ -60,6 +60,42 @@ def partition_regions(n_regions: int, process_index: int, process_count: int):
     return range(start, min(start + per, n_regions))
 
 
+def shard_start_ranges(contigs, cfg: HCConfig, region_range: range):
+    """Per-contig 0-based start-position spans a process's region block can
+    select reads from — the columnar parse filter for the per-host SAM
+    shard (each host materializes only its own reads instead of N full
+    parses; SURVEY.md §7 step 7).
+
+    Windows pick reads by START position inside their padded interval
+    (models/downsampler.py), so the span for a contiguous run of local
+    windows [first, last] is [first's padded begin, last's padded end):
+    window 0 is only end-padded, later windows pad both sides
+    (models/caller.py::iter_windows).  Reads in the overlap between two
+    shards' spans are parsed by both — exactly the reads whose windows
+    straddle the shard boundary."""
+    ranges = {}
+    base = 0
+    for c in contigs:
+        size = len(c.seq)
+        n_c = (size + cfg.region_size - 1) // cfg.region_size
+        lo_id = max(region_range.start, base)
+        hi_id = min(region_range.stop, base + n_c)
+        if lo_id < hi_id:
+            first_local = lo_id - base
+            last_local = hi_id - base - 1
+            lo = (
+                0
+                if first_local == 0
+                else first_local * cfg.region_size - cfg.padding_size
+            )
+            hi = min(
+                size, (last_local + 1) * cfg.region_size + cfg.padding_size
+            )
+            ranges[c.name] = (lo, hi)
+        base += n_c
+    return ranges
+
+
 def encode_variants(
     region_ids: Sequence[int],
     variants: Sequence[Variant],
@@ -205,6 +241,9 @@ def run_multihost(
         logger=logger or NULL_LOGGER,
         timers=timers, counters=counters,
         manifest=manifest,
+        # shard parse: this process materializes only the reads its padded
+        # windows can select instead of the whole file
+        start_ranges=shard_start_ranges(contigs, cfg, mine),
     )
     region_ids: List[int] = []
     variants: List[Variant] = []
