@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("native", "python"),
     )
     parser.add_argument(
+        "--genotyper",
+        default=DEFAULT_CONFIG.genotyper_engine,
+        choices=("host", "jax"),
+        help="genotype reductions: exact host NumPy f64 or batched device "
+        "jnp (f64 on CPU backends; f32 on TPU with a documented GQ caveat)",
+    )
+    parser.add_argument(
         "--downsample",
         default=DEFAULT_CONFIG.downsample_mode,
         choices=("first", "seeded"),
@@ -129,6 +136,7 @@ def main(argv=None) -> int:
         pairhmm_engine=args.pairhmm,
         assembler_engine=args.assembler,
         data_engine=args.data,
+        genotyper_engine=args.genotyper,
         downsample_mode=args.downsample,
         downsample_seed=args.seed,
         region_size=args.region_size,
@@ -235,7 +243,19 @@ def main(argv=None) -> int:
             "engine": cfg.pairhmm_engine,
             "stages": timers.summary(),
         }
-        print(json.dumps(stats))
+        if args.num_processes and args.num_processes > 1:
+            # collective: every process participates, process 0 prints the
+            # merged cross-process stats instead of its local-only view
+            import jax
+
+            from .parallel.multihost import gather_stats
+
+            merged = gather_stats(counters, timers)
+            if jax.process_index() == 0:
+                stats["cluster"] = merged
+                print(json.dumps(stats))
+        else:
+            print(json.dumps(stats))
     print(f"HaplotypeCaller done. {n_variants} variants in {elapsed:.2f}s")
     return 0
 

@@ -143,6 +143,12 @@ class HCConfig:
     assembler_engine: str = "native"       # "native" | "python"
     data_engine: str = "auto"              # "auto" | "native" | "python":
     # columnar C++ SAM parse + window prep vs per-record Python objects
+    # "host": exact NumPy f64 reductions (default; bit-exact with the
+    # reference).  "jax": batched device reductions (ops/genotyper_jax.py)
+    # for pod-scale runs where genotyping shards next to PairHMM — exact
+    # f64 on CPU backends, f32 on TPU (GQ may differ at f32 rounding
+    # boundaries, hence not the default).
+    genotyper_engine: str = "host"         # "host" | "jax"
     f64_rescue: str = "sentinel"           # "sentinel" | "exact": underflowed
     # f32 pairs get a provably VCF-neutral stand-in vs the reference's exact
     # float64 recomputation (see ops/pairhmm_oracle.py::RESCUE_SENTINEL_LOG10)

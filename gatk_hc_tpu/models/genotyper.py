@@ -281,20 +281,21 @@ def _genotype_alleles(allele_count: int, genotype_index: int) -> Tuple[int, int]
     raise IndexError(genotype_index)
 
 
-def assign_genotype_likelihoods(
+def _site_specs(
     reads: Sequence[SAMRecord],
     haplotypes: List[Haplotype],
-    likelihoods: np.ndarray,  # (n_reads, n_haps) float64
     ref: str,
     padded_region: Interval,
     origin_region: Interval,
     cfg: HCConfig,
-) -> List[Variant]:
-    """genotyper.hpp:369-398."""
+):
+    """The per-site host preparation shared by both genotyper engines:
+    event extraction, allele resolution, haplotype->allele mapping and the
+    read-overlap filter.  Yields (alleles, alleles_loc, haplotype_mapper,
+    keep_mask) per emitted site in event order."""
     event_begins = _set_events_for_haplotypes(haplotypes, ref, padded_region)
-    variants: List[Variant] = []
     if not event_begins:
-        return variants
+        return
     # read geometry, gathered once per region: the per-site overlap filter
     # (genotyper.hpp:266-274) becomes a vector compare
     n = len(reads)
@@ -311,8 +312,7 @@ def assign_genotype_likelihoods(
             events, ref[begin - padded_region.begin], begin, origin_region.contig
         )
         alleles, alleles_loc = _get_compatible_alleles(events)
-        allele_count = len(alleles)
-        if allele_count > cfg.max_allele_count:
+        if len(alleles) > cfg.max_allele_count:
             continue
         allele_mapper = _get_allele_mapper(alleles, begin, haplotypes)
         haplotype_mapper = _get_haplotype_mapper(allele_mapper, len(haplotypes))
@@ -320,22 +320,110 @@ def assign_genotype_likelihoods(
         keep_mask = (
             contig_ok & (read_begins < overlap.end) & (read_ends > overlap.begin)
         )
+        yield alleles, alleles_loc, haplotype_mapper, keep_mask
+
+
+def _emit(alleles, alleles_loc, genotype_index_pair, gq, cfg, variants):
+    """Shared emission filters (genotyper.hpp:386-395): hom-ref skip and
+    low-GQ 0/x het skip."""
+    gt = genotype_index_pair
+    if gt == (0, 0):
+        return
+    if gt[0] == 0 and gq < cfg.min_heterozygosity_quality:
+        return
+    variants.append(
+        Variant(location=alleles_loc, alleles=tuple(alleles), gt=gt, gq=gq)
+    )
+
+
+def assign_genotype_likelihoods(
+    reads: Sequence[SAMRecord],
+    haplotypes: List[Haplotype],
+    likelihoods: np.ndarray,  # (n_reads, n_haps) float64
+    ref: str,
+    padded_region: Interval,
+    origin_region: Interval,
+    cfg: HCConfig,
+) -> List[Variant]:
+    """genotyper.hpp:369-398."""
+    if cfg.genotyper_engine == "jax":
+        return _assign_genotype_likelihoods_jax(
+            reads, haplotypes, likelihoods, ref, padded_region,
+            origin_region, cfg,
+        )
+    variants: List[Variant] = []
+    for alleles, alleles_loc, haplotype_mapper, keep_mask in _site_specs(
+        reads, haplotypes, ref, padded_region, origin_region, cfg
+    ):
+        allele_count = len(alleles)
         allele_lik = _marginalize(
             haplotype_mapper, allele_count, keep_mask, likelihoods
         )
         genotype_lik = _calculate_genotype_likelihoods(allele_lik, allele_count)
         genotype_index, gq = _gq_and_max_index(genotype_lik, cfg.max_genotype_quality)
-        if genotype_index == 0:
-            continue
-        gt = _genotype_alleles(allele_count, genotype_index)
-        if gt[0] == 0 and gq < cfg.min_heterozygosity_quality:
-            continue
-        variants.append(
-            Variant(
-                location=alleles_loc,
-                alleles=tuple(alleles),
-                gt=gt,
-                gq=gq,
-            )
+        _emit(
+            alleles, alleles_loc,
+            _genotype_alleles(allele_count, genotype_index), gq, cfg, variants,
         )
+    return variants
+
+
+def _pad_up(value: int, buckets) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    return value
+
+
+def _assign_genotype_likelihoods_jax(
+    reads, haplotypes, likelihoods, ref, padded_region, origin_region, cfg
+) -> List[Variant]:
+    """Device-engine genotyper: same host-side site prep, but the three
+    reductions (marginalize, diploid GL, GQ) run batched over all of the
+    region's sites in ops/genotyper_jax.py::genotype_sites.
+
+    Exactness: on CPU backends the reduction runs in float64 and is
+    bit-identical to the host engine (golden-tested).  TPUs have no f64, so
+    there it computes in float32 — GQ can differ when the top-2 gap sits
+    within f32 error of a rounding boundary, which is why "host" stays the
+    default engine (module docstring of ops/genotyper_jax.py)."""
+    import jax
+
+    from ..ops.genotyper_jax import MAX_ALLELES, genotype_pair_tables, genotype_sites_host
+
+    specs = list(
+        _site_specs(reads, haplotypes, ref, padded_region, origin_region, cfg)
+    )
+    variants: List[Variant] = []
+    if not specs:
+        return variants
+    n_reads, n_haps = likelihoods.shape
+    # pad to a few fixed tile shapes so XLA compiles a handful of programs
+    S = _pad_up(len(specs), (2, 4, 8, 16, 32, 64))
+    R = _pad_up(n_reads, (64, 128, 256, 512, 1024, 2048))
+    H = _pad_up(n_haps, (16, 32, 64, 128))
+    use_f64 = jax.default_backend() in ("cpu",)
+    dtype = np.float64 if use_f64 else np.float32
+    lik = np.zeros((R, H), dtype)
+    lik[:n_reads, :n_haps] = likelihoods
+    hap_to_allele = np.zeros((S, H), np.int32)
+    read_keep = np.zeros((S, R), bool)
+    hap_valid = np.zeros((S, H), bool)
+    allele_count = np.ones(S, np.int32)
+    for s, (alleles, _loc, mapper, keep) in enumerate(specs):
+        hap_to_allele[s, :n_haps] = mapper
+        read_keep[s, :n_reads] = keep
+        hap_valid[s, :n_haps] = True
+        allele_count[s] = len(alleles)
+    _gl, best_index, gq = genotype_sites_host(
+        np.broadcast_to(lik, (S, R, H)),
+        hap_to_allele, read_keep, hap_valid, allele_count,
+        max_gq=cfg.max_genotype_quality,
+    )
+    best_index = np.asarray(best_index)
+    gq = np.asarray(gq)
+    a1_tab, a2_tab = genotype_pair_tables()
+    for s, (alleles, alleles_loc, _mapper, _keep) in enumerate(specs):
+        gt = (int(a1_tab[best_index[s]]), int(a2_tab[best_index[s]]))
+        _emit(alleles, alleles_loc, gt, int(gq[s]), cfg, variants)
     return variants

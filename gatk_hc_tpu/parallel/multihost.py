@@ -194,6 +194,58 @@ def gather_variants(
     return decode_variants(tables[valid], blobs[valid], contig_names)
 
 
+_STATS_PAD = 8192
+
+
+def gather_stats(counters, timers):
+    """All-reduce of run counters + stage timers across processes (SURVEY.md
+    §5: the distributed equivalent of the reference's stdout progress is an
+    all-reduce of metrics).  Every process must call this (it is a
+    collective); returns the merged dict on all of them.
+
+    Counters sum; timers sum (they are per-process thread-seconds) and a
+    per-stage max is included as ``timers_max`` — the straggler view, which
+    is what scaling efficiency is measured against."""
+    import dataclasses as _dc
+    import jax
+
+    payload = json.dumps(
+        {
+            "counters": _dc.asdict(counters) if counters is not None else {},
+            "timers": dict(timers.totals) if timers is not None else {},
+        }
+    ).encode()
+    if len(payload) > _STATS_PAD:
+        raise ValueError(f"stats payload {len(payload)}B exceeds {_STATS_PAD}")
+    if jax.process_count() == 1:
+        rows = [payload]
+    else:
+        from jax.experimental import multihost_utils
+
+        buf = np.zeros(_STATS_PAD, np.uint8)
+        buf[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+        gathered = multihost_utils.process_allgather(buf)
+        rows = [
+            bytes(row[row != 0].tobytes()) for row in np.asarray(gathered)
+        ]
+    counters_sum: dict = {}
+    timers_sum: dict = {}
+    timers_max: dict = {}
+    for row in rows:
+        decoded = json.loads(row.decode())
+        for k, v in decoded["counters"].items():
+            counters_sum[k] = counters_sum.get(k, 0) + v
+        for k, v in decoded["timers"].items():
+            timers_sum[k] = timers_sum.get(k, 0.0) + v
+            timers_max[k] = max(timers_max.get(k, 0.0), v)
+    return {
+        "processes": len(rows),
+        "counters": counters_sum,
+        "timers": {k: round(v, 4) for k, v in timers_sum.items()},
+        "timers_max": {k: round(v, 4) for k, v in timers_max.items()},
+    }
+
+
 def run_multihost(
     sam_path: str,
     fasta_path: str,

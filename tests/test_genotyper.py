@@ -229,3 +229,48 @@ class TestDeviceGenotyper:
             np.testing.assert_array_equal(gl_dev[s, host_slots], gl_host)
             assert int(best_dev[s]) == host_slots[best_host]
             assert int(gq_dev[s]) == gq_host
+
+
+class TestJaxGenotyperEngine:
+    """cfg.genotyper_engine='jax': the production wiring of
+    ops/genotyper_jax.py (exact f64 on CPU backends)."""
+
+    def test_e2e_golden_chrm(self, tmp_path):
+        import dataclasses
+        import pathlib
+
+        from gatk_hc_tpu.models.caller import call_batched
+
+        fixtures = pathlib.Path(__file__).parent.parent / "fixtures"
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, pairhmm_engine="native", genotyper_engine="jax"
+        )
+        out = tmp_path / "gjax.vcf"
+        call_batched(
+            str(fixtures / "chrM.sam"), str(fixtures / "chrM.fa"),
+            str(out), cfg,
+        )
+        assert out.read_text() == (fixtures / "chrM.golden.vcf").read_text()
+
+    def test_region_parity_with_host_engine(self):
+        """Every region's variant list matches the host engine exactly
+        (locations, alleles, GT, GQ)."""
+        import dataclasses
+        import pathlib
+
+        from gatk_hc_tpu.models.caller import call_batched
+
+        fixtures = pathlib.Path(__file__).parent.parent / "fixtures"
+        sam = str(fixtures / "chrM.sam")
+        fa = str(fixtures / "chrM.fa")
+        base = dataclasses.replace(DEFAULT_CONFIG, pairhmm_engine="native")
+        host = call_batched(sam, fa, None, base)
+        dev = call_batched(
+            sam, fa, None,
+            dataclasses.replace(base, genotyper_engine="jax"),
+        )
+        assert len(host) == len(dev)
+        for rh, rd in zip(host, dev):
+            assert [v.to_vcf_row() for v in rh.variants] == [
+                v.to_vcf_row() for v in rd.variants
+            ]

@@ -29,10 +29,28 @@ pid = int(sys.argv[1])
 cfg = dataclasses.replace(
     DEFAULT_CONFIG, pairhmm_engine="native", assembler_engine="native"
 )
+from gatk_hc_tpu.utils.logging import RunCounters, StageTimers
+counters, timers = RunCounters(), StageTimers()
 run_multihost(
     {sam!r}, {fa!r}, {out!r} if pid == 0 else None, cfg,
     coordinator={coord!r}, num_processes=2, process_id=pid,
+    counters=counters, timers=timers,
 )
+# cross-process observability: merged counters must cover the whole contig,
+# not just this process's shard (collective — both processes participate)
+from gatk_hc_tpu.parallel.multihost import gather_stats
+merged = gather_stats(counters, timers)
+assert merged["processes"] == 2, merged
+if pid == 0:
+    from gatk_hc_tpu.io.fasta import read_all_fasta
+    n_regions = sum(
+        (len(c.seq) + cfg.region_size - 1) // cfg.region_size
+        for c in read_all_fasta({fa!r})
+    )
+    assert merged["counters"]["regions"] == n_regions, merged
+    assert merged["counters"]["regions"] > counters.regions
+    assert merged["counters"]["variants"] >= counters.variants
+    print("merged stats ok")
 print("proc", pid, "done")
 """
 

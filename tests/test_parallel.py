@@ -247,3 +247,20 @@ class TestMultihostManifest:
         out2 = str(tmp_path / "b.vcf")
         run_multihost(sam, fa, out2, cfg, manifest_path=mpath)
         assert open(out1).read() == open(out2).read()
+
+
+class TestGatherStats:
+    def test_single_process_merge(self):
+        from gatk_hc_tpu.parallel.multihost import gather_stats
+        from gatk_hc_tpu.utils.logging import RunCounters, StageTimers
+
+        counters = RunCounters(regions=10, variants=3, cell_updates=12345)
+        timers = StageTimers()
+        timers.add("assemble", 1.5)
+        timers.add("pairhmm", 2.25)
+        merged = gather_stats(counters, timers)
+        assert merged["processes"] == 1
+        assert merged["counters"]["regions"] == 10
+        assert merged["counters"]["cell_updates"] == 12345
+        assert merged["timers"]["pairhmm"] == 2.25
+        assert merged["timers_max"]["assemble"] == 1.5
