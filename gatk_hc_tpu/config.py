@@ -159,6 +159,17 @@ class HCConfig:
     pallas_algo: str = _env_choice(
         "GATK_HC_TPU_PALLAS_ALGO", "ppe", ("ppe", "striped")
     )
+    # Dispatch shipping encoding for the ppe kernel.  "planes" ships
+    # host-prepared i32 element planes (12 B/base, fewest device ops);
+    # "packed" ships raw uint8 (2 B/base) and unpacks with one device-side
+    # gather.  Which wins depends on the relay phase (per-op cost inflates
+    # up to ~7x for minutes-to-hours), so "adaptive" times one group on
+    # each path and keeps choosing the measured winner, re-calibrating
+    # periodically.  Short runs (< ~32 groups) stay on planes and never pay
+    # the packed path's one-time trace cost.
+    dispatch_mode: str = _env_choice(
+        "GATK_HC_TPU_DISPATCH", "adaptive", ("adaptive", "planes", "packed")
+    )
     ppe_rows: int = _env_int_choice("GATK_HC_TPU_PPE_ROWS", 2, (1, 2, 4))
     # Host-side region pipeline threads (prepare + assemble + job packing
     # run in a pool; ctypes releases the GIL, so this scales with cores —

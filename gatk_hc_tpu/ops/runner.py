@@ -19,6 +19,7 @@ loop (intel_pairhmm.hpp:115-203).
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -67,6 +68,65 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
         if value <= b:
             return b
     raise ValueError(f"value {value} exceeds largest bucket {buckets[-1]}")
+
+
+class DispatchPathController:
+    """Measured planes-vs-packed selection for relay-phase adaptation.
+
+    The relay-tunnelled TPU's per-op cost inflates up to ~7x in degraded
+    phases that last minutes to hours, flipping which shipping encoding is
+    cheaper (planes: 12 B/base, fewest ops; packed: 2 B/base + a device
+    gather).  Instead of a hand-tuned cost model, the runner times one
+    END-TO-END group per path (device_put + dispatch + block) and keeps
+    dispatching on the measured winner, re-timing the staler path every
+    ``recal_every`` groups so a phase change flips the choice within one
+    calibration cycle.
+
+    Short runs never pay for this: calibration starts only after
+    ``min_groups`` groups (a chrM-sized run has ~5), so the planes default
+    and its AOT-cached programs serve small inputs untouched."""
+
+    PATHS = ("planes", "packed")
+
+    def __init__(self, forced: Optional[str] = None, min_groups: int = 32,
+                 recal_every: int = 32):
+        self.forced = forced
+        self.min_groups = min_groups
+        self.recal_every = recal_every
+        self.groups = 0
+        # path -> (seconds per pair, group index of the measurement)
+        self.measured: Dict[str, Tuple[float, int]] = {}
+
+    def choose(self) -> Tuple[str, bool]:
+        """-> (path, calibrate): when calibrate is True the caller times
+        the group synchronously and reports via record()."""
+        if self.forced is not None:
+            return self.forced, False
+        self.groups += 1
+        if self.groups < self.min_groups:
+            return "planes", False
+        for path in self.PATHS:
+            if path not in self.measured:
+                return path, True
+        stale = min(self.PATHS, key=lambda p: self.measured[p][1])
+        if self.groups - self.measured[stale][1] >= self.recal_every:
+            return stale, True
+        return min(self.PATHS, key=lambda p: self.measured[p][0]), False
+
+    def record(self, path: str, sec_per_pair: float) -> None:
+        self.measured[path] = (sec_per_pair, self.groups)
+
+    def degraded(self) -> bool:
+        """True once measurements show the slow phase (winner's per-pair
+        cost more than 2x its best historical) — callers coarsen chunk
+        sizes to cut op count."""
+        if not self.measured:
+            return False
+        best_now = min(v[0] for v in self.measured.values())
+        floor = getattr(self, "_best_ever", None)
+        if floor is None or best_now < floor:
+            self._best_ever = floor = best_now
+        return best_now > 2.0 * floor
 
 
 class PallasPairHMMRunner:
@@ -130,6 +190,11 @@ class PallasPairHMMRunner:
 
         self._dev_tables: Dict = {}  # device -> lazily device_put tables
         self._call_cache: Dict = {}  # packed-dispatch signature -> callable
+        # relay-phase adaptation (interpret mode always uses the striped
+        # fallback, so the controller only runs on hardware)
+        self._path_ctl = DispatchPathController(
+            forced=None if cfg.dispatch_mode == "adaptive" else cfg.dispatch_mode
+        )
         # serializes program load/trace: a dispatch needing a signature the
         # prewarm thread is mid-way through waits for it instead of tracing
         # the same program concurrently
@@ -427,8 +492,16 @@ class PallasPairHMMRunner:
 
         # chunk plan: full-size chunks while the remainder exceeds the
         # biggest, then the smallest chunk that covers the tail (each chunk
-        # size is its own compiled program, so only a few sizes exist)
+        # size is its own compiled program, so only a few sizes exist).  In
+        # a measured degraded relay phase the per-op cost dominates, so the
+        # tail rounds up to the big chunk too — padded pairs are wasted
+        # kernel cells (cheap) traded for one fewer program launch.
         big = self._chunks[0]
+        chunks = (
+            (big,)
+            if not self.interpret and self._path_ctl.degraded()
+            else self._chunks
+        )
         sizes: List[int] = []
         covered = 0
         while covered < total:
@@ -437,7 +510,7 @@ class PallasPairHMMRunner:
                 sizes.append(big)
             else:
                 sizes.append(
-                    min((c for c in self._chunks if c >= rem), default=big)
+                    min((c for c in chunks if c >= rem), default=big)
                 )
             covered += sizes[-1]
         pr = np.zeros(covered, dtype=np.int32)
@@ -471,19 +544,62 @@ class PallasPairHMMRunner:
         )
         outs = []
         if use_ppe:
-            # planes path: the HOST applies the 256-entry element tables
-            # (numpy fancy-indexing, ~2ms/group) and ships ready i32 planes
-            # in one buffer — the device does view-only unpack + expansion
-            # + kernel (small-table gathers run at ~5ns/element through the
-            # relay and cost more than the extra upload bytes)
-            buf = self._build_planes(
-                read_u8, qual_u8, hap_u8, read_lens, hap_lens, hap_init_y,
-                nr_pad, nh_pad, r_pad, c_pad,
-            )
-            buf_dev, *pairs_devs = jax.device_put([buf] + chunk_pairs, device)
-            for pairs_dev, size in zip(pairs_devs, sizes):
-                fn = self._planes_callable(nr_pad, nh_pad, r_pad, c_pad, size)
-                outs.append(fn(buf_dev, pairs_dev))
+            path, calibrate = self._path_ctl.choose()
+            t0 = time.perf_counter() if calibrate else 0.0
+            if path == "packed":
+                # packed path: raw uint8 shipping (2 B/base) + ONE fused
+                # device gather through the 768-entry combined table
+                # (_unpack_u8_ppe) before pair expansion
+                u8buf = np.concatenate(
+                    [read_u8.ravel(), qual_u8.ravel(), hap_u8.ravel()]
+                )
+                i32buf = np.concatenate(
+                    [read_lens, hap_lens, hap_init_y.view(np.int32)]
+                )
+                u8_dev, i32_dev, *pairs_devs = jax.device_put(
+                    [u8buf, i32buf] + chunk_pairs, device
+                )
+                _base, _omq, _q3, ppe_tab = self._device_tables(device)
+                from .pairhmm_pallas import dispatch_pairs_ppe, prepare_tables_ppe
+
+                tables = prepare_tables_ppe(
+                    u8_dev, i32_dev, ppe_tab,
+                    nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
+                )
+                for pairs_dev in pairs_devs:
+                    outs.append(
+                        dispatch_pairs_ppe(
+                            *tables, pairs_dev, self.trans,
+                            r_pad=r_pad, c_pad=c_pad,
+                            ppe_rows=self.cfg.ppe_rows,
+                        )
+                    )
+            else:
+                # planes path: the HOST applies the 256-entry element
+                # tables (numpy fancy-indexing, ~2ms/group) and ships ready
+                # i32 planes in one buffer — the device does view-only
+                # unpack + expansion + kernel
+                buf = self._build_planes(
+                    read_u8, qual_u8, hap_u8, read_lens, hap_lens,
+                    hap_init_y, nr_pad, nh_pad, r_pad, c_pad,
+                )
+                buf_dev, *pairs_devs = jax.device_put(
+                    [buf] + chunk_pairs, device
+                )
+                for pairs_dev, size in zip(pairs_devs, sizes):
+                    fn = self._planes_callable(
+                        nr_pad, nh_pad, r_pad, c_pad, size
+                    )
+                    outs.append(fn(buf_dev, pairs_dev))
+            if calibrate:
+                # synchronous timing of this one group: everything from
+                # host packing through kernel completion (the real cost a
+                # submit adds to the stream on the current relay phase)
+                for o in outs:
+                    o.block_until_ready()
+                self._path_ctl.record(
+                    path, (time.perf_counter() - t0) / max(covered, 1)
+                )
             return (outs, (spans, total))
 
         # striped / interpret fallback: packed uint8 shipping + device prep
