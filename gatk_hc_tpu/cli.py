@@ -203,12 +203,11 @@ def main(argv=None) -> int:
 
                 enable_compile_cache()
             if cfg.pairhmm_engine == "pallas":
-                from .ops.runner import PallasPairHMMRunner
+                from .ops.runner import BackgroundRunner
 
-                runner = PallasPairHMMRunner(cfg)
-                # trace/compile the expected first dispatch programs in the
-                # background while the host parses and assembles
-                runner.prewarm()
+                # jax backend init + AOT load + program prewarm all run on
+                # a background thread, overlapped with parse/assembly
+                runner = BackgroundRunner(cfg)
             try:
                 with maybe_profile():
                     results = call_batched(
@@ -243,6 +242,17 @@ def main(argv=None) -> int:
             "engine": cfg.pairhmm_engine,
             "stages": timers.summary(),
         }
+        try:
+            from . import native
+
+            profile = native.profile_read()
+            if profile["regions_assembled"]:
+                stats["host_profile"] = {
+                    k: round(v, 4) if isinstance(v, float) else v
+                    for k, v in profile.items()
+                }
+        except Exception:
+            pass
         if args.num_processes and args.num_processes > 1:
             # collective: every process participates, process 0 prints the
             # merged cross-process stats instead of its local-only view

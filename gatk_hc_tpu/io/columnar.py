@@ -74,9 +74,14 @@ class _ContigIndex:
         valid = (begins >= 0) & (begins < size)
         rows = store_rows[valid]
         begins = begins[valid]
-        order = np.argsort(begins, kind="stable")
-        self.rows = rows[order].astype(np.int64)
-        self.counts = np.bincount(begins, minlength=size).astype(np.int64)
+        # coordinate-sorted SAMs (the common case) skip the argsort; the
+        # stable sort preserves parse order within a start position either
+        # way (the downsampler's tie-break rule)
+        if begins.size and np.any(begins[1:] < begins[:-1]):
+            order = np.argsort(begins, kind="stable")
+            rows = rows[order]
+        self.rows = np.ascontiguousarray(rows, dtype=np.int64)
+        self.counts = np.bincount(begins, minlength=size)
         self.starts = np.zeros(size + 1, dtype=np.int64)
         np.cumsum(self.counts, out=self.starts[1:])
         self.size = size
@@ -371,6 +376,97 @@ class ColumnarReadStore:
             contig, out_seq, out_qual, out_off, out_ab, out_ae, kept, cap
         )
         return reads, int(sel.size)
+
+
+class WindowReads:
+    """One window's prepared reads in columnar (CSR) form — the fused
+    path's zero-object alternative to a list of PreparedRead.
+
+    Materializing a PreparedRead per read cost ~3.5 us/read and was ~15%
+    of the 60 Mb host pipeline; the hot consumers only ever need arrays:
+    job packing slices (seq, qual) views, the genotyper reads the
+    alignment-span arrays, likelihood normalization reads lengths.  Lazy
+    __getitem__/__iter__ keep it quacking like Sequence[PreparedRead] for
+    any remaining generic consumer."""
+
+    __slots__ = ("contig", "seq", "qual", "off", "abegin", "aend")
+
+    def __init__(self, contig, seq, qual, off, abegin, aend):
+        self.contig = contig
+        self.seq = seq
+        self.qual = qual
+        self.off = off
+        self.abegin = abegin
+        self.aend = aend
+
+    def __len__(self) -> int:
+        return len(self.off) - 1
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.off)
+
+    def read_arrays(self):
+        """[(seq_u8, qual_u8), ...] views for PairHMMJob packing."""
+        off = self.off
+        return [
+            (self.seq[off[k] : off[k + 1]], self.qual[off[k] : off[k + 1]])
+            for k in range(len(self))
+        ]
+
+    def __getitem__(self, k: int) -> PreparedRead:
+        if k < 0:
+            k += len(self)
+        return PreparedRead(
+            seq_u8=self.seq[self.off[k] : self.off[k + 1]],
+            qual_u8=self.qual[self.off[k] : self.off[k + 1]],
+            rname=self.contig,
+            alignment_begin=int(self.abegin[k]),
+            alignment_end=int(self.aend[k]),
+        )
+
+    def __iter__(self):
+        for k in range(len(self)):
+            yield self[k]
+
+    def select(self, indices) -> "WindowReads":
+        """Kept-subset (normalize_and_filter's surviving reads), preserving
+        order.  The all-kept case (the norm) is free."""
+        indices = np.asarray(indices, dtype=np.int64)
+        if len(indices) == len(self):
+            return self
+        lens = self.off[indices + 1] - self.off[indices]
+        off = np.zeros(len(indices) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        if len(indices):
+            seq = np.concatenate(
+                [self.seq[self.off[i] : self.off[i + 1]] for i in indices]
+            )
+            qual = np.concatenate(
+                [self.qual[self.off[i] : self.off[i + 1]] for i in indices]
+            )
+        else:
+            seq = qual = np.zeros(0, dtype=np.uint8)
+        return WindowReads(
+            self.contig, seq, qual, off,
+            self.abegin[indices], self.aend[indices],
+        )
+
+
+def window_reads_from_outputs(
+    contig: str, out_seq, out_qual, out_off, out_ab, out_ae, kept: int,
+) -> WindowReads:
+    """WindowReads over COPIES of a window's native output blobs (the
+    output scratch is reused across regions, so views must not escape)."""
+    kept_bytes = int(out_off[kept]) if kept else 0
+    return WindowReads(
+        contig,
+        out_seq[:kept_bytes].copy(),
+        out_qual[:kept_bytes].copy(),
+        out_off[: kept + 1].copy(),
+        out_ab[:kept].copy(),
+        out_ae[:kept].copy(),
+    )
 
 
 def reads_from_window_outputs(

@@ -295,24 +295,31 @@ def call_batched(
 
     # per-contig mutable data source (streaming swaps it at contig
     # boundaries; the non-streaming path fills it once)
+    contig_seqs = {c.name: c.seq for c in contigs}
     data = {"store": store, "fused": None}
     if fused_capable and store is not None:
-        data["fused"] = _native.fused_window_fn(cfg, store)
+        data["fused"] = _native.fused_window_fn(cfg, store, contig_seqs)
 
     def build_job(reads, haplotypes):
         if len(haplotypes) <= 1:
             return None
-        read_arrays = [
-            (r.seq_u8, r.qual_u8)
-            if hasattr(r, "seq_u8")
-            else (
-                np.frombuffer(r.seq.encode(), dtype=np.uint8),
-                np.frombuffer(r.qual.encode(), dtype=np.uint8),
-            )
-            for r in reads
-        ]
+        if hasattr(reads, "read_arrays"):  # columnar WindowReads
+            read_arrays = reads.read_arrays()
+        else:
+            read_arrays = [
+                (r.seq_u8, r.qual_u8)
+                if hasattr(r, "seq_u8")
+                else (
+                    np.frombuffer(r.seq.encode(), dtype=np.uint8),
+                    np.frombuffer(r.qual.encode(), dtype=np.uint8),
+                )
+                for r in reads
+            ]
         hap_arrays = [
-            np.frombuffer(h.bases.encode(), dtype=np.uint8) for h in haplotypes
+            h.bases_u8
+            if getattr(h, "bases_u8", None) is not None
+            else np.frombuffer(h.bases.encode(), dtype=np.uint8)
+            for h in haplotypes
         ]
         return PairHMMJob(read_arrays, hap_arrays)
 
@@ -398,9 +405,12 @@ def call_batched(
         logger.haplotypes_found(len(haplotypes))
         if job is None:
             return
-        result.cell_updates = sum(len(r) for r in reads) * sum(
-            len(h) for h in haplotypes
+        read_bases = (
+            int(reads.off[-1])
+            if hasattr(reads, "off")
+            else sum(len(r) for r in reads)
         )
+        result.cell_updates = read_bases * sum(len(h) for h in haplotypes)
         counters.pairs += len(reads) * len(haplotypes)
         counters.cell_updates += result.cell_updates
         entry = (result, reads, haplotypes, window_ref, job)
@@ -436,7 +446,9 @@ def call_batched(
         counters.reads_parsed += new_store.n_bucketed
         data["store"] = new_store
         data["fused"] = (
-            _native.fused_window_fn(cfg, new_store) if fused_capable else None
+            _native.fused_window_fn(cfg, new_store, contig_seqs)
+            if fused_capable
+            else None
         )
         current_contig[0] = contig.name
 
@@ -476,15 +488,20 @@ def call_batched(
 
     def genotype_entries(entries):
         for result, reads, haplotypes, window_ref, job in entries:
+            columnar_reads = hasattr(reads, "lengths")
             filtered, kept_indices = normalize_and_filter(
                 job.result,
-                [len(r) for r in reads],
+                reads.lengths if columnar_reads else [len(r) for r in reads],
                 cfg.max_best_alt_likelihood_difference,
                 cfg.expected_error_rate_per_base,
                 cfg.log10_quality_per_base,
                 cfg.max_expected_error_per_read,
             )
-            kept_reads = [reads[i] for i in kept_indices]
+            kept_reads = (
+                reads.select(kept_indices)
+                if columnar_reads
+                else [reads[i] for i in kept_indices]
+            )
             result.variants = assign_genotype_likelihoods(
                 kept_reads, haplotypes, filtered, window_ref,
                 result.padded, result.origin, cfg,

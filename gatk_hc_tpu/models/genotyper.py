@@ -54,7 +54,9 @@ def process_cigar_for_initial_events(
     # byte views: the M-mismatch scan is a vectorized compare instead of a
     # per-base Python loop (same events, found left-to-right)
     ref_arr = np.frombuffer(ref.encode("ascii"), dtype=np.uint8)
-    hap_arr = np.frombuffer(hap.encode("ascii"), dtype=np.uint8)
+    hap_arr = getattr(haplotype, "bases_u8", None)
+    if hap_arr is None:
+        hap_arr = np.frombuffer(hap.encode("ascii"), dtype=np.uint8)
     for length, op in haplotype.cigar:
         if op == "M":
             mismatches = np.nonzero(
@@ -297,13 +299,22 @@ def _site_specs(
     if not event_begins:
         return
     # read geometry, gathered once per region: the per-site overlap filter
-    # (genotyper.hpp:266-274) becomes a vector compare
+    # (genotyper.hpp:266-274) becomes a vector compare.  Columnar
+    # WindowReads already hold the spans as arrays; per-record inputs
+    # gather them here.
     n = len(reads)
-    read_begins = np.fromiter((r.alignment_begin for r in reads), np.int64, n)
-    read_ends = np.fromiter((r.alignment_end for r in reads), np.int64, n)
-    contig_ok = np.fromiter(
-        (r.rname == padded_region.contig for r in reads), bool, n
-    )
+    if hasattr(reads, "abegin"):
+        read_begins = reads.abegin
+        read_ends = reads.aend
+        contig_ok = np.full(n, reads.contig == padded_region.contig)
+    else:
+        read_begins = np.fromiter(
+            (r.alignment_begin for r in reads), np.int64, n
+        )
+        read_ends = np.fromiter((r.alignment_end for r in reads), np.int64, n)
+        contig_ok = np.fromiter(
+            (r.rname == padded_region.contig for r in reads), bool, n
+        )
     for begin in event_begins:
         if begin < origin_region.begin or begin >= origin_region.end:
             continue

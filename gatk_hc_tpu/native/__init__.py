@@ -128,6 +128,9 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_int64,  # cigar arena capacity
     ]
 
+    lib.hc_prof_read.restype = None
+    lib.hc_prof_read.argtypes = [i64p, ctypes.c_int32]
+
     lib.hc_load_tables.restype = None
     lib.hc_load_tables.argtypes = [f32p, f64p, f32p, f64p, f32p, f64p]
     lib.hc_table_probe.restype = None
@@ -224,6 +227,28 @@ def pairhmm_raw_native(
         cptr(out, ctypes.c_float if dtype == np.float32 else ctypes.c_double),
     )
     return out
+
+
+PROF_PHASES = (
+    "segments_dups", "graph_build", "guards", "path_dfs",
+    "score_reconstruct", "sw_align", "window_prep",
+)
+
+
+def profile_read(reset: bool = False):
+    """Host-stage profile since process start (or the last reset): seconds
+    per assembly phase plus the assembled-region count.  The per-phase
+    attribution the reference never had (its rdtsc hooks are compile-time,
+    PairWiseSW.h:111-119)."""
+    lib = _load()
+    out = np.zeros(8, dtype=np.int64)
+    lib.hc_prof_read(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(1 if reset else 0),
+    )
+    result = {name: out[i] / 1e9 for i, name in enumerate(PROF_PHASES)}
+    result["regions_assembled"] = int(out[7])
+    return result
 
 
 def table_probe_native():
@@ -348,12 +373,18 @@ def _flatten_read_blobs(reads):
     return seqs, quals, offsets
 
 
+def _bind(a: np.ndarray, t):
+    """One-time ctypes pointer for a reusable buffer (data_as costs ~4us;
+    at 17 conversions per region it was ~25s of the 60 Mb host pipeline)."""
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
 class _AssembleScratch(threading.local):
     """Per-thread reusable output arenas (the pool-parallel assembler gives
     every worker its own buffers).  max_h and the capacities are tracked
     separately: a larger max_h with a smaller ref_len must still grow the
     per-haplotype arrays (they are indexed up to max_h regardless of arena
-    byte size)."""
+    byte size).  ctypes pointers are bound once per (re)allocation."""
 
     def ensure(self, max_h: int, ref_len: int):
         arena_cap = max_h * (ref_len + 64)
@@ -367,27 +398,67 @@ class _AssembleScratch(threading.local):
             self.scores = np.empty(max_h, dtype=np.float64)
             self.align_offsets = np.empty(max_h, dtype=np.int32)
             self.cigar_offsets = np.empty(max_h + 1, dtype=np.int64)
+            self.p_hap_offsets = _bind(self.hap_offsets, ctypes.c_int64)
+            self.p_scores = _bind(self.scores, ctypes.c_double)
+            self.p_align_offsets = _bind(self.align_offsets, ctypes.c_int32)
+            self.p_cigar_offsets = _bind(self.cigar_offsets, ctypes.c_int64)
         if getattr(self, "arena", None) is None or len(self.arena) < arena_cap:
             self.arena = np.empty(arena_cap, dtype=np.uint8)
+            self.p_arena = _bind(self.arena, ctypes.c_uint8)
         if (
             getattr(self, "cigar_ops", None) is None
             or len(self.cigar_ops) < cigar_cap
         ):
             self.cigar_ops = np.empty(cigar_cap, dtype=np.uint8)
             self.cigar_lens = np.empty(cigar_cap, dtype=np.int32)
+            self.p_cigar_ops = _bind(self.cigar_ops, ctypes.c_uint8)
+            self.p_cigar_lens = _bind(self.cigar_lens, ctypes.c_int32)
+        return self
+
+
+class _WindowScratch(threading.local):
+    """Per-thread reusable window output buffers + prebound pointers for
+    the fused path (fresh np.empty + data_as per region dominated the
+    Python share of prep time).  Consumers must COPY what escapes the
+    call (io/columnar.py::window_reads_from_outputs does)."""
+
+    def ensure(self, cap: int, n: int):
+        if getattr(self, "cap", 0) < cap:
+            self.cap = max(cap, 1 << 16, 2 * getattr(self, "cap", 0))
+            self.out_seq = np.empty(self.cap, np.uint8)
+            self.out_qual = np.empty(self.cap, np.uint8)
+            self.p_seq = _bind(self.out_seq, ctypes.c_uint8)
+            self.p_qual = _bind(self.out_qual, ctypes.c_uint8)
+        if getattr(self, "n", 0) < n:
+            self.n = max(n, 256, 2 * getattr(self, "n", 0))
+            self.out_off = np.empty(self.n + 1, np.int64)
+            self.out_ab = np.empty(self.n, np.int64)
+            self.out_ae = np.empty(self.n, np.int64)
+            self.p_off = _bind(self.out_off, ctypes.c_int64)
+            self.p_ab = _bind(self.out_ab, ctypes.c_int64)
+            self.p_ae = _bind(self.out_ae, ctypes.c_int64)
+        if not hasattr(self, "kept_out"):
+            self.kept_out = np.zeros(1, np.int32)
+            self.p_kept = _bind(self.kept_out, ctypes.c_int32)
         return self
 
 
 _ASSEMBLE_SCRATCH = _AssembleScratch()
+_WINDOW_SCRATCH = _WindowScratch()
 
 
-def fused_window_fn(cfg, store):
+def fused_window_fn(cfg, store, contig_seqs=None):
     """Whole-window native fast path over a ColumnarReadStore:
     ``(contig, begin, end, window_ref) -> (reads, n_downsampled, haps)``.
     One ctypes call per region runs downsample/filter/clip + assembly +
     per-haplotype SW (hc_prepare_assemble_sw); the separate
-    prepare_window/assemble path remains the differential oracle."""
-    from ..io.columnar import reads_from_window_outputs
+    prepare_window/assemble path remains the differential oracle.  Reads
+    come back as a columnar WindowReads (no per-read objects); all static
+    arguments and reusable scratch pointers are bound once.
+    ``contig_seqs`` ({name: full sequence}) lets the window reference be
+    pointer arithmetic into one per-contig encode instead of a per-region
+    encode + data_as."""
+    from ..io.columnar import window_reads_from_outputs
     from ..models.haplotype import Haplotype
 
     lib = _load()
@@ -401,48 +472,64 @@ def fused_window_fn(cfg, store):
     )
     cfg_ints = _assemble_cfg_ints(cfg)
     max_h = cfg.max_num_haplotypes
+    p_cfg_ints = c(cfg_ints, ctypes.c_int32)
+    p_sw_ints = c(sw_ints, ctypes.c_int32)
+    min_mapq = ctypes.c_int32(cfg.min_mapping_quality)
+    min_len = ctypes.c_int32(cfg.min_read_length_after_trimming)
+    # whole-contig reference bytes, encoded once: window slices become
+    # pointer arithmetic instead of a per-region encode + data_as
+    contig_bytes: dict = {}
+    fn = lib.hc_prepare_assemble_sw
+    u8p = ctypes.POINTER(ctypes.c_uint8)
 
     def run(contig: str, begin: int, end: int, window_ref: str):
         sel = store._indexes[contig].select(begin, end, cfg)
         if sel.size == 0:
             return [], 0, []
-        out_seq, out_qual, out_off, out_ab, out_ae, cap = (
-            store.window_buffers(sel)
-        )
-        kept_out = np.zeros(1, np.int32)
-        ref_b = np.frombuffer(window_ref.encode(), dtype=np.uint8)
-        s = _ASSEMBLE_SCRATCH.ensure(max_h, len(ref_b))
-        n = lib.hc_prepare_assemble_sw(
+        cap = int((store.seq_off[sel + 1] - store.seq_off[sel]).sum())
+        ws = _WINDOW_SCRATCH.ensure(cap, len(sel))
+        ref_arr = contig_bytes.get(contig)
+        if ref_arr is None and contig_seqs and contig in contig_seqs:
+            ref_arr = contig_bytes[contig] = np.frombuffer(
+                contig_seqs[contig].encode(), dtype=np.uint8
+            )
+        if ref_arr is not None:
+            ref_ptr = ctypes.cast(
+                ctypes.c_void_p(ref_arr.ctypes.data + begin), u8p
+            )
+            ref_len = end - begin
+        else:
+            win_arr = np.frombuffer(window_ref.encode(), dtype=np.uint8)
+            ref_ptr = c(win_arr, ctypes.c_uint8)
+            ref_len = len(win_arr)
+        s = _ASSEMBLE_SCRATCH.ensure(max_h, end - begin)
+        n = fn(
             *store._static_ptrs,
             c(sel, i64), ctypes.c_int32(len(sel)),
-            ctypes.c_int32(cfg.min_mapping_quality),
-            ctypes.c_int32(cfg.min_read_length_after_trimming),
+            min_mapq, min_len,
             i64(begin), i64(end),
-            c(out_seq, ctypes.c_uint8), c(out_qual, ctypes.c_uint8),
-            c(out_off, i64), c(out_ab, i64), c(out_ae, i64),
-            c(kept_out, ctypes.c_int32),
-            c(ref_b, ctypes.c_uint8), len(ref_b),
-            c(cfg_ints, ctypes.c_int32), c(sw_ints, ctypes.c_int32),
-            c(s.arena, ctypes.c_uint8), len(s.arena),
-            c(s.hap_offsets, i64), c(s.scores, ctypes.c_double), max_h,
-            c(s.align_offsets, ctypes.c_int32),
-            c(s.cigar_ops, ctypes.c_uint8), c(s.cigar_lens, ctypes.c_int32),
-            c(s.cigar_offsets, i64), len(s.cigar_ops),
+            ws.p_seq, ws.p_qual, ws.p_off, ws.p_ab, ws.p_ae,
+            ws.p_kept,
+            ref_ptr, ref_len,
+            p_cfg_ints, p_sw_ints,
+            s.p_arena, len(s.arena),
+            s.p_hap_offsets, s.p_scores, max_h,
+            s.p_align_offsets,
+            s.p_cigar_ops, s.p_cigar_lens,
+            s.p_cigar_offsets, len(s.cigar_ops),
         )
         if n < 0:
             _raise_assemble_error("hc_prepare_assemble_sw", n)
-        kept = int(kept_out[0])
-        reads = reads_from_window_outputs(
-            contig, out_seq, out_qual, out_off, out_ab, out_ae, kept, cap
+        kept = int(ws.kept_out[0])
+        reads = window_reads_from_outputs(
+            contig, ws.out_seq, ws.out_qual, ws.out_off, ws.out_ab,
+            ws.out_ae, kept,
         )
         haplotypes = []
         for i in range(n):
-            bases = (
-                s.arena[s.hap_offsets[i] : s.hap_offsets[i + 1]]
-                .tobytes()
-                .decode()
-            )
-            h = Haplotype(bases, s.scores[i])
+            bases_u8 = s.arena[s.hap_offsets[i] : s.hap_offsets[i + 1]].copy()
+            h = Haplotype(bases_u8.tobytes().decode(), s.scores[i])
+            h.bases_u8 = bases_u8
             h.alignment_begin_wrt_ref = int(s.align_offsets[i])
             lo, hi = s.cigar_offsets[i], s.cigar_offsets[i + 1]
             ops = s.cigar_ops[lo:hi].tobytes().decode()

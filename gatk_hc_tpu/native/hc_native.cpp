@@ -18,6 +18,8 @@
 // (SURVEY.md §2/§3); no reference code is copied.
 
 #include <algorithm>
+#include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -35,6 +37,23 @@
 #endif
 
 namespace {
+
+// ---------------------------------------------------------------------------
+// Host-stage profiling: nanosecond accumulators per assembly phase, read by
+// hc_prof_read (the reference has only compile-time rdtsc hooks,
+// PairWiseSW.h:111-119; here the profile is always on — ~12 clock reads per
+// region, ~0.04% of a 1 ms region).  Atomic: pool workers accumulate
+// concurrently.  Slots: 0 segments+dup-scan, 1 graph build, 2 guards
+// (unique/cycle), 3 path DFS, 4 score+reconstruct+sort, 5 SW, 6 window
+// prep, 7 regions assembled.
+constexpr int PROF_SLOTS = 8;
+std::atomic<int64_t> g_prof[PROF_SLOTS] = {};
+
+inline int64_t prof_now() {
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
 
 // ---------------------------------------------------------------------------
 // Numeric context
@@ -934,6 +953,14 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
   };
   std::vector<Hap> haplotypes;
 
+  g_prof[7].fetch_add(1, std::memory_order_relaxed);
+  int64_t t_last = prof_now();
+  auto mark = [&t_last](int slot) {
+    const int64_t now = prof_now();
+    g_prof[slot].fetch_add(now - t_last, std::memory_order_relaxed);
+    t_last = now;
+  };
+
   for (int iteration = 0; iteration < max_iterations; ++iteration) {
     const int kmer_size = initial_kmer + iteration * kmer_increase;
     if (ref_len < kmer_size) continue;
@@ -1010,15 +1037,25 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
     };
     collect_dups(ref_view);
     for (auto seg : segments) collect_dups(seg);
+    mark(0);
 
     graph.add_seq(ref_view, true);
     for (auto seg : segments) graph.add_seq(seg, false);
+    mark(1);
 
-    if (graph.unique_count() > max_unique) continue;
-    if (graph.has_cycles()) continue;
+    if (graph.unique_count() > max_unique) {
+      mark(2);
+      continue;
+    }
+    if (graph.has_cycles()) {
+      mark(2);
+      continue;
+    }
+    mark(2);
 
     std::vector<std::vector<int>> paths;
     if (!graph.find_paths(&paths, 200000)) return -3;  // path explosion
+    mark(3);
 
     // scores
     // dense flags/score arrays over the contiguous vertex/edge id spaces;
@@ -1055,6 +1092,7 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
     std::stable_sort(haplotypes.begin(), haplotypes.end(),
                      [](const Hap& a, const Hap& b) { return a.score > b.score; });
     if (haplotypes.size() > max_haplotypes) haplotypes.resize(max_haplotypes);
+    mark(4);
 
     if (!haplotypes.empty()) break;  // accepted this kmer size
   }
@@ -1091,6 +1129,7 @@ int32_t hc_assemble_sw(const uint8_t* ref, int64_t ref_len,
                                 cfg, out_bases, out_cap, out_offsets,
                                 out_scores, max_out);
   if (n <= 0) return n;
+  const int64_t t_sw = prof_now();
   int64_t cursor = 0;
   out_cigar_offsets[0] = 0;
   SWResult result;
@@ -1111,6 +1150,7 @@ int32_t hc_assemble_sw(const uint8_t* ref, int64_t ref_len,
     }
     out_cigar_offsets[i + 1] = cursor;
   }
+  g_prof[5].fetch_add(prof_now() - t_sw, std::memory_order_relaxed);
   return n;
 }
 
@@ -1473,16 +1513,27 @@ int32_t hc_prepare_assemble_sw(
     int64_t out_cap, int64_t* out_offsets, double* out_scores,
     int32_t max_out, int32_t* out_align_offset, uint8_t* out_cigar_ops,
     int32_t* out_cigar_lens, int64_t* out_cigar_offsets, int64_t cigar_cap) {
+  const int64_t t_prep = prof_now();
   const int32_t kept = hc_prepare_window(
       pos, flag, mapq, rnext_eq, cig_off, cig_op, cig_len, seq_off, seq,
       qual, sel, n_sel, min_mapq, min_len, win_begin, win_end, out_seq,
       out_qual, out_off, out_abegin, out_aend);
+  g_prof[6].fetch_add(prof_now() - t_prep, std::memory_order_relaxed);
   *out_kept = kept;
   if (kept == 0) return 0;
   return hc_assemble_sw(ref, ref_len, out_seq, out_qual, out_off, kept, cfg,
                         sw_cfg, out_bases, out_cap, out_offsets, out_scores,
                         max_out, out_align_offset, out_cigar_ops,
                         out_cigar_lens, out_cigar_offsets, cigar_cap);
+}
+
+// Drain the host-stage profile accumulators (nanoseconds; see g_prof slot
+// map).  reset != 0 zeroes them after reading.
+void hc_prof_read(int64_t* out, int32_t reset) {
+  for (int i = 0; i < PROF_SLOTS; ++i) {
+    out[i] = g_prof[i].load(std::memory_order_relaxed);
+    if (reset) g_prof[i].store(0, std::memory_order_relaxed);
+  }
 }
 
 }  // extern "C"

@@ -672,6 +672,58 @@ class PallasPairHMMRunner:
 
 
 
+class BackgroundRunner:
+    """Cold-start overlap: builds a PallasPairHMMRunner (jax import +
+    backend init + AOT load) and starts its prewarm on a background thread
+    so those seconds run concurrently with host parse/assembly.  The first
+    submit/drain/run joins the build.  On a short input (chrM) the entire
+    host phase hides behind the build instead of running after it."""
+
+    def __init__(self, cfg: HCConfig):
+        import threading
+
+        self._runner: Optional[PallasPairHMMRunner] = None
+        self._exc: Optional[BaseException] = None
+        self._stop_requested = False
+
+        def build():
+            try:
+                runner = PallasPairHMMRunner(cfg)
+                self._runner = runner
+                if self._stop_requested:
+                    runner.stop_prewarm()
+                else:
+                    runner.prewarm()
+            except BaseException as exc:  # surfaced on first use
+                self._exc = exc
+
+        self._thread = threading.Thread(target=build, daemon=False)
+        self._thread.start()
+
+    def _get(self) -> PallasPairHMMRunner:
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+        return self._runner
+
+    def submit(self, jobs):
+        return self._get().submit(jobs)
+
+    def drain(self, batches):
+        return self._get().drain(batches)
+
+    def run(self, jobs):
+        return self._get().run(jobs)
+
+    def prewarm(self, *args, **kwargs):  # already warming in the builder
+        return None
+
+    def stop_prewarm(self) -> None:
+        self._stop_requested = True
+        if self._runner is not None:
+            self._runner.stop_prewarm()
+
+
 class NativePairHMMRunner:
     """CPU batch runner over the C++ PairHMM engine — same job interface and
     exact semantics (f32 + FTZ with f64 rescue below MIN_ACCEPTED) as the

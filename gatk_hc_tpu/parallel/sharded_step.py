@@ -15,6 +15,18 @@ Collectives ride ICI; no NCCL/MPI analogue exists in the reference (it is
 OpenMP-only) — this subsystem is new, per SURVEY.md §5.
 
 Works on any mesh (virtual CPU devices in tests, TPU pods in production).
+
+RELATION TO THE PRODUCTION MULTI-CHIP PATH (read before extending): the
+production driver scales across a host's chips by round-robining
+independent dispatch groups in ops/runner.py::PallasPairHMMRunner — no
+collectives, results bit-identical to single-chip, and the exact host
+float64 normalize/rescue chain applies.  THIS module is the shard_map
+alternative for pod-scale deployments where normalization must stay on
+device next to the kernel: its normalization is a float32 approximation
+(floor at 1e-45, f32 log10) of that host chain, adequate because the
+floor/keep decisions feed the same downstream filters, but NOT
+bit-identical.  Both paths are compile-validated by
+__graft_entry__.dryrun_multichip; only the runner path writes VCFs.
 """
 
 from __future__ import annotations
