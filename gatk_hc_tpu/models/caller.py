@@ -41,6 +41,11 @@ from .read_filters import filter_reads
 # call_batched: large enough to fill dispatch groups, small enough that the
 # TPU overlaps with host assembly of the next chunk.
 SUBMIT_CHUNK_REGIONS = 512
+# Submitted-but-undrained chunks kept in flight during the walk.  Beyond
+# this, the oldest chunk is drained + genotyped + freed mid-walk: bounds
+# job-array memory to O(MAX_INFLIGHT_BATCHES x SUBMIT_CHUNK_REGIONS)
+# regions and overlaps genotyping with assembly.
+MAX_INFLIGHT_BATCHES = 4
 
 # Engine signature: (reads, haplotypes) -> (n_reads x n_haps log10 matrix).
 PairHMMEngine = Callable[[Sequence[SAMRecord], Sequence[Haplotype]], np.ndarray]
@@ -414,7 +419,11 @@ def call_batched(
         counters.pairs += len(reads) * len(haplotypes)
         counters.cell_updates += result.cell_updates
         entry = (result, reads, haplotypes, window_ref, job)
-        pending.append(entry)
+        if not can_overlap:
+            # overlap path drains + genotypes + frees chunk by chunk; a
+            # second global list would pin every region's read/hap arrays
+            # to end-of-run (13+ GB at 60 Mb)
+            pending.append(entry)
         unsubmitted.append(entry)
         # phase overlap: ship a chunk of assembled regions to the device and
         # keep assembling — dispatches are async, so the TPU computes while
@@ -426,6 +435,42 @@ def call_batched(
                     (runner.submit([e[4] for e in unsubmitted]), unsubmitted)
                 )
             unsubmitted = []
+            # bound in-flight memory: with > MAX_INFLIGHT_BATCHES chunks
+            # queued, the oldest has surely finished on device — drain,
+            # genotype, and FREE it now, overlapped with assembly of the
+            # next regions (previously every chunk's arrays lived to
+            # end-of-run and genotyping was serial after the walk)
+            while len(submitted_batches) > MAX_INFLIGHT_BATCHES:
+                token, entries = submitted_batches.pop(0)
+                with timers.stage("pairhmm"):
+                    runner.drain([token])
+                with timers.stage("genotype"):
+                    genotype_entries(entries)
+                entries.clear()
+
+    def genotype_entries(entries):
+        for result, reads, haplotypes, window_ref, job in entries:
+            columnar_reads = hasattr(reads, "lengths")
+            filtered, kept_indices = normalize_and_filter(
+                job.result,
+                reads.lengths if columnar_reads else [len(r) for r in reads],
+                cfg.max_best_alt_likelihood_difference,
+                cfg.expected_error_rate_per_base,
+                cfg.log10_quality_per_base,
+                cfg.max_expected_error_per_read,
+            )
+            kept_reads = (
+                reads.select(kept_indices)
+                if columnar_reads
+                else [reads[i] for i in kept_indices]
+            )
+            result.variants = assign_genotype_likelihoods(
+                kept_reads, haplotypes, filtered, window_ref,
+                result.padded, result.origin, cfg,
+            )
+            counters.variants += len(result.variants)
+            if manifest is not None:
+                manifest.record(result.region_id, result.variants)
 
     n_workers = cfg.host_threads if cfg.host_threads > 0 else (os.cpu_count() or 1)
     pool = ThreadPoolExecutor(n_workers) if n_workers > 1 else None
@@ -486,43 +531,25 @@ def call_batched(
         # columns are dead weight during pairhmm drain + genotyping
         data["store"] = data["fused"] = None
 
-    def genotype_entries(entries):
-        for result, reads, haplotypes, window_ref, job in entries:
-            columnar_reads = hasattr(reads, "lengths")
-            filtered, kept_indices = normalize_and_filter(
-                job.result,
-                reads.lengths if columnar_reads else [len(r) for r in reads],
-                cfg.max_best_alt_likelihood_difference,
-                cfg.expected_error_rate_per_base,
-                cfg.log10_quality_per_base,
-                cfg.max_expected_error_per_read,
-            )
-            kept_reads = (
-                reads.select(kept_indices)
-                if columnar_reads
-                else [reads[i] for i in kept_indices]
-            )
-            result.variants = assign_genotype_likelihoods(
-                kept_reads, haplotypes, filtered, window_ref,
-                result.padded, result.origin, cfg,
-            )
-            counters.variants += len(result.variants)
-            if manifest is not None:
-                manifest.record(result.region_id, result.variants)
-
-    # phases B+C: drain + genotype chunk by chunk — host genotyping of chunk
-    # k overlaps device compute of the still-queued later chunks
+    # phases B+C: drain + genotype + free any chunks still in flight after
+    # the walk (most were already handled mid-walk by consume's bounded
+    # in-flight loop); host genotyping of chunk k overlaps device compute
+    # of the still-queued later chunks
     if can_overlap:
         if unsubmitted:
             with timers.stage("pairhmm"):
                 submitted_batches.append(
                     (runner.submit([e[4] for e in unsubmitted]), unsubmitted)
                 )
-        for token, entries in submitted_batches:
+        while submitted_batches:
+            token, entries = submitted_batches.pop(0)
             with timers.stage("pairhmm"):
                 runner.drain([token])
             with timers.stage("genotype"):
                 genotype_entries(entries)
+            # free this chunk's read/hap/likelihood arrays — only the
+            # RegionResult variants are needed past this point
+            entries.clear()
     else:
         with timers.stage("pairhmm"):
             runner.run([e[4] for e in unsubmitted])
