@@ -225,3 +225,52 @@ def test_fused_window_path_matches_separate_stages(tmp_path):
     assert out_fused.read_text() == out_sep.read_text()
     golden = os.path.join(fixtures, "chrM.golden.vcf")
     assert out_fused.read_text() == open(golden).read()
+
+
+class TestWindowReads:
+    """Columnar WindowReads must quack exactly like the PreparedRead list
+    the oracle path builds (same windows, same bytes, same spans)."""
+
+    def test_matches_prepared_reads(self):
+        import numpy as np
+
+        from gatk_hc_tpu.config import DEFAULT_CONFIG
+        from gatk_hc_tpu.io.columnar import ColumnarReadStore
+        from gatk_hc_tpu.io.fasta import read_all_fasta
+        from gatk_hc_tpu.native import fused_window_fn
+
+        fa = os.path.join(FIXTURES, "chrM.fa")
+        sam = os.path.join(FIXTURES, "chrM.sam")
+        contigs = read_all_fasta(fa)
+        sizes = {c.name: len(c.seq) for c in contigs}
+        store = ColumnarReadStore(sam, sizes)
+        fused = fused_window_fn(
+            DEFAULT_CONFIG, store, {c.name: c.seq.upper() for c in contigs}
+        )
+        seq = contigs[0].seq.upper()
+        begin, end = 4000, 4415
+        wr, n_ds, _haps = fused("chrM", begin, end, seq[begin:end])
+        oracle, n_ds2 = store.prepare_window("chrM", begin, end, DEFAULT_CONFIG)
+        assert n_ds == n_ds2
+        assert len(wr) == len(oracle)
+        # element access parity
+        for k, r in enumerate(oracle):
+            got = wr[k]
+            assert got.seq_u8.tobytes() == r.seq_u8.tobytes()
+            assert got.qual_u8.tobytes() == r.qual_u8.tobytes()
+            assert got.alignment_begin == r.alignment_begin
+            assert got.alignment_end == r.alignment_end
+        # array views
+        np.testing.assert_array_equal(
+            wr.lengths, [len(r) for r in oracle]
+        )
+        arrays = wr.read_arrays()
+        assert arrays[0][0].tobytes() == oracle[0].seq_u8.tobytes()
+        # subset selection preserves order and content
+        sub = wr.select(np.array([0, 2, len(wr) - 1]))
+        assert len(sub) == 3
+        assert sub[1].seq_u8.tobytes() == oracle[2].seq_u8.tobytes()
+        assert sub[2].alignment_end == oracle[-1].alignment_end
+        assert wr.select(np.arange(len(wr))) is wr
+        empty = wr.select(np.array([], dtype=np.int64))
+        assert len(empty) == 0

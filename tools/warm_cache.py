@@ -104,6 +104,38 @@ def main():
             flush=True,
         )
 
+    # packed-path programs (adaptive dispatch calibration targets): warm
+    # the terminal executable cache so a production run's first packed
+    # calibration never pays a cold program load (15-80s)
+    if not args.quick:
+        from gatk_hc_tpu.ops.pairhmm_pallas import (
+            dispatch_pairs_ppe, prepare_tables_ppe,
+        )
+
+        for (nr, nh), r_pad, c_pad, chunk in combos:
+            t0 = time.time()
+            u8buf = jnp.asarray(
+                np.ones(2 * nr * r_pad + nh * c_pad, np.uint8)
+            )
+            i32buf = jnp.asarray(np.ones(nr + 2 * nh, np.int32))
+            tables = prepare_tables_ppe(
+                u8buf, i32buf, ppe_tab,
+                nr_pad=nr, nh_pad=nh, r_pad=r_pad, c_pad=c_pad,
+            )
+            pairs = np.zeros((2, chunk), np.int32)
+            pairs[0] = rng.integers(0, nr, chunk)
+            pairs[1] = rng.integers(0, nh, chunk)
+            out = dispatch_pairs_ppe(
+                *tables, jnp.asarray(pairs), trans,
+                r_pad=r_pad, c_pad=c_pad, ppe_rows=cfg.ppe_rows,
+            )
+            np.asarray(out)
+            print(
+                f"packed nr={nr} nh={nh} r_pad={r_pad} c_pad={c_pad} "
+                f"chunk={chunk}: {time.time()-t0:.1f}s",
+                flush=True,
+            )
+
     # the driver's single-chip entry-point program
     import __graft_entry__ as g
 
