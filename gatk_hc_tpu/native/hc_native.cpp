@@ -1161,35 +1161,76 @@ int32_t hc_assemble_sw(const uint8_t* ref, int64_t ref_len,
 // the oracle).  Mirrors the reference's C++ data layer (sam.hpp:100-114,
 // read_filter.hpp:8-38, read_clipper.hpp:32-91) at columnar granularity.
 
+// SIMD whitespace finder: the scan+parse passes walk the whole SAM text
+// twice and the long SEQ/QUAL fields are ~60% of its bytes — stepping 16
+// bytes per iteration instead of 1 makes both passes memory-bound.
+static inline const uint8_t* find_ws(const uint8_t* p, const uint8_t* end) {
+#ifdef HC_HAVE_SSE
+  const __m128i sp = _mm_set1_epi8(' ');
+  const __m128i tb = _mm_set1_epi8('\t');
+  while (p + 16 <= end) {
+    const __m128i v = _mm_loadu_si128(reinterpret_cast<const __m128i*>(p));
+    const int m = _mm_movemask_epi8(
+        _mm_or_si128(_mm_cmpeq_epi8(v, sp), _mm_cmpeq_epi8(v, tb)));
+    if (m) return p + __builtin_ctz(m);
+    p += 16;
+  }
+#endif
+  while (p < end && *p != ' ' && *p != '\t') ++p;
+  return p;
+}
+
+static inline const uint8_t* find_nl(const uint8_t* p, const uint8_t* end) {
+  const void* hit = std::memchr(p, '\n', static_cast<size_t>(end - p));
+  return hit ? static_cast<const uint8_t*>(hit) : end;
+}
+
+// Split one SAM line into up to 11 (ptr, len) fields; returns the count.
+static inline int split_line_fields(const uint8_t* line, const uint8_t* eol,
+                                    const uint8_t** f_ptr, int64_t* f_len) {
+  int field = 0;
+  const uint8_t* p = line;
+  while (p < eol && field < 11) {
+    while (p < eol && (*p == ' ' || *p == '\t')) ++p;
+    const uint8_t* start = p;
+    p = find_ws(p, eol);
+    if (p > start) {
+      f_ptr[field] = start;
+      f_len[field] = p - start;
+      ++field;
+    }
+  }
+  return field;
+}
+
 // Pass 1: count records / cigar ops / sequence bytes so Python can allocate.
 void hc_sam_scan(const uint8_t* buf, int64_t n, int64_t* out_reads,
                  int64_t* out_cigar_ops, int64_t* out_seq_bytes) {
   int64_t reads = 0, ops = 0, bytes = 0;
-  int64_t i = 0;
-  while (i < n) {
-    int64_t eol = i;
-    while (eol < n && buf[eol] != '\n') ++eol;
-    if (eol > i && buf[i] != '@') {
-      // field 5 (cigar) op count = count of alpha/'=' chars; field 9 length
-      int field = 0;
-      int64_t j = i;
-      while (j < eol) {
-        while (j < eol && (buf[j] == ' ' || buf[j] == '\t')) ++j;
-        int64_t start = j;
-        while (j < eol && buf[j] != ' ' && buf[j] != '\t') ++j;
-        if (j > start) {
-          if (field == 5) {
-            for (int64_t k = start; k < j; ++k)
-              if (!(buf[k] >= '0' && buf[k] <= '9')) ++ops;
-          } else if (field == 9) {
-            bytes += j - start;
-          }
-          ++field;
-        }
+  const uint8_t* p = buf;
+  const uint8_t* end = buf + n;
+  while (p < end) {
+    const uint8_t* eol = find_nl(p, end);
+    if (eol > p && *p != '@') {
+      const uint8_t* f_ptr[11];
+      int64_t f_len[11];
+      const int field = split_line_fields(p, eol, f_ptr, f_len);
+      if (field >= 11) {
+        ++reads;
+        // field 5 (cigar) op count = count of non-digit chars
+        for (int64_t k = 0; k < f_len[5]; ++k)
+          if (!(f_ptr[5][k] >= '0' && f_ptr[5][k] <= '9')) ++ops;
+        bytes += f_len[9];
+      } else {
+        // keep the pre-SIMD contract: partial lines still tally their
+        // cigar/seq sizes (allocation upper bounds, never undercounted)
+        if (field > 5)
+          for (int64_t k = 0; k < f_len[5]; ++k)
+            if (!(f_ptr[5][k] >= '0' && f_ptr[5][k] <= '9')) ++ops;
+        if (field > 9) bytes += f_len[9];
       }
-      if (field >= 11) ++reads;
     }
-    i = eol + 1;
+    p = eol + 1;
   }
   *out_reads = reads;
   *out_cigar_ops = ops;
@@ -1252,26 +1293,14 @@ static int64_t sam_parse_impl(const uint8_t* buf, int64_t n,
   int64_t i = 0;
   while (i < n) {
     ++line_no;
-    int64_t eol = i;
-    while (eol < n && buf[eol] != '\n') ++eol;
+    const int64_t eol = find_nl(buf + i, buf + n) - buf;
     if (eol == i || buf[i] == '@') {
       i = eol + 1;
       continue;
     }
     const uint8_t* f_ptr[11];
     int64_t f_len[11];
-    int field = 0;
-    int64_t j = i;
-    while (j < eol && field < 11) {
-      while (j < eol && (buf[j] == ' ' || buf[j] == '\t')) ++j;
-      int64_t start = j;
-      while (j < eol && buf[j] != ' ' && buf[j] != '\t') ++j;
-      if (j > start) {
-        f_ptr[field] = buf + start;
-        f_len[field] = j - start;
-        ++field;
-      }
-    }
+    const int field = split_line_fields(buf + i, buf + eol, f_ptr, f_len);
     if (field < 11) {
       // blank-ish line (only whitespace) is skipped like Python's rstrip
       if (field == 0) {
@@ -1376,23 +1405,11 @@ void hc_sam_scan_ranges(const uint8_t* buf, int64_t n,
   }
   int64_t i = 0;
   while (i < n) {
-    int64_t eol = i;
-    while (eol < n && buf[eol] != '\n') ++eol;
+    const int64_t eol = find_nl(buf + i, buf + n) - buf;
     if (eol > i && buf[i] != '@') {
       const uint8_t* f_ptr[11];
       int64_t f_len[11];
-      int field = 0;
-      int64_t j = i;
-      while (j < eol && field < 11) {
-        while (j < eol && (buf[j] == ' ' || buf[j] == '\t')) ++j;
-        int64_t start = j;
-        while (j < eol && buf[j] != ' ' && buf[j] != '\t') ++j;
-        if (j > start) {
-          f_ptr[field] = buf + start;
-          f_len[field] = j - start;
-          ++field;
-        }
-      }
+      const int field = split_line_fields(buf + i, buf + eol, f_ptr, f_len);
       if (field >= 11) {
         const int32_t cid = match_contig(f_ptr[2], f_len[2], contig_blob,
                                          contig_offs, n_contigs);
