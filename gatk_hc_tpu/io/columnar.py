@@ -114,6 +114,15 @@ class _ContigIndex:
         return self.rows[self.starts[positions] + offsets]
 
 
+def _count_lines(buf: np.ndarray, chunk: int = 1 << 26) -> int:
+    """Newline count in bounded-temporary chunks (a whole-buffer == would
+    materialize a bool array the size of the file)."""
+    total = 0
+    for i in range(0, len(buf), chunk):
+        total += int(np.count_nonzero(buf[i : i + chunk] == 10))
+    return total
+
+
 def map_sam_bytes(sam_path: str) -> np.ndarray:
     """The SAM text as a read-only uint8 memmap: the kernel pages the file
     in and out on demand, so scanning/parsing never holds a second full
@@ -240,15 +249,15 @@ class ColumnarReadStore:
         ranged = start_ranges is not None or layout is not None
         if not ranged:
             # keep-everything path: unknown-contig records are kept with
-            # rname_id = -1 (full validation, exact Python-loader parity)
-            n_reads = np.zeros(1, np.int64)
-            n_ops = np.zeros(1, np.int64)
-            n_bytes = np.zeros(1, np.int64)
-            lib.hc_sam_scan(
-                c(buf, ctypes.c_uint8), i64(len(buf)),
-                c(n_reads, i64), c(n_ops, i64), c(n_bytes, i64),
-            )
-            n, ops, nbytes = int(n_reads[0]), int(n_ops[0]), int(n_bytes[0])
+            # rname_id = -1 (full validation, exact Python-loader parity).
+            # Allocation uses cheap UPPER BOUNDS instead of a counting scan
+            # pass — np.zeros pages lazily (calloc), so untouched slack
+            # costs no physical memory and the 4+ GB text is traversed
+            # once, not twice.  Bounds: records <= lines; every cigar op
+            # is >= 2 bytes of its line; seq+qual bytes <= file bytes.
+            n = _count_lines(buf) + 1
+            ops = max(len(buf) // 2, 1)
+            nbytes = max(len(buf), 1)
             byte_lo, byte_hi = 0, len(buf)
             keep_lo = keep_hi = None
         else:
@@ -303,12 +312,28 @@ class ColumnarReadStore:
             )
         if parsed < 0:
             # native line numbers are relative to the parsed slice
-            line = -parsed + int(np.count_nonzero(buf[:byte_lo] == ord("\n")))
+            line = -parsed + _count_lines(buf[:byte_lo])
             raise ValueError(
                 f"malformed SAM line {line} in {sam_path} "
                 "(fewer than 11 fields)"
             )
-        assert parsed == n, (parsed, n)
+        if not ranged:
+            # shrink the upper-bound allocations to the parsed reality
+            # (zero-copy views; the untouched calloc slack stays unmapped)
+            n = int(parsed)
+            self.pos = self.pos[:n]
+            self.flag = self.flag[:n]
+            self.mapq = self.mapq[:n]
+            self.rnext_eq = self.rnext_eq[:n]
+            self.rname_id = self.rname_id[:n]
+            self.cig_off = self.cig_off[: n + 1]
+            self.cig_op = self.cig_op[: max(int(self.cig_off[n]), 1)]
+            self.cig_len = self.cig_len[: max(int(self.cig_off[n]), 1)]
+            self.seq_off = self.seq_off[: n + 1]
+            self.seq = self.seq[: max(int(self.seq_off[n]), 1)]
+            self.qual = self.qual[: max(int(self.seq_off[n]), 1)]
+        else:
+            assert parsed == n, (parsed, n)
         self.n_reads = n
         self._names = names
         self._lib = lib
