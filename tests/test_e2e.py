@@ -133,3 +133,46 @@ class TestRegionFailureIsolation:
                 SAM, FASTA, str(tmp_path / "x.vcf"), cfg,
                 assemble_fn=broken_assemble,
             )
+
+
+class TestDegenerateInputs:
+    """WGS-robustness edge cases: empty/header-only/unknown-contig inputs
+    must produce an empty (but well-formed) VCF, not crash."""
+
+    def _run(self, tmp_path, sam_text):
+        from gatk_hc_tpu.models.caller import call_batched
+
+        sam = tmp_path / "in.sam"
+        sam.write_text(sam_text)
+        out = tmp_path / "out.vcf"
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, pairhmm_engine="native", assembler_engine="native"
+        )
+        call_batched(str(sam), FASTA, str(out), cfg)
+        text = out.read_text()
+        assert text.startswith("##fileformat=VCFv4.2\n")
+        assert not [l for l in text.splitlines() if not l.startswith("#")]
+
+    def test_empty_sam(self, tmp_path):
+        self._run(tmp_path, "")
+
+    def test_header_only_sam(self, tmp_path):
+        self._run(tmp_path, "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n")
+
+    def test_unknown_contig_reads_only(self, tmp_path):
+        self._run(
+            tmp_path,
+            "r1\t0\tctgZ\t100\t60\t4M\t=\t100\t0\tACGT\tIIII\n",
+        )
+
+    def test_streaming_empty_sam(self, tmp_path):
+        from gatk_hc_tpu.models.caller import call_batched
+
+        sam = tmp_path / "in.sam"
+        sam.write_text("")
+        out = tmp_path / "out.vcf"
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, pairhmm_engine="native", stream_contigs=True
+        )
+        call_batched(str(sam), FASTA, str(out), cfg)
+        assert out.read_text().startswith("##fileformat=VCFv4.2\n")
