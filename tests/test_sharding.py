@@ -220,3 +220,11 @@ class TestContigStreaming:
             rows[tag] = [v.to_vcf_row() for r in res for v in r.variants]
         assert rows["plain"] == rows["stream"]
         assert rows["plain"], "shard 1 called no variants"
+
+    def test_stream_with_thread_pool_matches_golden(self, tmp_path):
+        """Contig streaming + the host worker pool: the store swap drains
+        all in-flight workers first, so output stays byte-identical."""
+        cfg = dataclasses.replace(CFG, stream_contigs=True, host_threads=4)
+        out = tmp_path / "stream_pool.vcf"
+        call_batched(SAM, FASTA, str(out), cfg)
+        assert out.read_text() == (FIXTURES / "chrM.golden.vcf").read_text()

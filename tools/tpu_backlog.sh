@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-3 TPU validation backlog: run whenever the relay looks responsive.
+# Probe -> chrM pallas e2e vs golden -> bench.py.  Each step is skipped once
+# its marker file exists, so repeated invocations resume where they left off.
+set -u
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+MARK=/tmp/tpu_backlog
+mkdir -p $MARK
+
+probe=$(timeout 70 python tools/relay_probe.py 2>/dev/null | tail -1)
+echo "probe: $probe"
+case "$probe" in
+  *'"healthy"'*) ;;
+  *) echo "relay unresponsive; aborting this attempt"; exit 1 ;;
+esac
+
+if [ ! -f $MARK/e2e_ok ]; then
+  echo "== chrM pallas e2e =="
+  timeout 1200 python -m gatk_hc_tpu.cli -I fixtures/chrM.sam -R fixtures/chrM.fa \
+    -O /tmp/out_tpu.vcf --pairhmm pallas --stats 2>&1 | tail -2
+  if diff -q /tmp/out_tpu.vcf fixtures/chrM.golden.vcf; then
+    echo TPU_GOLDEN_OK; touch $MARK/e2e_ok
+  else
+    echo TPU_GOLDEN_MISMATCH_OR_TIMEOUT; exit 1
+  fi
+fi
+
+if [ ! -f $MARK/warm_e2e ]; then
+  echo "== chrM pallas e2e (warm caches, cold process) =="
+  /usr/bin/time -v timeout 600 python -m gatk_hc_tpu.cli -I fixtures/chrM.sam \
+    -R fixtures/chrM.fa -O /tmp/out_tpu2.vcf --pairhmm pallas --stats 2>&1 \
+    | grep -E '"wall_s"|Elapsed'
+  diff -q /tmp/out_tpu2.vcf fixtures/chrM.golden.vcf && touch $MARK/warm_e2e
+fi
+
+if [ ! -f $MARK/bench_ok ]; then
+  echo "== bench.py =="
+  timeout 1500 python bench.py 2>/dev/null | tail -1 | tee /tmp/bench_r3_latest.json
+  grep -q '"value"' /tmp/bench_r3_latest.json && touch $MARK/bench_ok
+fi
+echo "backlog state: $(ls $MARK)"
