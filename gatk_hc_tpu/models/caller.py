@@ -449,6 +449,7 @@ def call_batched(
                 entries.clear()
 
     def genotype_entries(entries):
+        batched = []  # jax engine: one cross-region device batch per chunk
         for result, reads, haplotypes, window_ref, job in entries:
             columnar_reads = hasattr(reads, "lengths")
             filtered, kept_indices = normalize_and_filter(
@@ -464,6 +465,13 @@ def call_batched(
                 if columnar_reads
                 else [reads[i] for i in kept_indices]
             )
+            if cfg.genotyper_engine == "jax":
+                batched.append(
+                    (result,
+                     (kept_reads, haplotypes, filtered, window_ref,
+                      result.padded, result.origin))
+                )
+                continue
             result.variants = assign_genotype_likelihoods(
                 kept_reads, haplotypes, filtered, window_ref,
                 result.padded, result.origin, cfg,
@@ -471,6 +479,15 @@ def call_batched(
             counters.variants += len(result.variants)
             if manifest is not None:
                 manifest.record(result.region_id, result.variants)
+        if batched:
+            from .genotyper import genotype_regions_jax
+
+            per_region = genotype_regions_jax([b[1] for b in batched], cfg)
+            for (result, _inputs), region_variants in zip(batched, per_region):
+                result.variants = region_variants
+                counters.variants += len(result.variants)
+                if manifest is not None:
+                    manifest.record(result.region_id, result.variants)
 
     n_workers = cfg.host_threads if cfg.host_threads > 0 else (os.cpu_count() or 1)
     pool = ThreadPoolExecutor(n_workers) if n_workers > 1 else None

@@ -386,55 +386,91 @@ def _pad_up(value: int, buckets) -> int:
     return value
 
 
+_R_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+_H_BUCKETS = (16, 32, 64, 128)
+_S_BUCKETS = (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def genotype_regions_jax(region_inputs, cfg) -> List[List[Variant]]:
+    """Cross-region batched device genotyping (the pod-scale shape of the
+    "jax" engine): sites from MANY regions are bucketed into a handful of
+    padded (S, R, H) tiles and each bucket is ONE genotype_sites call,
+    amortizing per-dispatch cost ~100x vs per-region calls.
+
+    ``region_inputs``: [(reads, haplotypes, likelihoods, window_ref,
+    padded_region, origin_region)] per region.  Returns each region's
+    variants in region order.  Bit-identical to the per-region jax path
+    (same reduction, same f64-on-CPU rule) and to the host engine on CPU
+    backends."""
+    import jax
+
+    from ..ops.genotyper_jax import genotype_pair_tables, genotype_sites_host
+
+    site_refs = []  # (region idx, alleles, loc, mapper, keep)
+    for ridx, (reads, haps, lik, ref, padded, origin) in enumerate(
+        region_inputs
+    ):
+        for alleles, loc, mapper, keep in _site_specs(
+            reads, haps, ref, padded, origin, cfg
+        ):
+            site_refs.append((ridx, alleles, loc, mapper, keep))
+    variants: List[List[Variant]] = [[] for _ in region_inputs]
+    if not site_refs:
+        return variants
+    use_f64 = jax.default_backend() in ("cpu",)
+    dtype = np.float64 if use_f64 else np.float32
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for s_i, (ridx, *_rest) in enumerate(site_refs):
+        lik = region_inputs[ridx][2]
+        R = _pad_up(lik.shape[0], _R_BUCKETS)
+        H = _pad_up(lik.shape[1], _H_BUCKETS)
+        buckets.setdefault((R, H), []).append(s_i)
+    out_gt: List = [None] * len(site_refs)
+    out_gq: List = [None] * len(site_refs)
+    a1_tab, a2_tab = genotype_pair_tables()
+    for (R, H), site_ids in buckets.items():
+        S = _pad_up(len(site_ids), _S_BUCKETS)
+        lik_t = np.zeros((S, R, H), dtype)
+        h2a = np.zeros((S, H), np.int32)
+        keep_t = np.zeros((S, R), bool)
+        hv = np.zeros((S, H), bool)
+        ac = np.ones(S, np.int32)
+        for k, s_i in enumerate(site_ids):
+            ridx, alleles, _loc, mapper, keep = site_refs[s_i]
+            lik = region_inputs[ridx][2]
+            nr, nh = lik.shape
+            lik_t[k, :nr, :nh] = lik
+            h2a[k, :nh] = mapper
+            keep_t[k, :nr] = keep
+            hv[k, :nh] = True
+            ac[k] = len(alleles)
+        _gl, best, gq = genotype_sites_host(
+            lik_t, h2a, keep_t, hv, ac, max_gq=cfg.max_genotype_quality
+        )
+        best = np.asarray(best)
+        gq = np.asarray(gq)
+        for k, s_i in enumerate(site_ids):
+            out_gt[s_i] = (int(a1_tab[best[k]]), int(a2_tab[best[k]]))
+            out_gq[s_i] = int(gq[k])
+    for s_i, (ridx, alleles, loc, _m, _k) in enumerate(site_refs):
+        _emit(alleles, loc, out_gt[s_i], out_gq[s_i], cfg, variants[ridx])
+    return variants
+
+
 def _assign_genotype_likelihoods_jax(
     reads, haplotypes, likelihoods, ref, padded_region, origin_region, cfg
 ) -> List[Variant]:
-    """Device-engine genotyper: same host-side site prep, but the three
-    reductions (marginalize, diploid GL, GQ) run batched over all of the
-    region's sites in ops/genotyper_jax.py::genotype_sites.
+    """Device-engine genotyper for ONE region: same host-side site prep,
+    reductions in ops/genotyper_jax.py::genotype_sites.  The batched
+    production path (caller.py genotype_entries) uses genotype_regions_jax
+    directly to amortize dispatches across a whole drained chunk.
 
     Exactness: on CPU backends the reduction runs in float64 and is
     bit-identical to the host engine (golden-tested).  TPUs have no f64, so
     there it computes in float32 — GQ can differ when the top-2 gap sits
     within f32 error of a rounding boundary, which is why "host" stays the
     default engine (module docstring of ops/genotyper_jax.py)."""
-    import jax
-
-    from ..ops.genotyper_jax import MAX_ALLELES, genotype_pair_tables, genotype_sites_host
-
-    specs = list(
-        _site_specs(reads, haplotypes, ref, padded_region, origin_region, cfg)
-    )
-    variants: List[Variant] = []
-    if not specs:
-        return variants
-    n_reads, n_haps = likelihoods.shape
-    # pad to a few fixed tile shapes so XLA compiles a handful of programs
-    S = _pad_up(len(specs), (2, 4, 8, 16, 32, 64))
-    R = _pad_up(n_reads, (64, 128, 256, 512, 1024, 2048))
-    H = _pad_up(n_haps, (16, 32, 64, 128))
-    use_f64 = jax.default_backend() in ("cpu",)
-    dtype = np.float64 if use_f64 else np.float32
-    lik = np.zeros((R, H), dtype)
-    lik[:n_reads, :n_haps] = likelihoods
-    hap_to_allele = np.zeros((S, H), np.int32)
-    read_keep = np.zeros((S, R), bool)
-    hap_valid = np.zeros((S, H), bool)
-    allele_count = np.ones(S, np.int32)
-    for s, (alleles, _loc, mapper, keep) in enumerate(specs):
-        hap_to_allele[s, :n_haps] = mapper
-        read_keep[s, :n_reads] = keep
-        hap_valid[s, :n_haps] = True
-        allele_count[s] = len(alleles)
-    _gl, best_index, gq = genotype_sites_host(
-        np.broadcast_to(lik, (S, R, H)),
-        hap_to_allele, read_keep, hap_valid, allele_count,
-        max_gq=cfg.max_genotype_quality,
-    )
-    best_index = np.asarray(best_index)
-    gq = np.asarray(gq)
-    a1_tab, a2_tab = genotype_pair_tables()
-    for s, (alleles, alleles_loc, _mapper, _keep) in enumerate(specs):
-        gt = (int(a1_tab[best_index[s]]), int(a2_tab[best_index[s]]))
-        _emit(alleles, alleles_loc, gt, int(gq[s]), cfg, variants)
-    return variants
+    return genotype_regions_jax(
+        [(reads, haplotypes, likelihoods, ref, padded_region, origin_region)],
+        cfg,
+    )[0]
