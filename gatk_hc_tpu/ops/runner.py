@@ -232,8 +232,19 @@ class PallasPairHMMRunner:
             if fn is not None:
                 return fn
             import functools
+            import os
+            import sys
 
             import jax
+
+            if os.environ.get("GATK_HC_TPU_LOG_PROGRAMS"):
+                # cold-start tuning aid: which program signatures a run
+                # actually needs (feed these to prewarm/warm_cache)
+                print(
+                    f"[program] planes nr={nr_pad} nh={nh_pad} r={r_pad} "
+                    f"c={c_pad} B={n_pairs}",
+                    file=sys.stderr, flush=True,
+                )
 
             from . import aot
             from .pairhmm_pallas import pairhmm_pallas_planes
