@@ -34,9 +34,23 @@ if [ ! -f $MARK/warm_e2e ]; then
   diff -q /tmp/out_tpu2.vcf fixtures/chrM.golden.vcf && touch $MARK/warm_e2e
 fi
 
+if [ ! -f $MARK/kernel_rows ]; then
+  echo "== kernel rows A/B =="
+  timeout 900 python tools/kernel_bench.py --ppe-rows 1,2,4 --algos ppe 2>/dev/null \
+    | tee /tmp/kernel_rows_r3.txt
+  grep -q Gcells /tmp/kernel_rows_r3.txt && touch $MARK/kernel_rows
+fi
+
 if [ ! -f $MARK/bench_ok ]; then
   echo "== bench.py =="
   timeout 1500 python bench.py 2>/dev/null | tail -1 | tee /tmp/bench_r3_latest.json
   grep -q '"value"' /tmp/bench_r3_latest.json && touch $MARK/bench_ok
+fi
+
+if [ -f $MARK/bench_ok ] && [ ! -f $MARK/dispatch_ab ]; then
+  echo "== dispatch A/B (2 Mb fixture) =="
+  timeout 2400 python tools/dispatch_ab.py --rounds 3 2>/dev/null | tail -4 \
+    | tee /tmp/dispatch_ab_r3.json
+  grep -q best_gcells /tmp/dispatch_ab_r3.json && touch $MARK/dispatch_ab
 fi
 echo "backlog state: $(ls $MARK)"
