@@ -11,8 +11,8 @@ mkdir -p $MARK
 probe=$(timeout 70 python tools/relay_probe.py 2>/dev/null | tail -1)
 echo "probe: $probe"
 case "$probe" in
-  *'"healthy"'*) ;;
-  *) echo "relay unresponsive; aborting this attempt"; exit 1 ;;
+  *'"healthy": true'*) ;;
+  *) echo "relay unhealthy; aborting this attempt"; exit 1 ;;
 esac
 
 if [ ! -f $MARK/e2e_ok ]; then
@@ -28,9 +28,13 @@ fi
 
 if [ ! -f $MARK/warm_e2e ]; then
   echo "== chrM pallas e2e (warm caches, cold process) =="
-  /usr/bin/time -v timeout 600 python -m gatk_hc_tpu.cli -I fixtures/chrM.sam \
-    -R fixtures/chrM.fa -O /tmp/out_tpu2.vcf --pairhmm pallas --stats 2>&1 \
-    | grep -E '"wall_s"|Elapsed'
+  t0=$(date +%s.%N)
+  timeout 600 python -m gatk_hc_tpu.cli -I fixtures/chrM.sam \
+    -R fixtures/chrM.fa -O /tmp/out_tpu2.vcf --pairhmm pallas --stats \
+    > /tmp/warm_e2e_r3.json 2>&1
+  t1=$(date +%s.%N)
+  echo "cold-process wall: $(echo "$t1 - $t0" | bc) s"
+  grep -o '"wall_s": [0-9.]*' /tmp/warm_e2e_r3.json || tail -3 /tmp/warm_e2e_r3.json
   diff -q /tmp/out_tpu2.vcf fixtures/chrM.golden.vcf && touch $MARK/warm_e2e
 fi
 
@@ -43,7 +47,7 @@ fi
 
 if [ ! -f $MARK/bench_ok ]; then
   echo "== bench.py =="
-  timeout 1500 python bench.py 2>/dev/null | tail -1 | tee /tmp/bench_r3_latest.json
+  timeout 3600 python bench.py 2>/dev/null | tail -1 | tee /tmp/bench_r3_latest.json
   grep -q '"value"' /tmp/bench_r3_latest.json && touch $MARK/bench_ok
 fi
 
