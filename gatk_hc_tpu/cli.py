@@ -32,8 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--pairhmm",
         default=DEFAULT_CONFIG.pairhmm_engine,
-        choices=("pallas", "jax", "native", "python"),
-        help="PairHMM engine (default: %(default)s)",
+        choices=("auto", "pallas", "jax", "native", "python"),
+        help="PairHMM engine (default: %(default)s; auto = native C++ for "
+        "small inputs where jax startup dominates, pallas otherwise — "
+        "bit-exact either way)",
     )
     parser.add_argument(
         "--assembler",
@@ -131,9 +133,20 @@ def _dump_graph(args, cfg) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    pairhmm = args.pairhmm
+    if pairhmm == "auto":
+        import os
+
+        from .config import resolve_auto_pairhmm_engine
+
+        try:
+            sam_bytes = os.path.getsize(args.input)
+        except OSError:
+            sam_bytes = 0  # missing input errors out later with the usual message
+        pairhmm = resolve_auto_pairhmm_engine(sam_bytes)
     cfg = dataclasses.replace(
         DEFAULT_CONFIG,
-        pairhmm_engine=args.pairhmm,
+        pairhmm_engine=pairhmm,
         assembler_engine=args.assembler,
         data_engine=args.data,
         genotyper_engine=args.genotyper,
@@ -242,6 +255,8 @@ def main(argv=None) -> int:
             "engine": cfg.pairhmm_engine,
             "stages": timers.summary(),
         }
+        if args.pairhmm == "auto":
+            stats["engine_requested"] = "auto"
         try:
             from . import native
 

@@ -138,7 +138,10 @@ class HCConfig:
 
     # --- Engine selection ---
     # "pallas": TPU Pallas kernel;  "jax": pure-jnp fallback;
-    # "native": C++ host engine;    "python": slow exact reference oracle
+    # "native": C++ host engine;    "python": slow exact reference oracle;
+    # "auto": native below AUTO_NATIVE_MAX_SAM_BYTES, pallas above (all
+    # engines are bit-exact, so the choice is latency-only — see
+    # resolve_auto_pairhmm_engine)
     pairhmm_engine: str = "pallas"
     assembler_engine: str = "native"       # "native" | "python"
     data_engine: str = "auto"              # "auto" | "native" | "python":
@@ -186,3 +189,18 @@ class HCConfig:
 
 
 DEFAULT_CONFIG = HCConfig()
+
+
+# --pairhmm auto: below this input size the native C++ engine wins on
+# latency — jax backend init + AOT load + first relay dispatch cost
+# ~1.5-3 s that a chrM-scale run (device compute « 1 s) never amortizes,
+# while at 32 MB of SAM (~0.4 Mb of 30x contig, ~10 Gcells of PairHMM)
+# the device path is already >5x faster end-to-end.  Latency-only choice:
+# every engine is bit-exact (the chrM golden VCF is byte-identical across
+# all of them), so auto can never change output.
+AUTO_NATIVE_MAX_SAM_BYTES = 32 * 1024 * 1024
+
+
+def resolve_auto_pairhmm_engine(sam_bytes: int) -> str:
+    """Pick the PairHMM engine for ``--pairhmm auto`` from input size."""
+    return "native" if sam_bytes < AUTO_NATIVE_MAX_SAM_BYTES else "pallas"

@@ -96,3 +96,32 @@ def test_cli_manifest_resume(tmp_path):
     p2 = _run_cli(*_fixture_args(out2), "--manifest", manifest)
     assert p2.returncode == 0, p2.stderr[-2000:]
     assert open(out1).read() == open(out2).read()
+
+
+def test_auto_engine_resolution():
+    from gatk_hc_tpu.config import (
+        AUTO_NATIVE_MAX_SAM_BYTES,
+        resolve_auto_pairhmm_engine,
+    )
+
+    assert resolve_auto_pairhmm_engine(0) == "native"
+    assert resolve_auto_pairhmm_engine(AUTO_NATIVE_MAX_SAM_BYTES - 1) == "native"
+    assert resolve_auto_pairhmm_engine(AUTO_NATIVE_MAX_SAM_BYTES) == "pallas"
+    assert resolve_auto_pairhmm_engine(50 * 1024 * 1024) == "pallas"
+
+
+def test_cli_auto_engine_matches_golden(tmp_path):
+    # chrM (1.1 MB SAM) is far below the auto threshold: the CLI must pick
+    # the native engine (no jax startup) and still match golden exactly
+    out = str(tmp_path / "o.vcf")
+    args = _fixture_args(out)
+    args[args.index("native")] = "auto"
+    proc = _run_cli(*args, "--stats")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    golden = os.path.join(FIXTURES, "chrM.golden.vcf")
+    assert open(out).read() == open(golden).read()
+    import json
+
+    stats = json.loads(proc.stdout.splitlines()[0])
+    assert stats["engine"] == "native"
+    assert stats["engine_requested"] == "auto"
