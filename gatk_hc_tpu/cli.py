@@ -77,7 +77,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--ppe-rows", type=int, default=DEFAULT_CONFIG.ppe_rows,
-        choices=(1, 2, 4), help="rows per sweep in the ppe kernel",
+        choices=(1, 2, 4, 8), help="rows per sweep in the ppe kernel",
     )
     parser.add_argument("--seed", type=int, default=DEFAULT_CONFIG.downsample_seed)
     parser.add_argument("--region-size", type=int, default=DEFAULT_CONFIG.region_size)

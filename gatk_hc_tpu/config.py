@@ -173,7 +173,7 @@ class HCConfig:
     dispatch_mode: str = _env_choice(
         "GATK_HC_TPU_DISPATCH", "adaptive", ("adaptive", "planes", "packed")
     )
-    ppe_rows: int = _env_int_choice("GATK_HC_TPU_PPE_ROWS", 2, (1, 2, 4))
+    ppe_rows: int = _env_int_choice("GATK_HC_TPU_PPE_ROWS", 2, (1, 2, 4, 8))
     # Host-side region pipeline threads (prepare + assemble + job packing
     # run in a pool; ctypes releases the GIL, so this scales with cores —
     # the reference's OpenMP analogue for the HOST stages).  0 = one thread

@@ -442,142 +442,151 @@ def _kernel_ppe2(
     out_ref[0] = a_m + a_x
 
 
-def _kernel_ppe4(
-    trans_ref,  # (1, 8) f32 SMEM
-    rows_hbm,  # (nb, R, 3, 8, 128) i32 in ANY/HBM
-    hap_ref,  # (1, C, 8, 128) i32
-    rlen_ref,  # (1, 8, 128) i32
-    clen_ref,  # (1, 8, 128) i32
-    inity_ref,  # (1, 8, 128) f32
-    out_ref,  # (1, 8, 128) f32
-    mbuf,  # (C, 8, 128) f32 scratch
-    xbuf,
-    ybuf,
-    cbuf,
-    rows_s,  # (2, 4, 3, 8, 128) i32 scratch: double-buffered row QUADS
-    sem,  # DMA semaphores (2,)
-    *,
-    r_pad: int,
-    c_pad: int,
-):
-    """Four-row variant of _kernel_ppe2: rows r..r+3 sweep columns together;
-    rows 2-4 read their above-values from the previous row's registers, so
-    VMEM row-buffer traffic, hap/mask loads, and DMA waits drop to 1/4 of
-    the one-row kernel.  Per-cell arithmetic and capture order are
-    identical (bit-exact)."""
-    R, C = r_pad, c_pad
-    f32 = jnp.float32
-    i = pl.program_id(0)
+def _make_kernel_ppe_multi(NR: int):
+    """Build an NR-row variant of _kernel_ppe2: rows r..r+NR-1 sweep columns
+    together; rows 2..NR read their above-values from the previous row's
+    registers, so VMEM row-buffer traffic, hap/mask loads, and DMA waits
+    drop to 1/NR of the one-row kernel.  Per-cell arithmetic and capture
+    order are identical (bit-exact).  Live vector state grows as 7*NR
+    registers per (8,128) block — NR=8 trades DMA/buffer traffic against
+    register pressure (A/B'd on hardware via tools/kernel_bench.py)."""
 
-    p_mm = trans_ref[0, 0]
-    p_gapm = trans_ref[0, 1]
-    p_mx = trans_ref[0, 2]
-    p_xx = trans_ref[0, 3]
-    p_my = trans_ref[0, 4]
-    p_yy = trans_ref[0, 5]
+    def kernel(
+        trans_ref,  # (1, 8) f32 SMEM
+        rows_hbm,  # (nb, R, 3, 8, 128) i32 in ANY/HBM
+        hap_ref,  # (1, C, 8, 128) i32
+        rlen_ref,  # (1, 8, 128) i32
+        clen_ref,  # (1, 8, 128) i32
+        inity_ref,  # (1, 8, 128) f32
+        out_ref,  # (1, 8, 128) f32
+        mbuf,  # (C, 8, 128) f32 scratch
+        xbuf,
+        ybuf,
+        cbuf,
+        rows_s,  # (2, NR, 3, 8, 128) i32 scratch: double-buffered row groups
+        sem,  # DMA semaphores (2,)
+        *,
+        r_pad: int,
+        c_pad: int,
+    ):
+        R, C = r_pad, c_pad
+        f32 = jnp.float32
+        i = pl.program_id(0)
 
-    def quad_dma(slot, p):  # matrix rows 4p+1..4p+4 -> input rows 4p..4p+3
-        return pltpu.make_async_copy(
-            rows_hbm.at[i, pl.ds(4 * p, 4)], rows_s.at[slot], sem.at[slot]
-        )
+        p_mm = trans_ref[0, 0]
+        p_gapm = trans_ref[0, 1]
+        p_mx = trans_ref[0, 2]
+        p_xx = trans_ref[0, 3]
+        p_my = trans_ref[0, 4]
+        p_yy = trans_ref[0, 5]
 
-    quad_dma(0, 0).start()
-
-    inity = inity_ref[0]
-    rlen_b = rlen_ref[0]
-    clen_b = clen_ref[0]
-    zeros = inity * f32(0.0)
-
-    mbuf[...] = jnp.zeros((C, 8, LANES), f32)
-    xbuf[...] = jnp.zeros((C, 8, LANES), f32)
-    ybuf[...] = jnp.broadcast_to(inity, (C, 8, LANES))
-    col1 = jax.lax.broadcasted_iota(jnp.int32, (C, 8, LANES), 0) + 1
-    cbuf[...] = jnp.where(col1 <= clen_b[None], f32(1.0), f32(0.0))
-
-    U = _PPE_UNROLL
-    NR = 4
-
-    def row_body(p, accs):
-        a_m, a_x = accs
-        slot = jax.lax.rem(p, 2)
-
-        @pl.when(p + 1 < R // NR)
-        def _():
-            quad_dma(jax.lax.rem(p + 1, 2), p + 1).start()
-
-        quad_dma(slot, p).wait()
-        rows = rows_s[pl.ds(slot, 1)][0]  # (4, 3, 8, 128)
-        rs = [rows[q, 0] for q in range(NR)]
-        omq = [pltpu.bitcast(rows[q, 1], f32) for q in range(NR)]
-        q3 = [pltpu.bitcast(rows[q, 2], f32) for q in range(NR)]
-        r0 = NR * p + 1
-        masks = [rlen_b == (r0 + q) for q in range(NR)]
-        # Y(0, 0..) = init_y is row 1's only nonzero diagonal input
-        yd0 = jnp.where(r0 == 1, inity, zeros)
-
-        def chunk_body(k, st):
-            md, xd, yd, ml, yl, sm_m, sm_x = (
-                list(st[0:NR]), list(st[NR:2*NR]), list(st[2*NR:3*NR]),
-                list(st[3*NR:4*NR]), list(st[4*NR:5*NR]),
-                list(st[5*NR:6*NR]), list(st[6*NR:7*NR]),
+        def group_dma(slot, p):  # matrix rows NR*p+1.. -> input rows NR*p..
+            return pltpu.make_async_copy(
+                rows_hbm.at[i, pl.ds(NR * p, NR)], rows_s.at[slot], sem.at[slot]
             )
-            c0 = k * U
-            hw_u = hap_ref[0, pl.ds(c0, U)]
-            ma_u = mbuf[pl.ds(c0, U)]
-            xa_u = xbuf[pl.ds(c0, U)]
-            ya_u = ybuf[pl.ds(c0, U)]
-            cm_u = cbuf[pl.ds(c0, U)]
-            Ms, Xs, Ys = [], [], []
-            for j in range(U):
-                hw = hw_u[j]
-                cm = cm_u[j]
-                MA = XA = YA = None
-                for q in range(NR):
-                    dist = jnp.where((rs[q] & hw) != 0, omq[q], q3[q])
-                    t1 = md[q] * p_mm
-                    t2 = xd[q] * p_gapm
-                    t3 = yd[q] * p_gapm
-                    M = ((t1 + t2) + t3) * dist
-                    if q == 0:
-                        X = ma_u[j] * p_mx + xa_u[j] * p_xx
-                    else:
-                        X = MA * p_mx + XA * p_xx
-                    Y = ml[q] * p_my + yl[q] * p_yy
-                    sm_m[q] = sm_m[q] + M * cm
-                    sm_x[q] = sm_x[q] + X * cm
-                    # next row's diagonal = this row's above (the fresh row
-                    # just computed when q advances)
-                    if q == 0:
-                        md[q], xd[q], yd[q] = ma_u[j], xa_u[j], ya_u[j]
-                    else:
-                        md[q], xd[q], yd[q] = MA, XA, YA
-                    ml[q], yl[q] = M, Y
-                    MA, XA, YA = M, X, Y
-                Ms.append(MA)
-                Xs.append(XA)
-                Ys.append(YA)
-            mbuf[pl.ds(c0, U)] = jnp.stack(Ms)
-            xbuf[pl.ds(c0, U)] = jnp.stack(Xs)
-            ybuf[pl.ds(c0, U)] = jnp.stack(Ys)
-            return tuple(md + xd + yd + ml + yl + sm_m + sm_x)
 
-        init = (
-            [zeros] * NR  # md
-            + [zeros] * NR  # xd
-            + [yd0] + [zeros] * (NR - 1)  # yd: only the quad's first row
-            + [zeros] * NR  # ml
-            + [zeros] * NR  # yl
-            + [zeros] * NR  # sm_m
-            + [zeros] * NR  # sm_x
-        )
-        st = jax.lax.fori_loop(0, C // U, chunk_body, tuple(init))
-        for q in range(NR):
-            a_m = jnp.where(masks[q], st[5 * NR + q], a_m)
-            a_x = jnp.where(masks[q], st[6 * NR + q], a_x)
-        return (a_m, a_x)
+        group_dma(0, 0).start()
 
-    a_m, a_x = jax.lax.fori_loop(0, R // NR, row_body, (zeros, zeros))
-    out_ref[0] = a_m + a_x
+        inity = inity_ref[0]
+        rlen_b = rlen_ref[0]
+        clen_b = clen_ref[0]
+        zeros = inity * f32(0.0)
+
+        mbuf[...] = jnp.zeros((C, 8, LANES), f32)
+        xbuf[...] = jnp.zeros((C, 8, LANES), f32)
+        ybuf[...] = jnp.broadcast_to(inity, (C, 8, LANES))
+        col1 = jax.lax.broadcasted_iota(jnp.int32, (C, 8, LANES), 0) + 1
+        cbuf[...] = jnp.where(col1 <= clen_b[None], f32(1.0), f32(0.0))
+
+        U = _PPE_UNROLL
+
+        def row_body(p, accs):
+            a_m, a_x = accs
+            slot = jax.lax.rem(p, 2)
+
+            @pl.when(p + 1 < R // NR)
+            def _():
+                group_dma(jax.lax.rem(p + 1, 2), p + 1).start()
+
+            group_dma(slot, p).wait()
+            rows = rows_s[pl.ds(slot, 1)][0]  # (NR, 3, 8, 128)
+            rs = [rows[q, 0] for q in range(NR)]
+            omq = [pltpu.bitcast(rows[q, 1], f32) for q in range(NR)]
+            q3 = [pltpu.bitcast(rows[q, 2], f32) for q in range(NR)]
+            r0 = NR * p + 1
+            masks = [rlen_b == (r0 + q) for q in range(NR)]
+            # Y(0, 0..) = init_y is row 1's only nonzero diagonal input
+            yd0 = jnp.where(r0 == 1, inity, zeros)
+
+            def chunk_body(k, st):
+                md, xd, yd, ml, yl, sm_m, sm_x = (
+                    list(st[0:NR]), list(st[NR:2*NR]), list(st[2*NR:3*NR]),
+                    list(st[3*NR:4*NR]), list(st[4*NR:5*NR]),
+                    list(st[5*NR:6*NR]), list(st[6*NR:7*NR]),
+                )
+                c0 = k * U
+                hw_u = hap_ref[0, pl.ds(c0, U)]
+                ma_u = mbuf[pl.ds(c0, U)]
+                xa_u = xbuf[pl.ds(c0, U)]
+                ya_u = ybuf[pl.ds(c0, U)]
+                cm_u = cbuf[pl.ds(c0, U)]
+                Ms, Xs, Ys = [], [], []
+                for j in range(U):
+                    hw = hw_u[j]
+                    cm = cm_u[j]
+                    MA = XA = YA = None
+                    for q in range(NR):
+                        dist = jnp.where((rs[q] & hw) != 0, omq[q], q3[q])
+                        t1 = md[q] * p_mm
+                        t2 = xd[q] * p_gapm
+                        t3 = yd[q] * p_gapm
+                        M = ((t1 + t2) + t3) * dist
+                        if q == 0:
+                            X = ma_u[j] * p_mx + xa_u[j] * p_xx
+                        else:
+                            X = MA * p_mx + XA * p_xx
+                        Y = ml[q] * p_my + yl[q] * p_yy
+                        sm_m[q] = sm_m[q] + M * cm
+                        sm_x[q] = sm_x[q] + X * cm
+                        # next row's diagonal = this row's above (the fresh row
+                        # just computed when q advances)
+                        if q == 0:
+                            md[q], xd[q], yd[q] = ma_u[j], xa_u[j], ya_u[j]
+                        else:
+                            md[q], xd[q], yd[q] = MA, XA, YA
+                        ml[q], yl[q] = M, Y
+                        MA, XA, YA = M, X, Y
+                    Ms.append(MA)
+                    Xs.append(XA)
+                    Ys.append(YA)
+                mbuf[pl.ds(c0, U)] = jnp.stack(Ms)
+                xbuf[pl.ds(c0, U)] = jnp.stack(Xs)
+                ybuf[pl.ds(c0, U)] = jnp.stack(Ys)
+                return tuple(md + xd + yd + ml + yl + sm_m + sm_x)
+
+            init = (
+                [zeros] * NR  # md
+                + [zeros] * NR  # xd
+                + [yd0] + [zeros] * (NR - 1)  # yd: only the quad's first row
+                + [zeros] * NR  # ml
+                + [zeros] * NR  # yl
+                + [zeros] * NR  # sm_m
+                + [zeros] * NR  # sm_x
+            )
+            st = jax.lax.fori_loop(0, C // U, chunk_body, tuple(init))
+            for q in range(NR):
+                a_m = jnp.where(masks[q], st[5 * NR + q], a_m)
+                a_x = jnp.where(masks[q], st[6 * NR + q], a_x)
+            return (a_m, a_x)
+
+        a_m, a_x = jax.lax.fori_loop(0, R // NR, row_body, (zeros, zeros))
+        out_ref[0] = a_m + a_x
+
+    return kernel
+
+
+_kernel_ppe4 = _make_kernel_ppe_multi(4)
+_kernel_ppe8 = _make_kernel_ppe_multi(8)
 
 
 def _ppe_base_mask(codes):
@@ -638,7 +647,10 @@ def _pallas_call_ppe(
     f32 = jnp.float32
     trans_arr = jnp.array([list(trans) + [0.0, 0.0]], dtype=f32)
 
-    if ppe_rows == 4 and R % 4 == 0:
+    if ppe_rows == 8 and R % 8 == 0:
+        kernel = functools.partial(_kernel_ppe8, r_pad=R, c_pad=C)
+        rows_scratch = pltpu.VMEM((2, 8, 3, 8, LANES), jnp.int32)
+    elif ppe_rows == 4 and R % 4 == 0:
         kernel = functools.partial(_kernel_ppe4, r_pad=R, c_pad=C)
         rows_scratch = pltpu.VMEM((2, 4, 3, 8, LANES), jnp.int32)
     elif ppe_rows >= 2 and R % 2 == 0:

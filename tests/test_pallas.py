@@ -303,8 +303,12 @@ class TestPpe4Kernel:
                     algo="ppe", ppe_rows=rows,
                 )
             )
-            for rows in (2, 4)
+            for rows in (2, 4, 8)
         }
-        np.testing.assert_allclose(outs[4], outs[2], rtol=3e-7)
-        # the bulk must still be bit-identical even in interpret mode
-        assert np.mean(outs[4] == outs[2]) > 0.9
+        # interpret-mode-only FMA drift grows with program size: a couple
+        # ulp for the 4-row program, a few more for the 8-row one (on real
+        # TPUs every variant is bitwise-identical — hardware-verified)
+        for rows, rtol, bulk in ((4, 3e-7, 0.9), (8, 1e-6, 0.75)):
+            np.testing.assert_allclose(outs[rows], outs[2], rtol=rtol)
+            # the bulk must still be bit-identical even in interpret mode
+            assert np.mean(outs[rows] == outs[2]) > bulk

@@ -45,6 +45,19 @@ if [ ! -f $MARK/kernel_rows ]; then
   grep -q Gcells /tmp/kernel_rows_r3.txt && touch $MARK/kernel_rows
 fi
 
+if [ ! -f $MARK/ppe8 ]; then
+  echo "== ppe8: hardware bitwise golden + kernel timing =="
+  timeout 900 python -m gatk_hc_tpu.cli -I fixtures/chrM.sam -R fixtures/chrM.fa \
+    -O /tmp/out_ppe8.vcf --pairhmm pallas --ppe-rows 8 --stats 2>&1 | tail -1
+  if diff -q /tmp/out_ppe8.vcf fixtures/chrM.golden.vcf; then
+    timeout 900 python tools/kernel_bench.py --ppe-rows 4,8 --algos ppe 2>/dev/null \
+      | tee /tmp/kernel_ppe8_r3.txt
+    grep -q Gcells /tmp/kernel_ppe8_r3.txt && touch $MARK/ppe8
+  else
+    echo PPE8_GOLDEN_MISMATCH_OR_TIMEOUT
+  fi
+fi
+
 if [ ! -f $MARK/bench_ok ]; then
   echo "== bench.py =="
   timeout 3600 python bench.py 2>/dev/null | tail -1 | tee /tmp/bench_r3_latest.json
