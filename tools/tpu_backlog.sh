@@ -26,6 +26,16 @@ if [ ! -f $MARK/e2e_ok ]; then
   fi
 fi
 
+if [ ! -f $MARK/aot_r3 ]; then
+  # kernel-source edits invalidate the jax.export AOT artifacts (source
+  # hash in the key); regenerate before any cold-process timing — the
+  # underlying XLA executable cache is HLO-keyed, so this is cheap when
+  # the traced programs are unchanged
+  echo "== warm_cache --quick (AOT regen) =="
+  timeout 1200 python tools/warm_cache.py --quick 2>&1 | tail -2 \
+    && touch $MARK/aot_r3
+fi
+
 if [ ! -f $MARK/warm_e2e ]; then
   echo "== chrM pallas e2e (warm caches, cold process) =="
   t0=$(date +%s.%N)
