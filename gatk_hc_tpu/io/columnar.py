@@ -403,6 +403,50 @@ class ColumnarReadStore:
         return reads, int(sel.size)
 
 
+class ReadPairs:
+    """Sequence[(seq_u8, qual_u8)] over one window's columnar (CSR) read
+    buffers — the zero-object form of PairHMMJob.reads.
+
+    Generic consumers (tests, the native/striped engines) index and
+    iterate it like a list of per-read tuples; the Pallas runner's group
+    packing recognizes ``flat_seq``/``flat_qual``/``off`` and builds its
+    row tables from whole-window scatters instead of per-read views
+    (~1.2 us/read of view+concat glue saved at WGS scale)."""
+
+    __slots__ = ("flat_seq", "flat_qual", "off", "_lengths")
+
+    def __init__(self, flat_seq, flat_qual, off):
+        self.flat_seq = flat_seq
+        self.flat_qual = flat_qual
+        self.off = off
+        self._lengths = None
+
+    def __len__(self) -> int:
+        return len(self.off) - 1
+
+    @property
+    def lengths(self) -> np.ndarray:
+        if self._lengths is None:
+            self._lengths = np.diff(self.off)
+        return self._lengths
+
+    @property
+    def max_len(self) -> int:
+        return int(self.lengths.max()) if len(self) else 0
+
+    def __getitem__(self, k: int):
+        if k < 0:
+            k += len(self)
+        if not 0 <= k < len(self):
+            raise IndexError(k)
+        lo, hi = self.off[k], self.off[k + 1]
+        return (self.flat_seq[lo:hi], self.flat_qual[lo:hi])
+
+    def __iter__(self):
+        for k in range(len(self)):
+            yield self[k]
+
+
 class WindowReads:
     """One window's prepared reads in columnar (CSR) form — the fused
     path's zero-object alternative to a list of PreparedRead.
@@ -438,6 +482,13 @@ class WindowReads:
             (self.seq[off[k] : off[k + 1]], self.qual[off[k] : off[k + 1]])
             for k in range(len(self))
         ]
+
+    def pair_view(self) -> "ReadPairs":
+        """O(1) Sequence[(seq_u8, qual_u8)] over the columnar buffers —
+        what PairHMMJob carries.  Unlike read_arrays() nothing per-read is
+        materialized; the runner's group packing detects the flat CSR
+        attributes and scatters whole windows at once (ops/runner.py)."""
+        return ReadPairs(self.seq, self.qual, self.off)
 
     def __getitem__(self, k: int) -> PreparedRead:
         if k < 0:

@@ -308,8 +308,8 @@ def call_batched(
     def build_job(reads, haplotypes):
         if len(haplotypes) <= 1:
             return None
-        if hasattr(reads, "read_arrays"):  # columnar WindowReads
-            read_arrays = reads.read_arrays()
+        if hasattr(reads, "pair_view"):  # columnar WindowReads: O(1) CSR
+            read_arrays = reads.pair_view()
         else:
             read_arrays = [
                 (r.seq_u8, r.qual_u8)

@@ -57,9 +57,12 @@ class PairHMMJob:
     result: Optional[np.ndarray] = None
 
     def __post_init__(self) -> None:
-        if any(len(b) == 0 for b, _ in self.reads) or any(
-            len(h) == 0 for h in self.haps
-        ):
+        off = getattr(self.reads, "off", None)
+        if off is not None:  # columnar ReadPairs: vectorized check
+            reads_ok = len(off) < 2 or bool((np.diff(off) > 0).all())
+        else:
+            reads_ok = all(len(b) for b, _ in self.reads)
+        if not reads_ok or any(len(h) == 0 for h in self.haps):
             raise ValueError("PairHMMJob rows must be non-empty")
 
 
@@ -327,8 +330,14 @@ class PallasPairHMMRunner:
         """Per-group padded shapes: tightest bucket over the group's actual
         lengths (fewer wasted cells than one global shape)."""
         max_r = max(
-            (len(b) for g in group for b, _ in jobs[g].reads), default=1
-        )
+            (
+                jobs[g].reads.max_len
+                if hasattr(jobs[g].reads, "max_len")
+                else max((len(b) for b, _ in jobs[g].reads), default=1)
+            )
+            for g in group
+        ) if group else 1
+        max_r = max(max_r, 1)
         max_c = max((len(h) for g in group for h in jobs[g].haps), default=1)
         r_pad = next(
             (b for b in self.cfg.read_pad_buckets if max_r <= b),
@@ -456,19 +465,53 @@ class PallasPairHMMRunner:
             out_lens[: len(clipped)] = lens.astype(np.int32)
             return pos, clipped, out_lens
 
-        reads_flat = [b for g in group for b, _ in jobs[g].reads]
-        quals_flat = [q for g in group for _, q in jobs[g].reads]
+        # Per-JOB read collection: columnar ReadPairs jobs contribute their
+        # whole flat CSR buffers (no per-read views), generic tuple-list
+        # jobs stay per-read.  No clipping is needed on this side:
+        # _pads_for_group sizes r_pad from the group's max read length.
+        len_parts: List[np.ndarray] = []
+        seq_parts: List[np.ndarray] = []
+        qual_parts: List[np.ndarray] = []
+        for g in group:
+            r = jobs[g].reads
+            if hasattr(r, "flat_seq"):
+                nb = int(r.off[-1])
+                len_parts.append(np.asarray(r.lengths, dtype=np.int64))
+                seq_parts.append(r.flat_seq[:nb])
+                qual_parts.append(r.flat_qual[:nb])
+            else:
+                len_parts.append(np.fromiter(
+                    (len(b) for b, _ in r), dtype=np.int64, count=len(r)
+                ))
+                seq_parts.extend(b for b, _ in r)
+                qual_parts.extend(q for _, q in r)
+        lens = (
+            np.concatenate(len_parts)
+            if len_parts
+            else np.zeros(0, dtype=np.int64)
+        )
+        starts = np.arange(lens.size, dtype=np.int64) * r_pad
+        within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        rpos = np.repeat(starts, lens) + within
+        read_lens = np.ones(nr_pad, dtype=np.int32)
+        read_lens[: lens.size] = lens.astype(np.int32)
+
         haps_flat = [h for g in group for h in jobs[g].haps]
-        rpos, rclip, read_lens = pack_rows(reads_flat, nr_pad, r_pad)
-        # quals share lengths and scatter positions with the bases
-        qclip = [q[:r_pad] for q in quals_flat]
         hpos, hclip, hap_lens = pack_rows(haps_flat, nh_pad, c_pad)
         read_u8 = np.zeros(nr_pad * r_pad, dtype=np.uint8)
         qual_u8 = np.zeros(nr_pad * r_pad, dtype=np.uint8)
         hap_u8 = np.zeros(nh_pad * c_pad, dtype=np.uint8)
-        if reads_flat:
-            read_u8[rpos] = np.concatenate(rclip)
-            qual_u8[rpos] = np.concatenate(qclip)
+        if lens.size:
+            read_u8[rpos] = (
+                seq_parts[0] if len(seq_parts) == 1
+                else np.concatenate(seq_parts)
+            )
+            qual_u8[rpos] = (
+                qual_parts[0] if len(qual_parts) == 1
+                else np.concatenate(qual_parts)
+            )
         if haps_flat:
             hap_u8[hpos] = np.concatenate(hclip)
 
