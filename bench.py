@@ -56,7 +56,14 @@ def make_workload(seed: int = 20260816):
         quals = bytes(rng.randint(53, 73) for _ in range(READ_LEN))
         reads.append((np.frombuffer(bytes(read), dtype=np.uint8),
                       np.frombuffer(quals, dtype=np.uint8)))
-    return reads, haps
+    # columnar CSR form — what the production caller ships since the
+    # ReadPairs change (the runner's whole-window packing fast path)
+    from gatk_hc_tpu.io.columnar import ReadPairs
+
+    off = np.arange(N_READS + 1, dtype=np.int64) * READ_LEN
+    flat_seq = np.concatenate([b for b, _ in reads])
+    flat_qual = np.concatenate([q for _, q in reads])
+    return ReadPairs(flat_seq, flat_qual, off), haps
 
 
 def bench_cpu_baseline(reads, haps, max_pairs: int = 256) -> float:

@@ -173,7 +173,10 @@ class HCConfig:
     dispatch_mode: str = _env_choice(
         "GATK_HC_TPU_DISPATCH", "adaptive", ("adaptive", "planes", "packed")
     )
-    ppe_rows: int = _env_int_choice("GATK_HC_TPU_PPE_ROWS", 2, (1, 2, 4, 8))
+    # Rows swept per grid step in the ppe kernel.  4 measured fastest on
+    # the v5e (149.5 vs 134.8 Gcells/s true for 2; tools/kernel_bench.py
+    # 2026-08-17) and is hardware-verified bitwise-identical to 1/2-row.
+    ppe_rows: int = _env_int_choice("GATK_HC_TPU_PPE_ROWS", 4, (1, 2, 4, 8))
     # Host-side region pipeline threads (prepare + assemble + job packing
     # run in a pool; ctypes releases the GIL, so this scales with cores —
     # the reference's OpenMP analogue for the HOST stages).  0 = one thread
