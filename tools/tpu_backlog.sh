@@ -27,12 +27,12 @@ if [ ! -f $MARK/e2e_ok ]; then
 fi
 
 if [ ! -f $MARK/aot_r3 ]; then
-  # kernel-source edits invalidate the jax.export AOT artifacts (source
-  # hash in the key); regenerate before any cold-process timing — the
-  # underlying XLA executable cache is HLO-keyed, so this is cheap when
-  # the traced programs are unchanged
-  echo "== warm_cache --quick (AOT regen) =="
-  timeout 1200 python tools/warm_cache.py --quick 2>&1 | tail -2 \
+  # the ppe_rows default change means the production dispatch programs
+  # have never executed on this terminal — run the FULL warm (executes
+  # every shape once, ~60s/program first time) before any cold-process
+  # timing, and regenerate the jax.export AOT artifacts along the way
+  echo "== warm_cache (full: device pre-load + AOT regen) =="
+  timeout 3000 python tools/warm_cache.py 2>&1 | tail -2 \
     && touch $MARK/aot_r3
 fi
 
