@@ -449,7 +449,13 @@ def call_batched(
                 entries.clear()
 
     def genotype_entries(entries):
-        batched = []  # jax engine: one cross-region device batch per chunk
+        # Both engines genotype a whole drained chunk as ONE cross-region
+        # batch: "jax" as padded device tiles (genotype_regions_jax),
+        # "host" as padded NumPy f64 tiles (genotype_regions_numpy) —
+        # per-site small-matrix call overhead dominated the stage at WGS
+        # scale.  The per-site path (assign_genotype_likelihoods) remains
+        # the oracle, used by call_region and the differential tests.
+        batched = []
         for result, reads, haplotypes, window_ref, job in entries:
             columnar_reads = hasattr(reads, "lengths")
             filtered, kept_indices = normalize_and_filter(
@@ -465,24 +471,20 @@ def call_batched(
                 if columnar_reads
                 else [reads[i] for i in kept_indices]
             )
-            if cfg.genotyper_engine == "jax":
-                batched.append(
-                    (result,
-                     (kept_reads, haplotypes, filtered, window_ref,
-                      result.padded, result.origin))
-                )
-                continue
-            result.variants = assign_genotype_likelihoods(
-                kept_reads, haplotypes, filtered, window_ref,
-                result.padded, result.origin, cfg,
+            batched.append(
+                (result,
+                 (kept_reads, haplotypes, filtered, window_ref,
+                  result.padded, result.origin))
             )
-            counters.variants += len(result.variants)
-            if manifest is not None:
-                manifest.record(result.region_id, result.variants)
         if batched:
-            from .genotyper import genotype_regions_jax
+            from .genotyper import genotype_regions_jax, genotype_regions_numpy
 
-            per_region = genotype_regions_jax([b[1] for b in batched], cfg)
+            genotype_regions = (
+                genotype_regions_jax
+                if cfg.genotyper_engine == "jax"
+                else genotype_regions_numpy
+            )
+            per_region = genotype_regions([b[1] for b in batched], cfg)
             for (result, _inputs), region_variants in zip(batched, per_region):
                 result.variants = region_variants
                 counters.variants += len(result.variants)

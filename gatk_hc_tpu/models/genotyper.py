@@ -391,6 +391,108 @@ _H_BUCKETS = (16, 32, 64, 128)
 _S_BUCKETS = (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
 
 
+def _genotype_sites_numpy(lik, h2a, keep, hv, ac: int, max_gq: int):
+    """Pure-NumPy f64 twin of ops/genotyper_jax.py::genotype_sites for one
+    allele-count bucket (``ac`` a Python int, so only the true genotype
+    columns are computed).  Bit-exact with the per-site host reductions:
+    max is order-independent, masked reads add 0.0 inside the same
+    left-to-right cumsum, and the flipped-argmax best scan reproduces
+    _gq_and_max_index's later-ties-win rule (genotyper.hpp:330-362).
+
+    lik (S, R, H) f64; h2a (S, H) int; keep (S, R) bool; hv (S, H) bool.
+    Returns (best_index (S,), gq (S,)) with best_index into the ac-allele
+    (a1 <= a2) pair order."""
+    allele_lik = np.empty(lik.shape[:2] + (ac,))
+    for a in range(ac):
+        sel = (h2a == a) & hv  # (S, H)
+        allele_lik[:, :, a] = np.max(
+            lik, axis=2, where=sel[:, None, :], initial=_LOWEST
+        )
+    a1, a2 = _triu_pairs(ac)
+    l1 = allele_lik[:, :, a1]  # (S, R, G)
+    l2 = allele_lik[:, :, a2]
+    big = np.maximum(l1, l2)
+    small = np.minimum(l1, l2)
+    with np.errstate(over="ignore"):
+        diff = big - small
+    in_range = diff < MAX_JACOBIAN_TOLERANCE
+    ind = np.floor(
+        np.where(in_range, diff, 0.0) * JACOBIAN_LOG_TABLE_INV_STEP + 0.5
+    ).astype(np.int64)
+    het = np.where(in_range, big + JACOBIAN_F64[ind], big)
+    vals = np.where(a1 == a2, l1 + _LOG10_2, het)
+    vals = np.where(keep[:, :, None], vals, 0.0)
+    n_reads = keep.sum(axis=1)
+    with np.errstate(over="ignore", invalid="ignore"):
+        totals = (
+            np.cumsum(vals, axis=1)[:, -1, :]
+            - n_reads[:, None] * _LOG10_2
+        )
+    G = totals.shape[1]
+    best_index = G - 1 - np.argmax(totals[:, ::-1], axis=1)
+    best = np.take_along_axis(totals, best_index[:, None], axis=1)[:, 0]
+    rest = totals.copy()
+    np.put_along_axis(rest, best_index[:, None], _LOWEST, axis=1)
+    second = rest.max(axis=1)
+    gq = np.minimum(
+        np.floor(-10.0 * (second - best) + 0.5).astype(np.int64), max_gq
+    )
+    return best_index, gq
+
+
+def genotype_regions_numpy(region_inputs, cfg) -> List[List[Variant]]:
+    """Cross-region batched HOST genotyping: the production shape of the
+    default ("host") engine.  Sites from a whole drained chunk are bucketed
+    by (padded reads, padded haps, allele count) and each bucket is a
+    handful of big vectorized f64 reductions — replacing per-site
+    small-matrix NumPy calls whose fixed overhead dominated the genotype
+    stage at WGS scale.  Bit-identical to the per-site path (which remains
+    the oracle; tests/test_genotyper.py differential-tests the two)."""
+    site_refs = []  # (region idx, alleles, loc, mapper, keep)
+    for ridx, (reads, haps, lik, ref, padded, origin) in enumerate(
+        region_inputs
+    ):
+        for alleles, loc, mapper, keep in _site_specs(
+            reads, haps, ref, padded, origin, cfg
+        ):
+            site_refs.append((ridx, alleles, loc, mapper, keep))
+    variants: List[List[Variant]] = [[] for _ in region_inputs]
+    if not site_refs:
+        return variants
+    buckets: Dict[Tuple[int, int, int], List[int]] = {}
+    for s_i, (ridx, alleles, *_rest) in enumerate(site_refs):
+        lik = region_inputs[ridx][2]
+        R = _pad_up(lik.shape[0], _R_BUCKETS)
+        H = _pad_up(lik.shape[1], _H_BUCKETS)
+        buckets.setdefault((R, H, len(alleles)), []).append(s_i)
+    out_gt: List = [None] * len(site_refs)
+    out_gq: List = [None] * len(site_refs)
+    for (R, H, ac), site_ids in buckets.items():
+        S = len(site_ids)
+        lik_t = np.zeros((S, R, H))
+        h2a = np.zeros((S, H), np.int32)
+        keep_t = np.zeros((S, R), bool)
+        hv = np.zeros((S, H), bool)
+        for k, s_i in enumerate(site_ids):
+            ridx, _alleles, _loc, mapper, keep = site_refs[s_i]
+            lik = region_inputs[ridx][2]
+            nr, nh = lik.shape
+            lik_t[k, :nr, :nh] = lik
+            h2a[k, :nh] = mapper
+            keep_t[k, :nr] = keep
+            hv[k, :nh] = True
+        best, gq = _genotype_sites_numpy(
+            lik_t, h2a, keep_t, hv, ac, cfg.max_genotype_quality
+        )
+        a1, a2 = _triu_pairs(ac)
+        for k, s_i in enumerate(site_ids):
+            out_gt[s_i] = (int(a1[best[k]]), int(a2[best[k]]))
+            out_gq[s_i] = int(gq[k])
+    for s_i, (ridx, alleles, loc, _m, _k) in enumerate(site_refs):
+        _emit(alleles, loc, out_gt[s_i], out_gq[s_i], cfg, variants[ridx])
+    return variants
+
+
 def genotype_regions_jax(region_inputs, cfg) -> List[List[Variant]]:
     """Cross-region batched device genotyping (the pod-scale shape of the
     "jax" engine): sites from MANY regions are bucketed into a handful of

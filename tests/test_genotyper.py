@@ -274,3 +274,58 @@ class TestJaxGenotyperEngine:
             assert [v.to_vcf_row() for v in rh.variants] == [
                 v.to_vcf_row() for v in rd.variants
             ]
+
+
+class TestBatchedNumpyGenotyper:
+    """models/genotyper.py::_genotype_sites_numpy — the production host
+    engine's cross-region batched reduction — vs the per-site oracle."""
+
+    def test_matches_per_site_reductions(self):
+        import numpy as np
+
+        from gatk_hc_tpu.models.genotyper import (
+            _calculate_genotype_likelihoods,
+            _genotype_sites_numpy,
+            _gq_and_max_index,
+            _marginalize,
+            _triu_pairs,
+        )
+
+        rng = np.random.default_rng(7)
+        for ac in (2, 3, 5, 8):
+            S, R, H = 5, 20, 12
+            lik = (rng.random((S, R, H)) * -40.0).astype(np.float64)
+            lik[:, :, 4] = lik[:, :, 2]  # plausible ties
+            h2a = rng.integers(0, ac, (S, H)).astype(np.int32)
+            keep = rng.random((S, R)) < 0.8
+            hv = np.ones((S, H), dtype=bool)
+            hv[:, -3:] = rng.random((S, 3)) < 0.5
+            best_b, gq_b = _genotype_sites_numpy(lik, h2a, keep, hv, ac, 99)
+            a1, a2 = _triu_pairs(ac)
+            for s in range(S):
+                valid = np.nonzero(hv[s])[0]
+                mapper = [int(h2a[s, h]) for h in valid]
+                allele_lik = _marginalize(
+                    mapper, ac, keep[s], lik[s][:, valid]
+                )
+                gl = np.asarray(
+                    _calculate_genotype_likelihoods(allele_lik, ac)
+                )
+                best_host, gq_host = _gq_and_max_index(list(gl), 99)
+                assert int(best_b[s]) == best_host, (ac, s)
+                assert int(gq_b[s]) == gq_host, (ac, s)
+
+    def test_no_kept_reads_site(self):
+        """keep all-False must reproduce the per-site zero-GL behavior
+        (last genotype slot wins, GQ 0)."""
+        import numpy as np
+
+        from gatk_hc_tpu.models.genotyper import _genotype_sites_numpy
+
+        lik = np.zeros((1, 4, 3))
+        h2a = np.zeros((1, 3), np.int32)
+        h2a[0, 1] = 1
+        keep = np.zeros((1, 4), bool)
+        hv = np.ones((1, 3), bool)
+        best, gq = _genotype_sites_numpy(lik, h2a, keep, hv, 2, 99)
+        assert int(best[0]) == 2 and int(gq[0]) == 0
