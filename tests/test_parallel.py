@@ -117,9 +117,10 @@ class TestMultiDeviceRunner:
 
         runner = tiny()
         token = runner.submit(jobs)
-        touched = {d for outs, _ in token[1] for o in outs for d in o.devices()}
+        submitted = token.resolve()[1]
+        touched = {d for outs, _ in submitted for o in outs for d in o.devices()}
         runner.drain([token])
-        assert len(token[1]) == 8  # 2 jobs per group via the read budget
+        assert len(submitted) == 8  # 2 jobs per group via the read budget
         assert len(touched) == 8, f"only {len(touched)} devices dispatched"
 
         single = tiny(devices=jax.devices()[:1])
