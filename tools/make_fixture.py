@@ -141,29 +141,52 @@ def main() -> None:
     parser.add_argument("--length", type=int, default=CHRM_LEN)
     parser.add_argument("--seed", type=int, default=20260816)
     parser.add_argument("--name", default="chrM")
+    parser.add_argument(
+        "--contigs",
+        type=int,
+        default=1,
+        help="generate N contigs of --length bp each (named <name>1..<name>N)"
+        " into one FASTA/SAM — the whole-genome-shaped multi-contig workload"
+        " for streaming/multihost benchmarks (BASELINE config 5)",
+    )
     args = parser.parse_args()
 
-    rng = random.Random(args.seed)
-    ref = make_reference(rng, args.length)
-    alt, variants, anchors = plant_variants(rng, ref)
-    sam_lines = simulate_reads(rng, args.name, ref, alt, args.depth, anchors=anchors)
+    names = (
+        [args.name]
+        if args.contigs == 1
+        else [f"{args.name}{i + 1}" for i in range(args.contigs)]
+    )
+    records = []
+    per_contig = []  # (name, sam_lines, variants)
+    for i, name in enumerate(names):
+        rng = random.Random(args.seed + i)
+        ref = make_reference(rng, args.length)
+        alt, variants, anchors = plant_variants(rng, ref)
+        sam_lines = simulate_reads(rng, name, ref, alt, args.depth, anchors=anchors)
+        records.append(FastaRecord(name, "synthetic fixture", ref))
+        per_contig.append((name, sam_lines, variants))
 
     os.makedirs(args.outdir, exist_ok=True)
-    write_fasta(
-        os.path.join(args.outdir, f"{args.name}.fa"),
-        [FastaRecord(args.name, "synthetic fixture", ref)],
-    )
+    write_fasta(os.path.join(args.outdir, f"{args.name}.fa"), records)
+    n_reads = n_variants = 0
     with open(os.path.join(args.outdir, f"{args.name}.sam"), "w") as handle:
         handle.write(f"@HD\tVN:1.6\tSO:coordinate\n")
-        handle.write(f"@SQ\tSN:{args.name}\tLN:{len(ref)}\n")
-        for line in sam_lines:
-            handle.write(line + "\n")
+        for record in records:
+            handle.write(f"@SQ\tSN:{record.name}\tLN:{len(record.seq)}\n")
+        for _, sam_lines, _ in per_contig:
+            for line in sam_lines:
+                handle.write(line + "\n")
+            n_reads += len(sam_lines)
     with open(os.path.join(args.outdir, f"{args.name}.truth.txt"), "w") as handle:
-        for pos, kind, payload in variants:
-            handle.write(f"{pos}\t{kind}\t{payload}\n")
+        for name, _, variants in per_contig:
+            for pos, kind, payload in variants:
+                # single-contig keeps the historical 3-column format
+                prefix = f"{name}\t" if args.contigs > 1 else ""
+                handle.write(f"{prefix}{pos}\t{kind}\t{payload}\n")
+            n_variants += len(variants)
     print(
-        f"wrote {args.name}.fa ({len(ref)}bp), {args.name}.sam "
-        f"({len(sam_lines)} reads), {len(variants)} planted variants"
+        f"wrote {args.name}.fa ({len(records)} contig(s) x {args.length}bp), "
+        f"{args.name}.sam ({n_reads} reads), {n_variants} planted variants"
     )
 
 
