@@ -301,7 +301,8 @@ def normalize_and_filter(
         return log_likelihoods.copy(), np.empty(0, dtype=np.int64)
     best = log_likelihoods.max(axis=1)  # row max is order-independent
     out = np.maximum(log_likelihoods, (best + max_best_alt_diff)[:, None])
-    lens = np.fromiter(read_lengths, np.float64, log_likelihoods.shape[0])
+    lens = np.asarray(read_lengths, dtype=np.float64)  # no-copy for the
+    # columnar paths that pass an int array; python lists convert as before
     threshold = (
         np.minimum(max_expected_error, np.ceil(lens * expected_error_rate))
         * log10_quality_per_base

@@ -58,8 +58,9 @@ class PairHMMJob:
 
     def __post_init__(self) -> None:
         off = getattr(self.reads, "off", None)
-        if off is not None:  # columnar ReadPairs: vectorized check
-            reads_ok = len(off) < 2 or bool((np.diff(off) > 0).all())
+        if off is not None:  # columnar ReadPairs: vectorized check (the
+            # cached .lengths diff is reused by group packing later)
+            reads_ok = len(off) < 2 or int(self.reads.lengths.min()) > 0
         else:
             reads_ok = all(len(b) for b, _ in self.reads)
         if not reads_ok or any(len(h) == 0 for h in self.haps):
