@@ -233,6 +233,66 @@ def device_section() -> dict:
 # wedged relay produces nothing
 DEVICE_TIMEOUT_S = 3300.0
 
+# Best healthy-phase results ever measured on this machine, persisted so a
+# run that lands in a wedged/degraded relay phase still reports the last
+# known-good engine numbers (clearly labelled as historical).
+HISTORY_PATH = os.path.expanduser("~/.cache/gatk_hc_tpu_bench_history.json")
+
+
+def _git_rev() -> str:
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        return ""
+
+
+def _load_history() -> dict:
+    try:
+        with open(HISTORY_PATH) as handle:
+            return json.load(handle)
+    except Exception:
+        return {}
+
+
+def _update_history(healthy, kernel) -> None:
+    """Keep the best healthy-phase sustained + kernel numbers seen."""
+    if healthy is None:
+        return
+    hist = _load_history()
+    if healthy > hist.get("healthy_cells_per_s", 0):
+        hist = {
+            "healthy_cells_per_s": round(healthy),
+            "kernel_cells_per_s": round(kernel) if kernel else None,
+            "git_rev": _git_rev(),
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        try:
+            os.makedirs(os.path.dirname(HISTORY_PATH), exist_ok=True)
+            with open(HISTORY_PATH, "w") as handle:
+                json.dump(hist, handle)
+        except Exception:
+            pass
+
+
+def _history_fields() -> dict:
+    """Labelled historical context for degraded/wedged runs."""
+    hist = _load_history()
+    if not hist:
+        return {}
+    return {
+        "best_healthy_cells_per_s_this_machine": hist.get(
+            "healthy_cells_per_s"
+        ),
+        "best_healthy_measured_at": hist.get("measured_at"),
+        "best_healthy_git_rev": hist.get("git_rev"),
+    }
+
 
 def _run_device_subprocess():
     import subprocess
@@ -270,11 +330,13 @@ def main() -> None:
             "workload": f"relay unresponsive (device section produced no "
                         f"result in {DEVICE_TIMEOUT_S:.0f}s); not an "
                         "engine regression (see PERFORMANCE.md caveats)",
+            **_history_fields(),
         }))
         return
     relay_op_ms = dev["relay_op_ms"]
     healthy, degraded, rounds = dev["healthy"], dev["degraded"], dev["rounds"]
     kernel_cells_per_s = dev["kernel"]
+    _update_history(healthy, kernel_cells_per_s)
     e2e_s = dev["e2e_s"] if dev["e2e_s"] is not None else float("nan")
     # CI-style floor on the HEALTHY-phase sustained number; a run that
     # never saw a healthy phase reports relay_degraded=true and does not
@@ -315,6 +377,10 @@ def main() -> None:
             f"{HAP_LEN}bp haps; best healthy-phase round of {rounds}"
         ),
     }
+    if healthy is None:
+        # degraded run: attach the machine's best healthy-phase numbers so
+        # round-over-round readers can separate relay phase from engine
+        result.update(_history_fields())
     print(json.dumps(result))
 
 
