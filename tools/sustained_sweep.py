@@ -1,0 +1,147 @@
+"""Sweep dispatch-group geometry for sustained throughput, in ONE process.
+
+The sustained headline (bench.py) sits at ~60-90 Gcells/s healthy vs ~150
+kernel-only; the gap is per-dispatch relay overhead (h2d puts, program
+launches, readbacks) amortized over only ~1 Gcell per 16384-pair group.
+This tool A/Bs bigger group budgets / chunk sizes / shipping encodings on
+the bench workload (16 jobs of 1024x16 pairs, pipelined submit/drain
+stream — identical to bench.py's sustained measurement), interleaved
+round-robin so relay-phase drift hits all arms equally.
+
+Each arm is warmed once before timing (new table-bucket or chunk shapes
+are new XLA programs: first execution through the relay can cost 15-80s,
+cached across processes afterwards).  Results are asserted bitwise-equal
+across arms.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/sustained_sweep.py
+         [--rounds K] [--arms name1,name2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_runner(arm):
+    from gatk_hc_tpu.config import DEFAULT_CONFIG
+    from gatk_hc_tpu.ops.runner import PallasPairHMMRunner
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, dispatch_mode=arm["mode"])
+    runner = PallasPairHMMRunner(cfg, pair_budget=arm["budget"])
+    if arm.get("read_buckets"):
+        runner.READ_BUCKETS = arm["read_buckets"]  # instance override
+    if arm.get("chunks"):
+        runner._chunks = arm["chunks"]
+    return runner
+
+
+# Arms: group budget (pairs packed into one table group), shipping mode,
+# read-table buckets (tight buckets avoid padding-bloat on multi-job
+# groups), dispatch chunk sizes (each size = one compiled program; bigger
+# chunks = fewer launches per group).
+ARMS = [
+    # production default — the bench.py baseline
+    {"name": "b16-planes", "budget": 16384, "mode": "planes"},
+    {"name": "b16-packed", "budget": 16384, "mode": "packed"},
+    # 2 jobs per group: one device_put per 2 Gcells; tight 2048 bucket
+    {"name": "b32-planes", "budget": 32768, "mode": "planes",
+     "read_buckets": (1024, 2048, 4096)},
+    # same grouping + one 32768-pair launch per group
+    {"name": "b32-planes-c32", "budget": 32768, "mode": "planes",
+     "read_buckets": (1024, 2048, 4096),
+     "chunks": (32768, 16384, 8192, 4096)},
+    {"name": "b32-packed-c32", "budget": 32768, "mode": "packed",
+     "read_buckets": (1024, 2048, 4096),
+     "chunks": (32768, 16384, 8192, 4096)},
+    # 3 jobs per group, packed shipping (2 B/base), 49152-pair launches
+    {"name": "b48-packed-c48", "budget": 49152, "mode": "packed",
+     "read_buckets": (1024, 3072, 4096),
+     "chunks": (49152, 16384, 8192, 4096)},
+]
+
+
+def run_stream(runner, jobs, jobs_per_submit: int = 4) -> float:
+    """bench.py's pipelined stream: submit chunk k+1 before draining k."""
+    t0 = time.perf_counter()
+    pending = []
+    for i in range(0, len(jobs), jobs_per_submit):
+        pending.append(runner.submit(jobs[i : i + jobs_per_submit]))
+        while len(pending) > 2:
+            runner.drain([pending.pop(0)])
+    runner.drain(pending)
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--arms", default=None,
+                    help="comma-separated arm names (default: all)")
+    ap.add_argument("--n-jobs", type=int, default=16)
+    args = ap.parse_args()
+
+    from bench import HAP_LEN, N_HAPS, N_READS, READ_LEN, make_workload, probe_relay_op_ms
+    from gatk_hc_tpu.ops.runner import PairHMMJob
+    from gatk_hc_tpu.parallel.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    reads, haps = make_workload()
+    arms = ARMS
+    if args.arms:
+        wanted = set(args.arms.split(","))
+        arms = [a for a in ARMS if a["name"] in wanted]
+    cells = args.n_jobs * N_READS * N_HAPS * READ_LEN * HAP_LEN
+
+    runners = {}
+    for arm in arms:
+        runners[arm["name"]] = make_runner(arm)
+        t0 = time.perf_counter()
+        warm = [PairHMMJob(reads, haps) for _ in range(args.n_jobs)]
+        run_stream(runners[arm["name"]], warm)
+        print(
+            f"# warm {arm['name']}: {time.perf_counter()-t0:.1f}s "
+            f"(relay_op_ms {probe_relay_op_ms():.1f})",
+            file=sys.stderr, flush=True,
+        )
+
+    baseline = None
+    results = {a["name"]: [] for a in arms}
+    for rnd in range(args.rounds):
+        for arm in arms:
+            name = arm["name"]
+            jobs = [PairHMMJob(reads, haps) for _ in range(args.n_jobs)]
+            dt = run_stream(runners[name], jobs)
+            results[name].append(dt)
+            print(json.dumps({
+                "round": rnd, "arm": name, "wall_s": round(dt, 3),
+                "gcells_per_s": round(cells / dt / 1e9, 1),
+                "relay_op_ms": round(probe_relay_op_ms(), 1),
+            }), flush=True)
+            if baseline is None:
+                baseline = [j.result.copy() for j in jobs]
+            else:
+                for want, got in zip(baseline, jobs):
+                    np.testing.assert_array_equal(want, got.result)
+
+    summary = {
+        name: {
+            "best_gcells_per_s": round(cells / min(ts) / 1e9, 1),
+            "all_s": [round(t, 2) for t in ts],
+        }
+        for name, ts in results.items()
+    }
+    summary["results_bitwise_equal_across_arms"] = True
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

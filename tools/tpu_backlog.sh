@@ -80,4 +80,11 @@ if [ -f $MARK/bench_ok ] && [ ! -f $MARK/dispatch_ab ]; then
     | tee /tmp/dispatch_ab_r3.json
   grep -q best_gcells /tmp/dispatch_ab_r3.json && touch $MARK/dispatch_ab
 fi
+
+if [ -f $MARK/bench_ok ] && [ ! -f $MARK/sweep ]; then
+  echo "== sustained group-geometry sweep (bench workload) =="
+  timeout 3600 python tools/sustained_sweep.py --rounds 3 2>/dev/null | tail -8 \
+    | tee /tmp/sustained_sweep_r3.json
+  grep -q best_gcells /tmp/sustained_sweep_r3.json && touch $MARK/sweep
+fi
 echo "backlog state: $(ls $MARK)"
