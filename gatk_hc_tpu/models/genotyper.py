@@ -23,7 +23,7 @@ Mirrors hc::Genetyper (reference genotyper/genotyper.hpp) including:
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
@@ -43,9 +43,12 @@ _LOWEST = -float(np.finfo(np.float64).max)  # std::numeric_limits<double>::lowes
 
 
 def process_cigar_for_initial_events(
-    haplotype: Haplotype, ref: str, padded_region: Interval
+    haplotype: Haplotype, ref: str, padded_region: Interval,
+    ref_arr: Optional[np.ndarray] = None,
 ) -> None:
-    """genotyper.hpp:35-111."""
+    """genotyper.hpp:35-111.  ``ref_arr`` (byte view of ``ref``) can be
+    passed by per-region callers so the window reference is encoded once
+    per region instead of once per haplotype."""
     contig = padded_region.contig
     padded_begin = padded_region.begin
     ref_pos = haplotype.alignment_begin_wrt_ref
@@ -53,7 +56,8 @@ def process_cigar_for_initial_events(
     hap = haplotype.bases
     # byte views: the M-mismatch scan is a vectorized compare instead of a
     # per-base Python loop (same events, found left-to-right)
-    ref_arr = np.frombuffer(ref.encode("ascii"), dtype=np.uint8)
+    if ref_arr is None:
+        ref_arr = np.frombuffer(ref.encode("ascii"), dtype=np.uint8)
     hap_arr = getattr(haplotype, "bases_u8", None)
     if hap_arr is None:
         hap_arr = np.frombuffer(hap.encode("ascii"), dtype=np.uint8)
@@ -102,10 +106,11 @@ def _set_events_for_haplotypes(
     haplotypes: List[Haplotype], ref: str, padded_region: Interval
 ) -> List[int]:
     event_begins: Set[int] = set()
+    ref_arr = np.frombuffer(ref.encode("ascii"), dtype=np.uint8)
     for rank, h in enumerate(haplotypes):
         h.rank = rank
         h.event_map = {}
-        process_cigar_for_initial_events(h, ref, padded_region)
+        process_cigar_for_initial_events(h, ref, padded_region, ref_arr)
         event_begins.update(h.event_map.keys())
     return sorted(event_begins)
 
