@@ -419,6 +419,15 @@ class PallasPairHMMRunner:
             dev: arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs)
             for dev, arrs in per_dev.items()
         }
+        # kick the device->host copy off as soon as compute finishes so the
+        # transfer overlaps later submits' packing/dispatch; drain()'s
+        # device_get then finds the bytes already staged (the relay charges
+        # 4-60 ms per readback when issued synchronously)
+        for arr in coalesced.values():
+            try:
+                arr.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                break  # backend without async copies: drain fetches as before
         return (jobs, submitted, coalesced, layout)
 
     def drain(self, batches) -> None:
