@@ -189,6 +189,14 @@ class HCConfig:
     # reads), not O(whole SAM) — the reference holds every read in RAM
     # (haplotypecaller.hpp:24-42).  Only affects the columnar data engine.
     stream_contigs: bool = False
+    # Device-wedge failover: if resolving/fetching a submitted PairHMM
+    # batch blocks longer than this (seconds), the runner declares the
+    # device path wedged and recomputes on the bit-exact C++ engine, so a
+    # WGS run completes (slower) instead of hanging forever.  The tunnelled
+    # TPU here has been observed fully wedged for 5+ hours mid-phase.
+    # Generous by design: a degraded-but-alive relay legitimately spends
+    # minutes on first program loads.  0 disables the failover.
+    device_timeout_s: float = 1200.0
 
 
 DEFAULT_CONFIG = HCConfig()

@@ -136,15 +136,84 @@ class DispatchPathController:
 class _SubmitHandle:
     """Opaque token for an in-flight submit(); resolve() joins the dispatch
     worker and returns (jobs, submitted, coalesced, layout), re-raising any
-    packing/dispatch error."""
+    packing/dispatch error.  ``jobs`` is kept on the handle so the wedge
+    failover can recompute them on the CPU engine if the worker never
+    returns."""
 
-    __slots__ = ("_fut",)
+    __slots__ = ("_fut", "jobs")
 
-    def __init__(self, fut) -> None:
+    def __init__(self, fut, jobs) -> None:
         self._fut = fut
+        self.jobs = jobs
 
-    def resolve(self):
-        return self._fut.result()
+    def resolve(self, timeout: Optional[float] = None):
+        return self._fut.result(timeout)
+
+
+class _ImmediateFuture:
+    """Pre-completed future for jobs already finalized at submit time
+    (post-wedge native fallback)."""
+
+    def result(self, timeout=None):
+        return None
+
+
+_DONE_FUTURE = _ImmediateFuture()
+
+
+class _WorkerFuture:
+    """Minimal future for _DaemonWorker tasks."""
+
+    __slots__ = ("_done", "_result", "_exc")
+
+    def __init__(self):
+        import threading
+
+        self._done = threading.Event()
+        self._result = None
+        self._exc = None
+
+    def _set(self, result=None, exc=None):
+        self._result, self._exc = result, exc
+        self._done.set()
+
+    def result(self, timeout=None):
+        if not self._done.wait(timeout):
+            raise TimeoutError("worker task still running")
+        if self._exc is not None:
+            raise self._exc
+        return self._result
+
+
+class _DaemonWorker:
+    """Single FIFO DAEMON worker thread.  Unlike ThreadPoolExecutor —
+    whose workers are non-daemon and joined at interpreter exit — a task
+    wedged inside a blocked relay call cannot prevent the process from
+    exiting, which is the whole point of the device-wedge failover."""
+
+    def __init__(self, name: str):
+        import queue
+        import threading
+
+        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._t = threading.Thread(target=self._loop, name=name, daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fn, args, fut = item
+            try:
+                fut._set(result=fn(*args))
+            except BaseException as exc:  # delivered at fut.result()
+                fut._set(exc=exc)
+
+    def submit(self, fn, *args) -> _WorkerFuture:
+        fut = _WorkerFuture()
+        self._q.put((fn, args, fut))
+        return fut
 
 
 class PallasPairHMMRunner:
@@ -221,12 +290,17 @@ class PallasPairHMMRunner:
         # ONE dispatch worker: submit() packing + device_put + launches run
         # here so they overlap the caller's host work AND device compute;
         # single-threaded FIFO keeps device round-robin placement identical
-        # to a synchronous submit (results are placement-independent anyway)
-        from concurrent.futures import ThreadPoolExecutor
-
-        self._submit_pool = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="hc-dispatch"
-        )
+        # to a synchronous submit (results are placement-independent anyway).
+        # Daemon worker (not ThreadPoolExecutor): a relay call wedged inside
+        # it must not block interpreter exit after the failover kicks in.
+        self._submit_pool = _DaemonWorker("hc-dispatch")
+        # Device-wedge failover (cfg.device_timeout_s): once a submit or
+        # fetch blocks past the budget the device path is declared dead and
+        # every remaining batch recomputes on the bit-exact C++ engine.
+        self._wedged = False
+        self.device_fallbacks = 0
+        self._native_runner = None
+        self._fetch_pool: Optional[_DaemonWorker] = None
 
     def _device_tables(self, device):
         tables = self._dev_tables.get(device)
@@ -397,7 +471,14 @@ class PallasPairHMMRunner:
         batched device_get), so fetching one coalesced array per device
         instead of one per dispatch is the difference between ~0.3s and
         ~4s of drain time on a 2Mb contig."""
-        return _SubmitHandle(self._submit_pool.submit(self._submit_batch, jobs))
+        if self._wedged:
+            # device path declared dead earlier: compute on the bit-exact
+            # CPU engine right away (same results, no device contact)
+            self._native_fallback(jobs)
+            return _SubmitHandle(_DONE_FUTURE, jobs)
+        return _SubmitHandle(
+            self._submit_pool.submit(self._submit_batch, jobs), jobs
+        )
 
     def _submit_batch(self, jobs: Sequence[PairHMMJob]):
         import jax.numpy as jnp
@@ -433,15 +514,40 @@ class PallasPairHMMRunner:
     def drain(self, batches) -> None:
         """Fetch + finalize every submitted batch (one readback per device
         per submit batch).  Accepts submit() tokens (resolved here — this
-        is where a dispatch error raises) or already-resolved tuples."""
-        import jax
+        is where a dispatch error raises) or already-resolved tuples.
 
-        batches = [
-            b.resolve() if isinstance(b, _SubmitHandle) else b for b in batches
-        ]
-        flat = [a for _, _, coalesced, _ in batches for a in coalesced.values()]
-        fetched = iter(jax.device_get(flat))
-        for jobs, submitted, coalesced, layout in batches:
+        Wedge failover: if the dispatch worker or the result fetch blocks
+        past cfg.device_timeout_s, the affected batches (and every later
+        submit) recompute on the bit-exact C++ engine instead of hanging
+        the run (the tunnelled device has been observed wedged for hours;
+        dispatch calls block indefinitely while enumeration stays live)."""
+        timeout = self.cfg.device_timeout_s or None
+        resolved = []
+        for b in batches:
+            if not isinstance(b, _SubmitHandle):
+                resolved.append(b)
+                continue
+            try:
+                # post-wedge, queued futures sit behind the stuck call —
+                # give them only a grace period, not the full budget
+                r = b.resolve(5.0 if self._wedged and timeout else timeout)
+            except TimeoutError:
+                self._declare_wedged("dispatch")
+                self._native_fallback(b.jobs)
+                continue
+            if r is not None:
+                resolved.append(r)
+        if not resolved:
+            return
+        flat = [a for _, _, coalesced, _ in resolved for a in coalesced.values()]
+        fetched_list = self._fetch(flat, timeout)
+        if fetched_list is None:
+            self._declare_wedged("fetch")
+            for jobs, _, _, _ in resolved:
+                self._native_fallback(jobs)
+            return
+        fetched = iter(fetched_list)
+        for jobs, submitted, coalesced, layout in resolved:
             host = {dev: next(fetched) for dev in coalesced}
             for (outs, spans), entries in zip(submitted, layout):
                 host_outs = [
@@ -449,6 +555,41 @@ class PallasPairHMMRunner:
                     for dev, start, size in entries
                 ]
                 self._finalize_group(jobs, host_outs, spans)
+
+    def _fetch(self, flat, timeout: Optional[float]):
+        """device_get with the wedge budget; None on timeout.  The fetch
+        runs on a side thread so a blocked relay read can be abandoned
+        (the thread leaks until the relay unblocks — acceptable once per
+        process, and nothing touches the device after a wedge)."""
+        import jax
+
+        if timeout is None:
+            return jax.device_get(flat)
+        if self._fetch_pool is None:
+            self._fetch_pool = _DaemonWorker("hc-fetch")
+        fut = self._fetch_pool.submit(jax.device_get, flat)
+        try:
+            return fut.result(5.0 if self._wedged else timeout)
+        except TimeoutError:
+            return None
+
+    def _declare_wedged(self, where: str) -> None:
+        self.device_fallbacks += 1
+        if not self._wedged:
+            self._wedged = True
+            import sys
+
+            print(
+                f"[gatk_hc_tpu] device {where} unresponsive for "
+                f"{self.cfg.device_timeout_s:.0f}s — failing over to the "
+                "bit-exact C++ PairHMM engine for the rest of the run",
+                file=sys.stderr, flush=True,
+            )
+
+    def _native_fallback(self, jobs) -> None:
+        if self._native_runner is None:
+            self._native_runner = NativePairHMMRunner(self.cfg)
+        self._native_runner.run(jobs)
 
     def _plan_groups(self, jobs: Sequence[PairHMMJob]) -> List[List[int]]:
         groups: List[List[int]] = []
