@@ -195,6 +195,7 @@ def main(argv=None) -> int:
         manifest = RegionManifest(args.manifest)
 
     start = time.perf_counter()
+    runner = None
     try:
         if args.num_processes and args.num_processes > 1:
             from .parallel.multihost import run_multihost
@@ -210,7 +211,6 @@ def main(argv=None) -> int:
             # grouping + columnar data path) and never touches jax — its
             # backend init costs ~1s of latency; "python" stays on the
             # simple per-region oracle pipeline
-            runner = None
             if cfg.pairhmm_engine in ("pallas", "jax"):
                 from .parallel.compile_cache import enable_compile_cache
 
@@ -257,6 +257,11 @@ def main(argv=None) -> int:
         }
         if args.pairhmm == "auto":
             stats["engine_requested"] = "auto"
+        fallbacks = getattr(runner, "device_fallbacks", 0)
+        if fallbacks:
+            # device-wedge failover fired: results are still exact (C++
+            # recompute), but the device did not finish the run
+            stats["device_fallbacks"] = fallbacks
         try:
             from . import native
 

@@ -946,6 +946,11 @@ class BackgroundRunner:
             raise self._exc
         return self._runner
 
+    @property
+    def device_fallbacks(self) -> int:
+        """Wedge-failover count of the wrapped runner (0 before build)."""
+        return self._runner.device_fallbacks if self._runner else 0
+
     def submit(self, jobs):
         return self._get().submit(jobs)
 
