@@ -19,6 +19,7 @@ loop (intel_pairhmm.hpp:115-203).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -972,45 +973,65 @@ class BackgroundRunner:
 class NativePairHMMRunner:
     """CPU batch runner over the C++ PairHMM engine — same job interface and
     exact semantics (f32 + FTZ with f64 rescue below MIN_ACCEPTED) as the
-    Pallas runner, for call_batched with cfg.pairhmm_engine == 'native'."""
+    Pallas runner, for call_batched with cfg.pairhmm_engine == 'native'.
+
+    Jobs fan out over a host thread pool (cfg.host_threads, 0 = one per
+    CPU): the C++ compute releases the GIL, so this is the CPU-engine
+    equivalent of the reference's OpenMP `parallel for` over testcases
+    (intel_pairhmm.hpp:128-131).  Each job's result is written to its own
+    slot, so scheduling cannot affect output."""
 
     def __init__(self, cfg: HCConfig):
         self.cfg = cfg
 
     def run(self, jobs: Sequence[PairHMMJob]) -> None:
+        n_workers = (
+            self.cfg.host_threads
+            if self.cfg.host_threads > 0
+            else (os.cpu_count() or 1)
+        )
+        if n_workers > 1 and len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(n_workers) as pool:
+                list(pool.map(self._run_one, jobs))
+        else:
+            for job in jobs:
+                self._run_one(job)
+
+    def _run_one(self, job: PairHMMJob) -> None:
         from .. import native
         from .pairhmm_oracle import finalize_log10
 
         gop, gcp = self.cfg.gop_char, self.cfg.gcp_char
-        for job in jobs:
-            nr, nh = len(job.reads), len(job.haps)
-            if nr * nh == 0:
-                job.result = np.zeros((nr, nh))
-                continue
-            r_stride = max(len(b) for b, _ in job.reads)
-            rb = np.zeros((nr, r_stride), dtype=np.uint8)
-            rq = np.zeros((nr, r_stride), dtype=np.uint8)
-            rl = np.zeros(nr, dtype=np.int32)
-            for i, (b, q) in enumerate(job.reads):
-                rb[i, : len(b)] = b
-                rq[i, : len(q)] = q
-                rl[i] = len(b)
-            h_stride = max(len(h) for h in job.haps)
-            hb = np.zeros((nh, h_stride), dtype=np.uint8)
-            hl = np.zeros(nh, dtype=np.int32)
-            for i, h in enumerate(job.haps):
-                hb[i, : len(h)] = h
-                hl[i] = len(h)
-            pr = np.repeat(np.arange(nr, dtype=np.int32), nh)
-            ph = np.tile(np.arange(nh, dtype=np.int32), nr)
-            raw = native.pairhmm_raw_native(rb, rq, rl, hb, hl, pr, ph, gop, gcp)
+        nr, nh = len(job.reads), len(job.haps)
+        if nr * nh == 0:
+            job.result = np.zeros((nr, nh))
+            return
+        r_stride = max(len(b) for b, _ in job.reads)
+        rb = np.zeros((nr, r_stride), dtype=np.uint8)
+        rq = np.zeros((nr, r_stride), dtype=np.uint8)
+        rl = np.zeros(nr, dtype=np.int32)
+        for i, (b, q) in enumerate(job.reads):
+            rb[i, : len(b)] = b
+            rq[i, : len(q)] = q
+            rl[i] = len(b)
+        h_stride = max(len(h) for h in job.haps)
+        hb = np.zeros((nh, h_stride), dtype=np.uint8)
+        hl = np.zeros(nh, dtype=np.int32)
+        for i, h in enumerate(job.haps):
+            hb[i, : len(h)] = h
+            hl[i] = len(h)
+        pr = np.repeat(np.arange(nr, dtype=np.int32), nh)
+        ph = np.tile(np.arange(nh, dtype=np.int32), nr)
+        raw = native.pairhmm_raw_native(rb, rq, rl, hb, hl, pr, ph, gop, gcp)
 
-            def rescue(indices, pr=pr, ph=ph):
-                return native.pairhmm_raw_native(
-                    rb, rq, rl, hb, hl,
-                    pr[indices], ph[indices], gop, gcp, dtype=np.float64,
-                )
+        def rescue(indices, pr=pr, ph=ph):
+            return native.pairhmm_raw_native(
+                rb, rq, rl, hb, hl,
+                pr[indices], ph[indices], gop, gcp, dtype=np.float64,
+            )
 
-            job.result = finalize_log10(
-                raw, rescue, mode=self.cfg.f64_rescue
-            ).reshape(nr, nh)
+        job.result = finalize_log10(
+            raw, rescue, mode=self.cfg.f64_rescue
+        ).reshape(nr, nh)

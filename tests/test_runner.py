@@ -140,3 +140,24 @@ class TestWedgeFailover:
         assert not runner._wedged and runner._fetch_pool is None
         for got, want in zip(jobs, expected):
             np.testing.assert_array_equal(got.result, want.result)
+
+
+class TestNativeRunnerThreading:
+    def test_threaded_matches_serial(self):
+        import dataclasses
+        import random
+
+        from gatk_hc_tpu.ops.runner import NativePairHMMRunner, PairHMMJob
+        from tests.test_pallas import TINY_CFG, make_job
+
+        rng = random.Random(5)
+        jobs = [make_job(rng, 3, 2) for _ in range(12)]
+        serial = [PairHMMJob(j.reads, j.haps) for j in jobs]
+        NativePairHMMRunner(
+            dataclasses.replace(TINY_CFG, host_threads=1)
+        ).run(serial)
+        NativePairHMMRunner(
+            dataclasses.replace(TINY_CFG, host_threads=4)
+        ).run(jobs)
+        for got, want in zip(jobs, serial):
+            np.testing.assert_array_equal(got.result, want.result)
