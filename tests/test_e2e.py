@@ -176,3 +176,27 @@ class TestDegenerateInputs:
         )
         call_batched(str(sam), FASTA, str(out), cfg)
         assert out.read_text().startswith("##fileformat=VCFv4.2\n")
+
+
+class TestWedgeFailoverE2E:
+    def test_wedged_device_still_produces_golden_vcf(self, tmp_path):
+        """A device that never answers must not hang or corrupt a run: the
+        walk's submits fail over to the C++ engine and the VCF stays
+        byte-identical to the golden."""
+        import time as _time
+
+        from gatk_hc_tpu.models.caller import call_batched
+        from gatk_hc_tpu.ops.runner import PallasPairHMMRunner
+
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            pairhmm_engine="pallas", assembler_engine="native",
+            device_timeout_s=0.2,
+        )
+        runner = PallasPairHMMRunner(cfg, interpret=True)
+        runner._submit_batch = lambda jobs: _time.sleep(3600)  # wedge
+        out = tmp_path / "wedged.vcf"
+        results = call_batched(SAM, FASTA, str(out), cfg, runner=runner)
+        assert runner._wedged and runner.device_fallbacks >= 1
+        assert out.read_text() == open(GOLDEN).read()
+        assert sum(len(r.variants) for r in results) == 35
