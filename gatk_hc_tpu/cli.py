@@ -257,6 +257,14 @@ def main(argv=None) -> int:
         }
         if args.pairhmm == "auto":
             stats["engine_requested"] = "auto"
+        try:
+            import resource
+
+            stats["peak_rss_mb"] = (
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            )
+        except Exception:
+            pass
         fallbacks = getattr(runner, "device_fallbacks", 0)
         if fallbacks:
             # device-wedge failover fired: results are still exact (C++
