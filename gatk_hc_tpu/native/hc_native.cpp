@@ -642,6 +642,9 @@ struct Assembly {
                                                  // paths ever read it)
   std::vector<int> e_src, e_dst, e_count;
   std::vector<uint8_t> e_is_ref;
+  std::vector<char> v_last;  // kmers[v].back() without the string_view
+                             // indirection: extend_chain reads it once per
+                             // position on the hot chained path
   std::unordered_map<std::string_view, int> unique_kmers;
   std::unordered_set<std::string_view> dup_kmers;  // membership-only
   // packed mode (k <= 32, pure-ACGT window): kmers map EXACTLY to 2-bit
@@ -677,6 +680,7 @@ struct Assembly {
   int create_vertex(std::string_view kmer, uint64_t key) {
     int vid = static_cast<int>(kmers.size());
     kmers.push_back(kmer);
+    v_last.push_back(kmer.back());
     out_head.push_back(-1);
     out_tail.push_back(-1);
     out_deg.push_back(0);
@@ -724,7 +728,7 @@ struct Assembly {
       if (in_deg[v] != 1) return;
       const int eid = in_head[v];
       const int u = e_src[eid];
-      if (kmers[u].back() != kmer.back()) return;
+      if (v_last[u] != kmer.back()) return;
       ++e_count[eid];
       v = u;
       kmer.remove_suffix(1);
@@ -735,7 +739,7 @@ struct Assembly {
     const char last = kmer.back();
     for (int eid = out_head[u]; eid >= 0; eid = out_next[eid]) {
       const int v = e_dst[eid];
-      if (kmers[v].back() == last) {
+      if (v_last[v] == last) {
         ++e_count[eid];
         return v;
       }
