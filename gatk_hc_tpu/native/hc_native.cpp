@@ -544,6 +544,35 @@ struct FlatSet64 {
     if (++count * 10 >= (mask + 1) * 7) grow();
     return true;
   }
+  // Tracked variant for sets that are reset per short sequence: records
+  // which slots were written so reset_tracked() wipes only those instead
+  // of memsetting the whole table (the per-segment dup-scan seen set paid
+  // a 4KB assign per ~150bp segment).  REQUIRES the table to be pre-sized
+  // for the largest sequence (init once): count stays <= cap/2, so grow()
+  // can never fire and invalidate the recorded indices.
+  std::vector<uint32_t> used;
+  bool insert_tracked(uint64_t key) {
+    if (key == EMPTY) {
+      const bool fresh = !has_special;
+      has_special = true;
+      return fresh;
+    }
+    size_t i = hash64(key) & mask;
+    while (slots[i] != EMPTY) {
+      if (slots[i] == key) return false;
+      i = (i + 1) & mask;
+    }
+    slots[i] = key;
+    ++count;
+    used.push_back(static_cast<uint32_t>(i));
+    return true;
+  }
+  void reset_tracked() {
+    for (uint32_t i : used) slots[i] = EMPTY;
+    used.clear();
+    count = 0;
+    has_special = false;
+  }
   bool contains(uint64_t key) const {
     if (key == EMPTY) return has_special;
     size_t i = hash64(key) & mask;
@@ -1014,20 +1043,24 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
     // O(k log n) string compares per kmer and dominated region assembly
     std::unordered_set<std::string_view> seen;
     FlatSet64 seen_p;
-    if (graph.packed) seen_p.init(512);
+    if (graph.packed) {
+      // one table sized for the LONGEST sequence, wiped per sequence via
+      // tracked-slot resets (grow() provably never fires: per-seq count
+      // <= cap/2 < the 0.7 load-factor trigger)
+      size_t max_len = ref_view.size();
+      for (auto seg : segments) max_len = std::max(max_len, seg.size());
+      seen_p.init(max_len - kmer_size + 1);
+    }
     auto collect_dups = [&](std::string_view seq) {
       if (graph.packed) {
-        seen_p.init(
-            seq.size() >= static_cast<size_t>(kmer_size)
-                ? seq.size() - kmer_size + 1
-                : 16
-        );
+        seen_p.reset_tracked();
         const uint64_t mask =
             kmer_size == 32 ? ~0ull : ((1ull << (2 * kmer_size)) - 1);
         uint64_t v = 0;
         for (size_t i = 0; i < seq.size(); ++i) {
           v = ((v << 2) | Assembly::pack_code(seq[i])) & mask;
-          if (i + 1 >= static_cast<size_t>(kmer_size) && !seen_p.insert(v))
+          if (i + 1 >= static_cast<size_t>(kmer_size) &&
+              !seen_p.insert_tracked(v))
             graph.dup_p.insert(v);
         }
         return;
