@@ -301,8 +301,9 @@ def normalize_and_filter(
         return log_likelihoods.copy(), np.empty(0, dtype=np.int64)
     best = log_likelihoods.max(axis=1)  # row max is order-independent
     out = np.maximum(log_likelihoods, (best + max_best_alt_diff)[:, None])
-    lens = np.asarray(read_lengths, dtype=np.float64)  # no-copy for the
-    # columnar paths that pass an int array; python lists convert as before
+    lens = np.asarray(read_lengths, dtype=np.float64)  # one vectorized
+    # convert (the int arrays from columnar callers still copy to f64, but
+    # without np.fromiter's per-element Python iteration)
     threshold = (
         np.minimum(max_expected_error, np.ceil(lens * expected_error_rate))
         * log10_quality_per_base

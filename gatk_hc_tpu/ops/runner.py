@@ -160,6 +160,7 @@ class _ImmediateFuture:
 
 
 _DONE_FUTURE = _ImmediateFuture()
+_WEDGED = object()  # sentinel: a resolve() that never completed
 
 
 class _WorkerFuture:
@@ -186,19 +187,60 @@ class _WorkerFuture:
         return self._result
 
 
+# Bounded exit policy for every device-touching helper thread: all are
+# DAEMON (a relay call wedged inside one must not block process exit — the
+# reason the wedge failover exists), but an atexit hook waits up to
+# _EXIT_JOIN_S for them to go idle so that in the HEALTHY case interpreter
+# teardown never runs concurrently with an in-flight PJRT call (which can
+# abort the process).  120 s covers the longest legitimate in-flight unit
+# (one cold program load, observed 15-80 s); a wedged thread is abandoned
+# after the bound instead of hanging exit forever.
+_EXIT_JOIN_S = 120.0
+_EXIT_WAITERS: List = []  # callables: (deadline_fn) -> None
+
+
+def _join_device_threads() -> None:
+    import time as _time
+
+    deadline = _time.monotonic() + _EXIT_JOIN_S
+    for wait in list(_EXIT_WAITERS):
+        try:
+            wait(max(0.0, deadline - _time.monotonic()))
+        except Exception:
+            pass
+
+
+def _register_exit_wait(wait_fn) -> None:
+    if not _EXIT_WAITERS:
+        import atexit
+
+        atexit.register(_join_device_threads)
+    _EXIT_WAITERS.append(wait_fn)
+
+
 class _DaemonWorker:
     """Single FIFO DAEMON worker thread.  Unlike ThreadPoolExecutor —
     whose workers are non-daemon and joined at interpreter exit — a task
     wedged inside a blocked relay call cannot prevent the process from
-    exiting, which is the whole point of the device-wedge failover."""
+    exiting, which is the whole point of the device-wedge failover.  The
+    module atexit hook (_join_device_threads) still waits — bounded — for
+    the worker to go idle, so healthy in-flight device calls complete
+    before interpreter teardown."""
 
     def __init__(self, name: str):
         import queue
         import threading
 
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._lock = threading.Lock()
+        self._pending = 0
+        self._idle = threading.Event()
+        self._idle.set()
+        self.abandoned = False  # set by the wedge failover: exit must
+        # not wait for a worker known to be blocked in a dead relay call
         self._t = threading.Thread(target=self._loop, name=name, daemon=True)
         self._t.start()
+        _register_exit_wait(self.wait_idle)
 
     def _loop(self):
         while True:
@@ -210,11 +252,24 @@ class _DaemonWorker:
                 fut._set(result=fn(*args))
             except BaseException as exc:  # delivered at fut.result()
                 fut._set(exc=exc)
+            finally:
+                with self._lock:
+                    self._pending -= 1
+                    if self._pending == 0:
+                        self._idle.set()
 
     def submit(self, fn, *args) -> _WorkerFuture:
         fut = _WorkerFuture()
+        with self._lock:
+            self._pending += 1
+            self._idle.clear()
         self._q.put((fn, args, fut))
         return fut
+
+    def wait_idle(self, timeout: Optional[float] = None) -> bool:
+        if self.abandoned:
+            return True
+        return self._idle.wait(timeout)
 
 
 class PallasPairHMMRunner:
@@ -407,11 +462,17 @@ class PallasPairHMMRunner:
                 except Exception:  # pragma: no cover - prewarm is best-effort
                     pass
 
-        # non-daemon: interpreter teardown mid-device-call aborts the
-        # process; stop_prewarm() caps the exit wait at one in-flight
-        # program load when a short run finishes before warming does
-        thread = threading.Thread(target=work, daemon=False)
+        # daemon + bounded atexit join (_join_device_threads): a healthy
+        # in-flight program load still completes before interpreter
+        # teardown (teardown mid-device-call aborts the process), but a
+        # load wedged in a dead relay can only delay exit by _EXIT_JOIN_S
+        # instead of blocking it forever; stop_prewarm() caps the wait at
+        # one in-flight program when a short run finishes before warming
+        thread = threading.Thread(target=work, daemon=True)
         thread.start()
+        _register_exit_wait(
+            lambda timeout: None if self._wedged else thread.join(timeout)
+        )
         if block:
             thread.join()
         return thread
@@ -528,11 +589,22 @@ class PallasPairHMMRunner:
             if not isinstance(b, _SubmitHandle):
                 resolved.append(b)
                 continue
-            try:
-                # post-wedge, queued futures sit behind the stuck call —
-                # give them only a grace period, not the full budget
-                r = b.resolve(5.0 if self._wedged and timeout else timeout)
-            except TimeoutError:
+            r = _WEDGED
+            for attempt in range(self.MAX_SLOW_EXTENSIONS + 1):
+                try:
+                    # post-wedge, queued futures sit behind the stuck call —
+                    # give them only a grace period, not the full budget
+                    r = b.resolve(5.0 if self._wedged and timeout else timeout)
+                    break
+                except TimeoutError:
+                    # distinguish wedged (probe can't finish either) from
+                    # alive-but-throttled (degraded phases run 100x+ slow
+                    # for minutes-to-hours): only a failed probe, or
+                    # exhausting the slow-phase extensions, declares wedge
+                    if self._wedged or not self._probe_device_alive():
+                        break
+                    self._note_slow("dispatch", attempt)
+            if r is _WEDGED:
                 self._declare_wedged("dispatch")
                 self._native_fallback(b.jobs)
                 continue
@@ -557,6 +629,11 @@ class PallasPairHMMRunner:
                 ]
                 self._finalize_group(jobs, host_outs, spans)
 
+    # How many extra full budgets drain grants when the batch timed out
+    # but a probe shows the device alive (throttled, not wedged).  Bounds
+    # the wait so a non-relay deadlock still fails over eventually.
+    MAX_SLOW_EXTENSIONS = 3
+
     def _fetch(self, flat, timeout: Optional[float]):
         """device_get with the wedge budget; None on timeout.  The fetch
         runs on a side thread so a blocked relay read can be abandoned
@@ -569,15 +646,59 @@ class PallasPairHMMRunner:
         if self._fetch_pool is None:
             self._fetch_pool = _DaemonWorker("hc-fetch")
         fut = self._fetch_pool.submit(jax.device_get, flat)
-        try:
-            return fut.result(5.0 if self._wedged else timeout)
-        except TimeoutError:
-            return None
+        for attempt in range(self.MAX_SLOW_EXTENSIONS + 1):
+            try:
+                return fut.result(5.0 if self._wedged else timeout)
+            except TimeoutError:
+                if self._wedged or not self._probe_device_alive():
+                    return None
+                self._note_slow("fetch", attempt)
+        return None
+
+    def _probe_device_alive(self, timeout_s: float = 30.0) -> bool:
+        """One tiny device round-trip on a fresh daemon thread: True means
+        the device path is alive (merely throttled); False (probe itself
+        cannot finish) confirms a wedge.  A fresh thread each time — the
+        dispatch and fetch workers may themselves be the blocked ones."""
+        import threading
+
+        ok = threading.Event()
+
+        def probe():
+            try:
+                import jax
+
+                jax.device_get(
+                    jax.device_put(np.ones(8, np.float32), self._devices[0])
+                )
+                ok.set()
+            except Exception:
+                pass  # an erroring device is as good as wedged here
+
+        t = threading.Thread(target=probe, daemon=True, name="hc-probe")
+        t.start()
+        # deliberately NOT exit-registered: a live probe finishes in <1s,
+        # and a blocked one is exactly the wedge we refuse to wait for
+        return ok.wait(timeout_s)
+
+    def _note_slow(self, where: str, attempt: int) -> None:
+        import sys
+
+        print(
+            f"[gatk_hc_tpu] device {where} exceeded "
+            f"{self.cfg.device_timeout_s:.0f}s but the device probes alive "
+            f"(throttled phase) — waiting up to "
+            f"{self.MAX_SLOW_EXTENSIONS - attempt} more budget(s)",
+            file=sys.stderr, flush=True,
+        )
 
     def _declare_wedged(self, where: str) -> None:
         self.device_fallbacks += 1
         if not self._wedged:
             self._wedged = True
+            self._submit_pool.abandoned = True
+            if self._fetch_pool is not None:
+                self._fetch_pool.abandoned = True
             import sys
 
             print(
@@ -913,6 +1034,32 @@ class PallasPairHMMRunner:
 
 
 
+class _NativeFallbackRunner:
+    """Drop-in submit/drain/run shim over the C++ engine, installed when
+    the device backend never comes up (BackgroundRunner build timeout).
+    Jobs complete synchronously at submit; drain is a no-op."""
+
+    def __init__(self, cfg: HCConfig):
+        self._inner = NativePairHMMRunner(cfg)
+        self.device_fallbacks = 1
+
+    def submit(self, jobs):
+        self._inner.run(jobs)
+        return None
+
+    def drain(self, batches) -> None:
+        pass
+
+    def run(self, jobs) -> None:
+        self._inner.run(jobs)
+
+    def prewarm(self, *args, **kwargs):
+        return None
+
+    def stop_prewarm(self) -> None:
+        pass
+
+
 class BackgroundRunner:
     """Cold-start overlap: builds a PallasPairHMMRunner (jax import +
     backend init + AOT load) and starts its prewarm on a background thread
@@ -923,14 +1070,23 @@ class BackgroundRunner:
     def __init__(self, cfg: HCConfig):
         import threading
 
+        self.cfg = cfg
         self._runner: Optional[PallasPairHMMRunner] = None
         self._exc: Optional[BaseException] = None
         self._stop_requested = False
+        self._decide_lock = threading.Lock()
 
         def build():
             try:
                 runner = PallasPairHMMRunner(cfg)
-                self._runner = runner
+                with self._decide_lock:
+                    # a timed-out _get() may already have installed the
+                    # native fallback; a late-finishing build must not
+                    # swap runners mid-run (tokens would cross runners)
+                    if self._runner is None:
+                        self._runner = runner
+                    else:
+                        self._stop_requested = True
                 if self._stop_requested:
                     runner.stop_prewarm()
                 else:
@@ -938,11 +1094,39 @@ class BackgroundRunner:
             except BaseException as exc:  # surfaced on first use
                 self._exc = exc
 
-        self._thread = threading.Thread(target=build, daemon=False)
+        # daemon + bounded atexit join: backend init wedged in a dead
+        # relay must not block process exit (same policy as the dispatch
+        # worker and prewarm threads)
+        self._build_abandoned = False
+        self._thread = threading.Thread(target=build, daemon=True)
         self._thread.start()
+        _register_exit_wait(
+            lambda timeout: None
+            if self._build_abandoned
+            else self._thread.join(timeout)
+        )
 
     def _get(self) -> PallasPairHMMRunner:
-        self._thread.join()
+        # the build itself is covered by the wedge budget: a backend init
+        # blocked in a dead relay fails over to the C++ engine instead of
+        # hanging the first submit forever
+        timeout = self.cfg.device_timeout_s or None
+        self._thread.join(timeout)
+        if self._thread.is_alive():
+            with self._decide_lock:
+                if self._runner is None:
+                    import sys
+
+                    print(
+                        f"[gatk_hc_tpu] device backend init unresponsive "
+                        f"for {timeout:.0f}s — failing over to the "
+                        "bit-exact C++ PairHMM engine for this run",
+                        file=sys.stderr, flush=True,
+                    )
+                    self._runner = _NativeFallbackRunner(self.cfg)
+                    self._build_abandoned = True
+                # else: runner built, only prewarm still in flight — usable
+                return self._runner
         if self._exc is not None:
             raise self._exc
         return self._runner

@@ -195,6 +195,7 @@ class TestWedgeFailoverE2E:
         )
         runner = PallasPairHMMRunner(cfg, interpret=True)
         runner._submit_batch = lambda jobs: _time.sleep(3600)  # wedge
+        runner._probe_device_alive = lambda timeout_s=30.0: False
         out = tmp_path / "wedged.vcf"
         results = call_batched(SAM, FASTA, str(out), cfg, runner=runner)
         assert runner._wedged and runner.device_fallbacks >= 1

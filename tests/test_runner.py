@@ -98,6 +98,8 @@ class TestWedgeFailover:
         cfg = dataclasses.replace(TINY_CFG, device_timeout_s=timeout)
         runner = PallasPairHMMRunner(cfg, pair_budget=256, interpret=True)
         runner._submit_batch = lambda jobs: _time.sleep(3600)  # wedge
+        # a true wedge: the health probe cannot finish either
+        runner._probe_device_alive = lambda timeout_s=30.0: False
         return runner
 
     def test_dispatch_wedge_falls_back_to_native(self):
@@ -138,6 +140,43 @@ class TestWedgeFailover:
         jobs, expected = self._jobs_and_expected()
         runner.drain([runner.submit(jobs)])  # normal path, no side threads
         assert not runner._wedged and runner._fetch_pool is None
+        for got, want in zip(jobs, expected):
+            np.testing.assert_array_equal(got.result, want.result)
+
+
+    def test_alive_but_slow_gets_bounded_extensions(self):
+        """A timed-out batch with a LIVE probe is throttled, not wedged:
+        drain grants MAX_SLOW_EXTENSIONS more budgets before failing over."""
+        jobs, expected = self._jobs_and_expected()
+        runner = self._wedged_runner(timeout=0.2)
+        probes = []
+        runner._probe_device_alive = lambda timeout_s=30.0: (
+            probes.append(1) or True
+        )
+        runner.MAX_SLOW_EXTENSIONS = 2
+        runner.drain([runner.submit(jobs)])
+        # probe consulted once per expired budget; still fails over at the cap
+        assert len(probes) == 3 and runner._wedged
+        for got, want in zip(jobs, expected):
+            np.testing.assert_array_equal(got.result, want.result)
+
+    def test_background_runner_build_timeout_falls_back(self, monkeypatch):
+        import dataclasses
+        import time as _time
+
+        import gatk_hc_tpu.ops.runner as runner_mod
+        from tests.test_pallas import TINY_CFG
+
+        class HangingRunner:
+            def __init__(self, cfg, *a, **k):
+                _time.sleep(3600)
+
+        monkeypatch.setattr(runner_mod, "PallasPairHMMRunner", HangingRunner)
+        cfg = dataclasses.replace(TINY_CFG, device_timeout_s=0.3)
+        bg = runner_mod.BackgroundRunner(cfg)
+        jobs, expected = self._jobs_and_expected()
+        bg.drain([bg.submit(jobs)])
+        assert bg.device_fallbacks >= 1
         for got, want in zip(jobs, expected):
             np.testing.assert_array_equal(got.result, want.result)
 
