@@ -26,6 +26,19 @@ def _env_choice(name: str, default: str, choices: Tuple[str, ...]) -> str:
     return value
 
 
+def _env_float(name: str, default: float, minimum: float = 0.0) -> float:
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        value = float(raw)
+    except ValueError as exc:
+        raise ValueError(f"{name}={raw!r}: expected a number") from exc
+    if value < minimum:
+        raise ValueError(f"{name}={value}: must be >= {minimum}")
+    return value
+
+
 def _env_int_choice(name: str, default: int, choices: Tuple[int, ...]) -> int:
     raw = os.environ.get(name)
     if raw is None:
@@ -195,8 +208,10 @@ class HCConfig:
     # WGS run completes (slower) instead of hanging forever.  The tunnelled
     # TPU here has been observed fully wedged for 5+ hours mid-phase.
     # Generous by design: a degraded-but-alive relay legitimately spends
-    # minutes on first program loads.  0 disables the failover.
-    device_timeout_s: float = 1200.0
+    # minutes on first program loads, and a timeout alone does not declare
+    # the wedge — a live health probe grants bounded extensions first
+    # (ops/runner.py::MAX_SLOW_EXTENSIONS).  0 disables the failover.
+    device_timeout_s: float = _env_float("GATK_HC_TPU_DEVICE_TIMEOUT", 1200.0)
 
 
 DEFAULT_CONFIG = HCConfig()
