@@ -87,4 +87,20 @@ if [ -f $MARK/bench_ok ] && [ ! -f $MARK/sweep ]; then
     | tee /tmp/sustained_sweep_r3.json
   grep -q best_gcells /tmp/sustained_sweep_r3.json && touch $MARK/sweep
 fi
+
+# optional capstone (only after everything else): whole-genome-shaped
+# config-5 run ON DEVICE — 4-contig 60 Mb, streaming, pallas engine,
+# accuracy vs planted truth + stats with peak RSS
+if [ -f $MARK/sweep ] && [ ! -f $MARK/wgs4 ] && [ -f /tmp/wgs4/wgs.sam ]; then
+  echo "== wgs4 streaming pallas e2e =="
+  timeout 5400 python -m gatk_hc_tpu.cli -I /tmp/wgs4/wgs.sam -R /tmp/wgs4/wgs.fa \
+    -O /tmp/wgs4/out_tpu.vcf --pairhmm pallas --stream-contigs --stats \
+    > /tmp/wgs4_tpu_stats.json 2>&1
+  tail -1 /tmp/wgs4_tpu_stats.json
+  if [ -s /tmp/wgs4/out_tpu.vcf ]; then
+    timeout 600 python tools/check_truth.py /tmp/wgs4/out_tpu.vcf \
+      /tmp/wgs4/wgs.truth.txt | tee /tmp/wgs4_truth_r3.json
+    grep -q sensitivity /tmp/wgs4_truth_r3.json && touch $MARK/wgs4
+  fi
+fi
 echo "backlog state: $(ls $MARK)"
