@@ -238,6 +238,10 @@ def call_batched(
             from ..ops.runner import NativePairHMMRunner
 
             runner = NativePairHMMRunner(cfg)
+        elif cfg.pairhmm_engine == "jax":
+            from ..ops.runner import JnpPairHMMRunner
+
+            runner = JnpPairHMMRunner(cfg)
         else:
             runner = PallasPairHMMRunner(cfg)
     timers = timers or StageTimers()

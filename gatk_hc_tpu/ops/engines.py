@@ -22,14 +22,25 @@ from ..models.haplotype import Haplotype
 
 
 def _to_arrays(reads: Sequence[SAMRecord], haps: Sequence[Haplotype]):
-    read_arrays = [
-        (
-            np.frombuffer(r.seq.encode(), dtype=np.uint8),
-            np.frombuffer(r.qual.encode(), dtype=np.uint8),
-        )
-        for r in reads
-    ]
-    hap_arrays = [np.frombuffer(h.bases.encode(), dtype=np.uint8) for h in haps]
+    """(bases u8, quals u8) pairs + hap u8 arrays from any of the read/hap
+    representations: SAMRecord-like objects, already-converted array
+    tuples (PairHMMJob contents), or the columnar ReadPairs container."""
+    if hasattr(reads, "flat_seq") or (len(reads) and isinstance(reads[0], tuple)):
+        read_arrays = list(reads)  # ReadPairs iterates as (seq, qual) views
+    else:
+        read_arrays = [
+            (
+                np.frombuffer(r.seq.encode(), dtype=np.uint8),
+                np.frombuffer(r.qual.encode(), dtype=np.uint8),
+            )
+            for r in reads
+        ]
+    if len(haps) and isinstance(haps[0], np.ndarray):
+        hap_arrays = list(haps)
+    else:
+        hap_arrays = [
+            np.frombuffer(h.bases.encode(), dtype=np.uint8) for h in haps
+        ]
     return read_arrays, hap_arrays
 
 

@@ -1034,6 +1034,27 @@ class PallasPairHMMRunner:
 
 
 
+class JnpPairHMMRunner:
+    """Batch runner over the pure-jnp forward kernel — what
+    ``--pairhmm jax`` means in call_batched.  Same job interface as the
+    other runners; runs anywhere JAX runs (the production device path is
+    the Pallas runner, which this deliberately does NOT alias)."""
+
+    def __init__(self, cfg: HCConfig):
+        from .pairhmm_jax import jax_pairhmm_engine
+
+        self.cfg = cfg
+        self._engine = jax_pairhmm_engine(cfg)
+
+    def run(self, jobs: Sequence[PairHMMJob]) -> None:
+        for job in jobs:
+            nr, nh = len(job.reads), len(job.haps)
+            if nr * nh == 0:
+                job.result = np.zeros((nr, nh))
+                continue
+            job.result = self._engine(job.reads, job.haps)
+
+
 class _NativeFallbackRunner:
     """Drop-in submit/drain/run shim over the C++ engine, installed when
     the device backend never comes up (BackgroundRunner build timeout).

@@ -201,3 +201,20 @@ class TestWedgeFailoverE2E:
         assert runner._wedged and runner.device_fallbacks >= 1
         assert out.read_text() == open(GOLDEN).read()
         assert sum(len(r.variants) for r in results) == 35
+
+
+def test_jnp_runner_in_call_batched_matches_native(tmp_path):
+    """--pairhmm jax in the batched pipeline runs the pure-jnp kernel (via
+    JnpPairHMMRunner), not a silent alias of the Pallas runner; output must
+    match the native engine byte-for-byte (region subset: the jnp kernel is
+    slow on CPU)."""
+    from gatk_hc_tpu.models.caller import call_batched
+
+    flt = lambda i: i < 6
+    outs = {}
+    for engine in ("native", "jax"):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, pairhmm_engine=engine)
+        out = tmp_path / f"{engine}.vcf"
+        call_batched(SAM, FASTA, str(out), cfg, region_filter=flt)
+        outs[engine] = out.read_text()
+    assert outs["native"] == outs["jax"]
