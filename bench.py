@@ -124,7 +124,12 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
     # forced planes path: the headline measures the engine's best-case
     # encoding deterministically (adaptive mode exists for degraded-phase
     # e2e robustness and would add calibration syncs mid-stream)
-    cfg = dataclasses.replace(DEFAULT_CONFIG, dispatch_mode="planes")
+    # device_timeout_s=0: the wedge failover must stay OFF in a benchmark —
+    # it would silently time the C++ fallback as device throughput; a wedged
+    # relay is handled by the subprocess watchdog instead
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, dispatch_mode="planes", device_timeout_s=0.0
+    )
     runner = PallasPairHMMRunner(cfg)
     runner.run([PairHMMJob(reads, haps)])  # compile + warm
     cells_per_round = n_jobs * len(reads) * len(haps) * READ_LEN * HAP_LEN
@@ -200,7 +205,8 @@ def bench_e2e_chrm() -> float:
     if not os.path.exists(sam):
         return float("nan")
     cfg = dataclasses.replace(
-        DEFAULT_CONFIG, pairhmm_engine="pallas", assembler_engine="native"
+        DEFAULT_CONFIG, pairhmm_engine="pallas", assembler_engine="native",
+        device_timeout_s=0.0,  # no failover inside a timed benchmark
     )
     t0 = time.perf_counter()
     call_batched(sam, fasta, "/tmp/bench_chrM.vcf", cfg)

@@ -69,7 +69,10 @@ def main():
 
     arms = {}
     for mode in ("planes", "packed", "adaptive"):
-        cfg = dataclasses.replace(DEFAULT_CONFIG, dispatch_mode=mode)
+        # failover off: a timed arm must never silently become the C++ engine
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, dispatch_mode=mode, device_timeout_s=0.0
+        )
         runner = PallasPairHMMRunner(cfg)
         if mode == "adaptive":
             # force immediate calibration for the A/B (production waits

@@ -35,7 +35,10 @@ def make_runner(arm):
     from gatk_hc_tpu.config import DEFAULT_CONFIG
     from gatk_hc_tpu.ops.runner import PallasPairHMMRunner
 
-    cfg = dataclasses.replace(DEFAULT_CONFIG, dispatch_mode=arm["mode"])
+    # failover off: a timed arm must never silently become the C++ engine
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, dispatch_mode=arm["mode"], device_timeout_s=0.0
+    )
     runner = PallasPairHMMRunner(cfg, pair_budget=arm["budget"])
     if arm.get("read_buckets"):
         runner.READ_BUCKETS = arm["read_buckets"]  # instance override
