@@ -85,7 +85,7 @@ def bench_runner_weak_scaling(counts):
     jobs_per_dev = 8
     cfg = dataclasses.replace(
         DEFAULT_CONFIG, read_pad_buckets=(32,), hap_pad_buckets=(128,),
-        stripe_height=8,
+        stripe_height=8, device_timeout_s=0.0,  # no failover in a benchmark
     )
     rows = {}
     for n_dev in counts:
