@@ -96,6 +96,18 @@ class TestQualityTables:
         got73 = Q.set_mm_prob(73, 73, Q.MATCH_TO_MATCH_F64)
         assert np.isclose(got73, 1.0 - 2 * 10**-7.3, atol=1e-9)
 
+    def test_match_to_match_vectorized_bitexact(self):
+        # the production vectorized builder must reproduce the scalar
+        # Context.h:50-61 oracle bit-for-bit in both precisions
+        ref64 = Q._match_to_match_scalar(np.float64)
+        np.testing.assert_array_equal(
+            Q.MATCH_TO_MATCH_F64.view(np.uint64), ref64.view(np.uint64)
+        )
+        ref32 = Q._match_to_match_scalar(np.float32)
+        np.testing.assert_array_equal(
+            Q.MATCH_TO_MATCH_F32.view(np.uint32), ref32.view(np.uint32)
+        )
+
     def test_constants(self):
         assert Q.INITIAL_CONSTANT_F32 == np.float32(2.0**120)
         assert Q.INITIAL_CONSTANT_F64 == 2.0**1020
