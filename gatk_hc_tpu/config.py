@@ -202,6 +202,14 @@ class HCConfig:
     # reads), not O(whole SAM) — the reference holds every read in RAM
     # (haplotypecaller.hpp:24-42).  Only affects the columnar data engine.
     stream_contigs: bool = False
+    # Streaming parse-ahead: while contig N assembles, slice-parse contig
+    # N+1's columns on one background thread, so the walk never blocks on
+    # a parse after the first contig (the native parse releases the GIL;
+    # on multi-core hosts the overlap is full, on one core the file I/O
+    # still overlaps).  Costs up to one extra contig's columns in RSS —
+    # peak becomes O(2 largest contigs) instead of O(largest); disable for
+    # the strict bound.  No effect without stream_contigs.
+    parse_ahead: bool = True
     # Device-wedge failover: if resolving/fetching a submitted PairHMM
     # batch blocks longer than this (seconds), the runner declares the
     # device path wedged and recomputes on the bit-exact C++ engine, so a

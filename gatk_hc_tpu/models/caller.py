@@ -21,7 +21,7 @@ import os
 import time
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -501,6 +501,29 @@ def call_batched(
     max_inflight = max(64, 8 * n_workers)
     current_contig = [None]
 
+    # streaming parse-ahead: one background thread slice-parses the next
+    # contig's columns while the current contig assembles, so only the
+    # first contig's parse blocks the walk (cfg.parse_ahead; bounded at
+    # one contig in flight).  Store construction is independent of the
+    # active store (own buffers, thread-local native scratch), so it is
+    # safe alongside the assembly workers.
+    contig_order = [c.name for c in contigs]
+    prefetch: Dict[str, object] = {}  # name -> Future[ColumnarReadStore]
+    prefetch_pool = (
+        ThreadPoolExecutor(1, thread_name_prefix="parse-ahead")
+        if stream and cfg.parse_ahead and len(contig_order) > 1
+        else None
+    )
+
+    def prefetch_after(name: str) -> None:
+        if prefetch_pool is None:
+            return
+        i = contig_order.index(name)
+        if i + 1 < len(contig_order):
+            nxt = contig_order[i + 1]
+            if nxt not in prefetch:
+                prefetch[nxt] = prefetch_pool.submit(layout.store_for, nxt)
+
     def switch_contig(contig):
         """Contig streaming: drain every in-flight worker touching the old
         contig's columns, free them, and slice-parse the next contig."""
@@ -509,8 +532,15 @@ def call_batched(
         while inflight:
             r, o, p, fut = inflight.popleft()
             consume(r, o, p, fut.result())
+        fut = prefetch.pop(contig.name, None)
+        for stale in list(prefetch):  # skipped contigs: free their columns
+            prefetch.pop(stale).cancel()
         with timers.stage("parse"):
-            new_store = layout.store_for(contig.name)
+            # the stage timer charges only the blocking wait; a prefetch
+            # that finished during assembly costs ~0 here
+            new_store = fut.result() if fut is not None else layout.store_for(
+                contig.name
+            )
         counters.reads_parsed += new_store.n_bucketed
         data["store"] = new_store
         data["fused"] = (
@@ -519,6 +549,7 @@ def call_batched(
             else None
         )
         current_contig[0] = contig.name
+        prefetch_after(contig.name)
 
     try:
         for index, contig, origin, padded in all_windows():
@@ -549,6 +580,9 @@ def call_batched(
     finally:
         if pool is not None:
             pool.shutdown(wait=True)
+        if prefetch_pool is not None:
+            prefetch_pool.shutdown(wait=True)
+        prefetch.clear()
     if stream:
         # all jobs hold copies of their read data; the last contig's
         # columns are dead weight during pairhmm drain + genotyping

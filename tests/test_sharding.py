@@ -228,3 +228,34 @@ class TestContigStreaming:
         out = tmp_path / "stream_pool.vcf"
         call_batched(SAM, FASTA, str(out), cfg)
         assert out.read_text() == (FIXTURES / "chrM.golden.vcf").read_text()
+
+    def test_parse_ahead_matches_and_prefetches(self, tmp_path, monkeypatch):
+        """Streaming parse-ahead (default on) must not change output, and
+        on a multi-contig input every contig after the first must come from
+        the background prefetch, not a blocking parse."""
+        from gatk_hc_tpu.io.columnar import SamLayout
+
+        rng = random.Random(13)
+        sam, fasta, _ = write_two_contig_fixture(tmp_path, rng)
+        parsed_names = []
+        orig = SamLayout.store_for
+
+        def spy(self, *names):
+            parsed_names.append(names)
+            return orig(self, *names)
+
+        monkeypatch.setattr(SamLayout, "store_for", spy)
+        rows = {}
+        for tag, ahead in (("ahead", True), ("sync", False)):
+            parsed_names.clear()
+            res = call_batched(
+                sam, fasta, None,
+                dataclasses.replace(
+                    CFG, stream_contigs=True, parse_ahead=ahead
+                ),
+            )
+            rows[tag] = [v.to_vcf_row() for r in res for v in r.variants]
+            # both modes parse each contig exactly once
+            assert sorted(parsed_names) == [("ctgA",), ("ctgB",)]
+        assert rows["ahead"] == rows["sync"]
+        assert rows["ahead"], "no variants called"
