@@ -236,7 +236,15 @@ class ColumnarReadStore:
         contig_sizes: Dict[str, int],
         start_ranges: Optional[Dict[str, Tuple[int, int]]] = None,
         layout: Optional[SamLayout] = None,
+        threads: int = 1,
     ):
+        """``threads`` > 1 parses the keep-everything path with
+        hc_sam_parse_mt (newline-aligned byte blocks, exact per-block
+        counting, parallel fill) — byte-identical output for any thread
+        count (tests/test_columnar.py), same malformed-line error
+        contract.  0 = one thread per CPU.  Ranged/slice parses stay
+        single-threaded (they are per-contig and already overlap assembly
+        via parse-ahead)."""
         from .. import native
 
         lib = native._load()
@@ -305,7 +313,13 @@ class ColumnarReadStore:
             c(self.qual, ctypes.c_uint8),
         )
         if not ranged:
-            parsed = lib.hc_sam_parse(*common, *outs)
+            n_threads = threads if threads > 0 else (os.cpu_count() or 1)
+            if n_threads > 1:
+                parsed = lib.hc_sam_parse_mt(
+                    *common, ctypes.c_int32(n_threads), *outs
+                )
+            else:
+                parsed = lib.hc_sam_parse(*common, *outs)
         else:
             parsed = lib.hc_sam_parse_ranges(
                 *common, c(keep_lo, i64), c(keep_hi, i64), *outs

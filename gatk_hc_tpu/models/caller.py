@@ -269,7 +269,8 @@ def call_batched(
                 layout = SamLayout(sam_path, contig_sizes, start_ranges)
             else:
                 store = ColumnarReadStore(
-                    sam_path, contig_sizes, start_ranges=start_ranges
+                    sam_path, contig_sizes, start_ranges=start_ranges,
+                    threads=cfg.host_threads,
                 )
                 counters.reads_parsed = store.n_bucketed
         else:

@@ -146,6 +146,15 @@ def _configure(lib: ctypes.CDLL) -> None:
         i64p, u8p, i32p,  # cigar offsets/ops/lens
         i64p, u8p, u8p,  # seq offsets, seq, qual
     ]
+    lib.hc_sam_parse_mt.restype = ctypes.c_int64
+    lib.hc_sam_parse_mt.argtypes = [
+        u8p, ctypes.c_int64,  # SAM text
+        u8p, i64p, ctypes.c_int32,  # contig names blob/offsets/count
+        ctypes.c_int32,  # worker threads
+        i32p, i32p, i32p, u8p, i32p,  # pos, flag, mapq, rnext_eq, rname_id
+        i64p, u8p, i32p,  # cigar offsets/ops/lens
+        i64p, u8p, u8p,  # seq offsets, seq, qual
+    ]
     lib.hc_sam_scan_ranges.restype = None
     lib.hc_sam_scan_ranges.argtypes = [
         u8p, ctypes.c_int64,  # SAM text

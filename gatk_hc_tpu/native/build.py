@@ -25,6 +25,7 @@ CXXFLAGS = [
     "-shared",
     "-ffp-contract=off",
     "-fno-math-errno",
+    "-pthread",  # hc_sam_parse_mt block workers
     "-Wall",
 ]
 

@@ -20,6 +20,7 @@
 #include <algorithm>
 #include <atomic>
 #include <chrono>
+#include <thread>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -1314,19 +1315,24 @@ static inline int32_t match_contig(const uint8_t* p, int64_t len,
 // keep_hi[c] are materialized; records matching no contig are dropped
 // (the shard-restricted store only exists to hold usable reads).  The
 // unfiltered entry point keeps unmatched records with rname_id = -1.
+// r0/ops0/seq0/line0 seed the output cursors so byte-block workers of the
+// multi-threaded parse write disjoint absolute ranges of the shared arrays
+// (the single-thread entry points pass zeros).  The caller initializes
+// cig_off[0]/seq_off[0].  Returns the absolute record count after this
+// slice, or -(absolute line number) on a malformed line.
 static int64_t sam_parse_impl(const uint8_t* buf, int64_t n,
                               const uint8_t* contig_blob,
                               const int64_t* contig_offs, int32_t n_contigs,
                               const int64_t* keep_lo, const int64_t* keep_hi,
+                              int64_t r0, int64_t ops0, int64_t seq0,
+                              int64_t line0,
                               int32_t* pos, int32_t* flag, int32_t* mapq,
                               uint8_t* rnext_eq, int32_t* rname_id,
                               int64_t* cig_off, uint8_t* cig_op,
                               int32_t* cig_len, int64_t* seq_off, uint8_t* seq,
                               uint8_t* qual) {
-  int64_t r = 0, line_no = 0;
-  int64_t ops_cursor = 0, seq_cursor = 0;
-  cig_off[0] = 0;
-  seq_off[0] = 0;
+  int64_t r = r0, line_no = line0;
+  int64_t ops_cursor = ops0, seq_cursor = seq0;
   int64_t i = 0;
   while (i < n) {
     ++line_no;
@@ -1399,9 +1405,12 @@ int64_t hc_sam_parse(const uint8_t* buf, int64_t n, const uint8_t* contig_blob,
                      uint8_t* rnext_eq, int32_t* rname_id, int64_t* cig_off,
                      uint8_t* cig_op, int32_t* cig_len, int64_t* seq_off,
                      uint8_t* seq, uint8_t* qual) {
+  cig_off[0] = 0;
+  seq_off[0] = 0;
   return sam_parse_impl(buf, n, contig_blob, contig_offs, n_contigs, nullptr,
-                        nullptr, pos, flag, mapq, rnext_eq, rname_id, cig_off,
-                        cig_op, cig_len, seq_off, seq, qual);
+                        nullptr, 0, 0, 0, 0, pos, flag, mapq, rnext_eq,
+                        rname_id, cig_off, cig_op, cig_len, seq_off, seq,
+                        qual);
 }
 
 // Shard-restricted parse: only records inside the per-contig start ranges
@@ -1418,9 +1427,120 @@ int64_t hc_sam_parse_ranges(const uint8_t* buf, int64_t n,
                             int64_t* cig_off, uint8_t* cig_op,
                             int32_t* cig_len, int64_t* seq_off, uint8_t* seq,
                             uint8_t* qual) {
+  cig_off[0] = 0;
+  seq_off[0] = 0;
   return sam_parse_impl(buf, n, contig_blob, contig_offs, n_contigs, keep_lo,
-                        keep_hi, pos, flag, mapq, rnext_eq, rname_id, cig_off,
-                        cig_op, cig_len, seq_off, seq, qual);
+                        keep_hi, 0, 0, 0, 0, pos, flag, mapq, rnext_eq,
+                        rname_id, cig_off, cig_op, cig_len, seq_off, seq,
+                        qual);
+}
+
+// Exact per-block sizing for the multi-threaded parse: unlike hc_sam_scan's
+// allocation upper bounds, these counts must equal what sam_parse_impl
+// writes for a VALID block ("*" cigars contribute zero ops; only >=11-field
+// lines are records).  A block containing a malformed line may count it as
+// a record here — pass 2 then fails the whole parse, so the counts are
+// never consumed.
+static void sam_count_block(const uint8_t* buf, int64_t lo, int64_t hi,
+                            int64_t* out_recs, int64_t* out_ops,
+                            int64_t* out_bytes, int64_t* out_lines) {
+  int64_t recs = 0, ops = 0, bytes = 0, lines = 0;
+  int64_t i = lo;
+  while (i < hi) {
+    ++lines;
+    const int64_t eol = find_nl(buf + i, buf + hi) - buf;
+    if (eol > i && buf[i] != '@') {
+      const uint8_t* f_ptr[11];
+      int64_t f_len[11];
+      const int field = split_line_fields(buf + i, buf + eol, f_ptr, f_len);
+      if (field >= 11) {
+        ++recs;
+        if (!(f_len[5] == 1 && f_ptr[5][0] == '*'))
+          for (int64_t k = 0; k < f_len[5]; ++k)
+            if (!(f_ptr[5][k] >= '0' && f_ptr[5][k] <= '9')) ++ops;
+        bytes += f_len[9];
+      }
+    }
+    i = eol + 1;
+  }
+  *out_recs = recs;
+  *out_ops = ops;
+  *out_bytes = bytes;
+  *out_lines = lines;
+}
+
+// Multi-threaded keep-everything parse: newline-aligned byte blocks, an
+// exact counting pass, prefix-summed output cursors, then a parallel fill
+// of the shared columnar arrays (disjoint ranges per block).  Outputs are
+// byte-identical to hc_sam_parse for any thread count; a malformed line
+// reports the same (earliest) absolute line number.  The reference's data
+// layer is a serial stream (sam.hpp:100-114) — this is the multi-core
+// replacement for the serial-parse Amdahl term when host assembly already
+// pools across cores.
+int64_t hc_sam_parse_mt(const uint8_t* buf, int64_t n,
+                        const uint8_t* contig_blob, const int64_t* contig_offs,
+                        int32_t n_contigs, int32_t n_threads,
+                        int32_t* pos, int32_t* flag, int32_t* mapq,
+                        uint8_t* rnext_eq, int32_t* rname_id,
+                        int64_t* cig_off, uint8_t* cig_op, int32_t* cig_len,
+                        int64_t* seq_off, uint8_t* seq, uint8_t* qual) {
+  int T = std::max(1, std::min(n_threads, 64));
+  if (static_cast<int64_t>(T) > n / (1 << 20)) {  // >=1 MB of text per block
+    T = std::max<int>(1, static_cast<int>(n / (1 << 20)));
+  }
+  if (T == 1) {
+    return hc_sam_parse(buf, n, contig_blob, contig_offs, n_contigs, pos,
+                        flag, mapq, rnext_eq, rname_id, cig_off, cig_op,
+                        cig_len, seq_off, seq, qual);
+  }
+  std::vector<int64_t> starts(T + 1);
+  starts[0] = 0;
+  starts[T] = n;
+  for (int b = 1; b < T; ++b) {
+    int64_t s = std::max(starts[b - 1], b * (n / T));
+    const void* nl =
+        s < n ? std::memchr(buf + s, '\n', static_cast<size_t>(n - s))
+              : nullptr;
+    starts[b] =
+        nl ? (static_cast<const uint8_t*>(nl) - buf) + 1 : n;
+  }
+  std::vector<int64_t> recs(T), ops(T), bytes(T), lines(T);
+  {
+    std::vector<std::thread> th;
+    th.reserve(T);
+    for (int b = 0; b < T; ++b)
+      th.emplace_back([&, b] {
+        sam_count_block(buf, starts[b], starts[b + 1], &recs[b], &ops[b],
+                        &bytes[b], &lines[b]);
+      });
+    for (auto& t : th) t.join();
+  }
+  std::vector<int64_t> r0(T + 1, 0), o0(T + 1, 0), s0(T + 1, 0), l0(T + 1, 0);
+  for (int b = 0; b < T; ++b) {
+    r0[b + 1] = r0[b] + recs[b];
+    o0[b + 1] = o0[b] + ops[b];
+    s0[b + 1] = s0[b] + bytes[b];
+    l0[b + 1] = l0[b] + lines[b];
+  }
+  cig_off[0] = 0;
+  seq_off[0] = 0;
+  std::vector<int64_t> ret(T);
+  {
+    std::vector<std::thread> th;
+    th.reserve(T);
+    for (int b = 0; b < T; ++b)
+      th.emplace_back([&, b] {
+        ret[b] = sam_parse_impl(
+            buf + starts[b], starts[b + 1] - starts[b], contig_blob,
+            contig_offs, n_contigs, nullptr, nullptr, r0[b], o0[b], s0[b],
+            l0[b], pos, flag, mapq, rnext_eq, rname_id, cig_off, cig_op,
+            cig_len, seq_off, seq, qual);
+      });
+    for (auto& t : th) t.join();
+  }
+  for (int b = 0; b < T; ++b)  // earliest malformed line wins, like serial
+    if (ret[b] < 0) return ret[b];
+  return r0[T];
 }
 
 // Pass 1 (shard-restricted): per-contig allocation counts AND the byte range

@@ -274,3 +274,72 @@ class TestWindowReads:
         assert wr.select(np.arange(len(wr))) is wr
         empty = wr.select(np.array([], dtype=np.int64))
         assert len(empty) == 0
+
+
+class TestMultiThreadedParse:
+    """hc_sam_parse_mt must be byte-identical to the serial parse for any
+    thread count, including the malformed-line error contract (the earliest
+    absolute line number, like the serial scan)."""
+
+    COLUMNS = (
+        "pos", "flag", "mapq", "rnext_eq", "rname_id",
+        "cig_off", "cig_op", "cig_len", "seq_off", "seq", "qual",
+    )
+
+    def _sizes(self):
+        fa = os.path.join(FIXTURES, "chrM.fa")
+        return {c.name: len(c.seq) for c in read_all_fasta(fa)}
+
+    def _big_sam(self, tmp_path, repeats=8):
+        """chrM.sam with its record lines replicated: >8 MB, so the MT
+        entry point actually splits into blocks (it falls back to the
+        serial parse below ~1 MB per thread)."""
+        raw = open(os.path.join(FIXTURES, "chrM.sam"), "rb").read()
+        lines = raw.split(b"\n")
+        header = [l for l in lines if l.startswith(b"@")]
+        body = [l for l in lines if l and not l.startswith(b"@")]
+        big = tmp_path / "big.sam"
+        big.write_bytes(b"\n".join(header + body * repeats) + b"\n")
+        return str(big)
+
+    @pytest.mark.parametrize("threads", [2, 3, 8])
+    def test_identical_columns(self, threads, tmp_path):
+        import numpy as np
+
+        from gatk_hc_tpu.io.columnar import ColumnarReadStore
+
+        sam = self._big_sam(tmp_path)
+        sizes = self._sizes()
+        serial = ColumnarReadStore(sam, sizes, threads=1)
+        mt = ColumnarReadStore(sam, sizes, threads=threads)
+        assert mt.n_reads == serial.n_reads
+        for col in self.COLUMNS:
+            np.testing.assert_array_equal(
+                getattr(mt, col), getattr(serial, col), err_msg=col
+            )
+
+    def test_malformed_line_number_parity(self, tmp_path):
+        from gatk_hc_tpu.io.columnar import ColumnarReadStore
+
+        sam = self._big_sam(tmp_path)
+        lines = open(sam, "rb").read().split(b"\n")
+        bad_index = (3 * len(lines)) // 4  # inside a later MT block
+        lines[bad_index] = b"broken\tline"
+        bad = tmp_path / "bad.sam"
+        bad.write_bytes(b"\n".join(lines))
+        sizes = self._sizes()
+        messages = []
+        for threads in (1, 4):
+            with pytest.raises(ValueError) as err:
+                ColumnarReadStore(str(bad), sizes, threads=threads)
+            messages.append(str(err.value))
+        assert messages[0] == messages[1]
+        assert f"line {bad_index + 1}" in messages[0]
+
+    def test_empty_and_header_only(self, tmp_path):
+        from gatk_hc_tpu.io.columnar import ColumnarReadStore
+
+        p = tmp_path / "hdr.sam"
+        p.write_text("@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16571\n")
+        store = ColumnarReadStore(str(p), self._sizes(), threads=4)
+        assert store.n_reads == 0
