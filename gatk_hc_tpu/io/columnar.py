@@ -178,7 +178,11 @@ class SamLayout:
         sam_path: str,
         contig_sizes: Dict[str, int],
         start_ranges: Optional[Dict[str, Tuple[int, int]]] = None,
+        threads: int = 1,
     ):
+        """``threads`` > 1 runs the scan over newline-aligned byte blocks
+        in parallel (hc_sam_scan_ranges_mt) — identical rows for any
+        thread count; 0 = one thread per CPU."""
         from .. import native
 
         lib = native._load()
@@ -189,12 +193,18 @@ class SamLayout:
         rows = np.zeros((max(len(names), 1), 5), np.int64)
         c = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
         i64 = ctypes.c_int64
-        lib.hc_sam_scan_ranges(
+        n_threads = threads if threads > 0 else (os.cpu_count() or 1)
+        common = (
             c(buf, ctypes.c_uint8), i64(len(buf)),
             c(blob, ctypes.c_uint8), c(offs, i64), ctypes.c_int32(len(names)),
             c(lo, i64), c(hi, i64),
-            c(rows, i64),
         )
+        if n_threads > 1:
+            lib.hc_sam_scan_ranges_mt(
+                *common, ctypes.c_int32(n_threads), c(rows, i64)
+            )
+        else:
+            lib.hc_sam_scan_ranges(*common, c(rows, i64))
         self.sam_path = sam_path
         self.contig_sizes = dict(contig_sizes)
         self.names = names

@@ -266,7 +266,10 @@ def call_batched(
             if stream:
                 # one cheap ranged scan; per-contig slice parses happen
                 # lazily as the walk reaches each contig
-                layout = SamLayout(sam_path, contig_sizes, start_ranges)
+                layout = SamLayout(
+                    sam_path, contig_sizes, start_ranges,
+                    threads=cfg.host_threads,
+                )
             else:
                 store = ColumnarReadStore(
                     sam_path, contig_sizes, start_ranges=start_ranges,

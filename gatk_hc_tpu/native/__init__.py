@@ -162,6 +162,10 @@ def _configure(lib: ctypes.CDLL) -> None:
         i64p, i64p,  # keep_lo/keep_hi per contig
         i64p,  # out (n_contigs x 5) rows
     ]
+    lib.hc_sam_scan_ranges_mt.restype = None
+    lib.hc_sam_scan_ranges_mt.argtypes = list(
+        lib.hc_sam_scan_ranges.argtypes[:-1]
+    ) + [ctypes.c_int32, i64p]  # worker threads, out rows
     lib.hc_sam_parse_ranges.restype = ctypes.c_int64
     lib.hc_sam_parse_ranges.argtypes = [
         u8p, ctypes.c_int64,  # SAM text (slice)

@@ -1551,16 +1551,18 @@ int64_t hc_sam_parse_mt(const uint8_t* buf, int64_t n,
 // whose RNAME matches no contig are not counted (unlike hc_sam_scan, which
 // sizes the keep-everything store).  Lines that fail numeric POS validation
 // are skipped here; pass 2 reports them if they fall inside a parsed slice.
-void hc_sam_scan_ranges(const uint8_t* buf, int64_t n,
-                        const uint8_t* contig_blob, const int64_t* contig_offs,
-                        int32_t n_contigs, const int64_t* keep_lo,
-                        const int64_t* keep_hi, int64_t* out) {
+static void sam_scan_ranges_block(const uint8_t* buf, int64_t lo, int64_t hi,
+                                  const uint8_t* contig_blob,
+                                  const int64_t* contig_offs,
+                                  int32_t n_contigs, const int64_t* keep_lo,
+                                  const int64_t* keep_hi, int64_t* out) {
   for (int32_t c = 0; c < n_contigs; ++c) {
     int64_t* row = out + c * 5;
     row[0] = row[1] = row[2] = 0;
     row[3] = row[4] = -1;
   }
-  int64_t i = 0;
+  int64_t i = lo;
+  const int64_t n = hi;
   while (i < n) {
     const int64_t eol = find_nl(buf + i, buf + n) - buf;
     if (eol > i && buf[i] != '@') {
@@ -1586,6 +1588,70 @@ void hc_sam_scan_ranges(const uint8_t* buf, int64_t n,
       }
     }
     i = eol + 1;
+  }
+}
+
+void hc_sam_scan_ranges(const uint8_t* buf, int64_t n,
+                        const uint8_t* contig_blob, const int64_t* contig_offs,
+                        int32_t n_contigs, const int64_t* keep_lo,
+                        const int64_t* keep_hi, int64_t* out) {
+  sam_scan_ranges_block(buf, 0, n, contig_blob, contig_offs, n_contigs,
+                        keep_lo, keep_hi, out);
+}
+
+// Multi-threaded ranged scan: newline-aligned byte blocks scanned in
+// parallel, per-block (n_contigs x 5) rows merged (counts add; byte_lo is
+// the min, byte_hi the max — block offsets are absolute, so the merge is
+// order-free).  Identical output to hc_sam_scan_ranges for any thread
+// count.  This is the one whole-file pass left on the streaming startup
+// path once parse-ahead hides the per-contig parses.
+void hc_sam_scan_ranges_mt(const uint8_t* buf, int64_t n,
+                           const uint8_t* contig_blob,
+                           const int64_t* contig_offs, int32_t n_contigs,
+                           const int64_t* keep_lo, const int64_t* keep_hi,
+                           int32_t n_threads, int64_t* out) {
+  int T = std::max(1, std::min(n_threads, 64));
+  if (static_cast<int64_t>(T) > n / (1 << 20)) {
+    T = std::max<int>(1, static_cast<int>(n / (1 << 20)));
+  }
+  if (T == 1) {
+    hc_sam_scan_ranges(buf, n, contig_blob, contig_offs, n_contigs, keep_lo,
+                       keep_hi, out);
+    return;
+  }
+  std::vector<int64_t> starts(T + 1);
+  starts[0] = 0;
+  starts[T] = n;
+  for (int b = 1; b < T; ++b) {
+    int64_t s = std::max(starts[b - 1], b * (n / T));
+    const void* nl =
+        s < n ? std::memchr(buf + s, '\n', static_cast<size_t>(n - s))
+              : nullptr;
+    starts[b] = nl ? (static_cast<const uint8_t*>(nl) - buf) + 1 : n;
+  }
+  std::vector<int64_t> rows(static_cast<size_t>(T) * n_contigs * 5);
+  std::vector<std::thread> th;
+  th.reserve(T);
+  for (int b = 0; b < T; ++b)
+    th.emplace_back([&, b] {
+      sam_scan_ranges_block(buf, starts[b], starts[b + 1], contig_blob,
+                            contig_offs, n_contigs, keep_lo, keep_hi,
+                            rows.data() + static_cast<size_t>(b) * n_contigs * 5);
+    });
+  for (auto& t : th) t.join();
+  for (int32_t c = 0; c < n_contigs; ++c) {
+    int64_t* row = out + c * 5;
+    row[0] = row[1] = row[2] = 0;
+    row[3] = row[4] = -1;
+    for (int b = 0; b < T; ++b) {
+      const int64_t* br = rows.data() + (static_cast<size_t>(b) * n_contigs + c) * 5;
+      row[0] += br[0];
+      row[1] += br[1];
+      row[2] += br[2];
+      if (br[3] >= 0 && (row[3] < 0 || br[3] < row[3])) row[3] = br[3];
+      if (br[4] >= 0 && br[4] > row[4]) row[4] = br[4];
+    }
+    if (row[3] < 0) row[4] = -1;  // nothing matched: keep the (-1, -1) pair
   }
 }
 

@@ -343,3 +343,21 @@ class TestMultiThreadedParse:
         p.write_text("@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16571\n")
         store = ColumnarReadStore(str(p), self._sizes(), threads=4)
         assert store.n_reads == 0
+
+    @pytest.mark.parametrize("threads", [2, 5])
+    def test_scan_ranges_mt_identical(self, threads, tmp_path):
+        import numpy as np
+
+        from gatk_hc_tpu.io.columnar import SamLayout
+
+        sam = self._big_sam(tmp_path)
+        sizes = self._sizes()
+        serial = SamLayout(sam, sizes)
+        mt = SamLayout(sam, sizes, threads=threads)
+        np.testing.assert_array_equal(serial.rows, mt.rows)
+        # shard-restricted ranges merge identically too
+        name = next(iter(sizes))
+        ranges = {name: (2000, 9000)}
+        s2 = SamLayout(sam, sizes, start_ranges=ranges)
+        m2 = SamLayout(sam, sizes, start_ranges=ranges, threads=threads)
+        np.testing.assert_array_equal(s2.rows, m2.rows)
