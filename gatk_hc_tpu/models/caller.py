@@ -452,9 +452,7 @@ def call_batched(
                 token, entries = submitted_batches.pop(0)
                 with timers.stage("pairhmm"):
                     runner.drain([token])
-                with timers.stage("genotype"):
-                    genotype_entries(entries)
-                entries.clear()
+                genotype_chunk(entries)
 
     def genotype_entries(entries):
         # Both engines genotype a whole drained chunk as ONE cross-region
@@ -501,6 +499,35 @@ def call_batched(
 
     n_workers = cfg.host_threads if cfg.host_threads > 0 else (os.cpu_count() or 1)
     pool = ThreadPoolExecutor(n_workers) if n_workers > 1 else None
+
+    # chunk genotyping overlaps assembly on multi-core hosts: one worker
+    # keeps manifest appends and counter updates serialized (and chunk
+    # order deterministic); bounded pending futures give backpressure so
+    # drained-but-ungenotyped chunks cannot pile up in memory.  Single-core
+    # (pool is None) genotypes inline exactly as before.
+    genotype_pool = (
+        ThreadPoolExecutor(1, thread_name_prefix="genotype")
+        if pool is not None and can_overlap
+        else None
+    )
+    genotype_futs: deque = deque()
+
+    def genotype_chunk(entries):
+        if genotype_pool is None:
+            with timers.stage("genotype"):
+                genotype_entries(entries)
+            entries.clear()
+            return
+
+        def work():
+            t0 = time.perf_counter()
+            genotype_entries(entries)
+            timers.add("genotype", time.perf_counter() - t0)
+            entries.clear()
+
+        genotype_futs.append(genotype_pool.submit(work))
+        while len(genotype_futs) > 2:
+            genotype_futs.popleft().result()
     inflight = deque()  # (result, origin, padded, future) in region order
     max_inflight = max(64, 8 * n_workers)
     current_contig = [None]
@@ -596,26 +623,31 @@ def call_batched(
     # the walk (most were already handled mid-walk by consume's bounded
     # in-flight loop); host genotyping of chunk k overlaps device compute
     # of the still-queued later chunks
-    if can_overlap:
-        if unsubmitted:
+    try:
+        if can_overlap:
+            if unsubmitted:
+                with timers.stage("pairhmm"):
+                    submitted_batches.append(
+                        (runner.submit([e[4] for e in unsubmitted]), unsubmitted)
+                    )
+            while submitted_batches:
+                token, entries = submitted_batches.pop(0)
+                with timers.stage("pairhmm"):
+                    runner.drain([token])
+                # frees the chunk's read/hap/likelihood arrays after
+                # genotyping — only the RegionResult variants are needed
+                # past this point
+                genotype_chunk(entries)
+            while genotype_futs:
+                genotype_futs.popleft().result()
+        else:
             with timers.stage("pairhmm"):
-                submitted_batches.append(
-                    (runner.submit([e[4] for e in unsubmitted]), unsubmitted)
-                )
-        while submitted_batches:
-            token, entries = submitted_batches.pop(0)
-            with timers.stage("pairhmm"):
-                runner.drain([token])
+                runner.run([e[4] for e in unsubmitted])
             with timers.stage("genotype"):
-                genotype_entries(entries)
-            # free this chunk's read/hap/likelihood arrays — only the
-            # RegionResult variants are needed past this point
-            entries.clear()
-    else:
-        with timers.stage("pairhmm"):
-            runner.run([e[4] for e in unsubmitted])
-        with timers.stage("genotype"):
-            genotype_entries(pending)
+                genotype_entries(pending)
+    finally:
+        if genotype_pool is not None:
+            genotype_pool.shutdown(wait=True)
 
     with timers.stage("io"):
         if out_path is not None:

@@ -182,6 +182,35 @@ class TestManifest:
         m2.write_vcf(str(out), "#header\n")
         assert out.read_text() == "#header\n" + v.to_vcf_row()
 
+    def test_manifest_with_genotype_worker_threads(self, tmp_path):
+        """With host_threads>1, chunk genotyping (and so manifest.record)
+        runs on the genotype worker thread — the manifest must still record
+        every region and the VCF stay byte-identical to golden."""
+        import dataclasses
+        import os
+
+        from gatk_hc_tpu.config import DEFAULT_CONFIG
+        from gatk_hc_tpu.models.caller import call_batched
+
+        fixtures = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "fixtures"
+        )
+        sam = os.path.join(fixtures, "chrM.sam")
+        fa = os.path.join(fixtures, "chrM.fa")
+        golden = os.path.join(fixtures, "chrM.golden.vcf")
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, pairhmm_engine="native", host_threads=4
+        )
+        mpath = str(tmp_path / "m.jsonl")
+        out = tmp_path / "o.vcf"
+        call_batched(sam, fa, str(out), cfg, manifest=RegionManifest(mpath))
+        assert out.read_text() == open(golden).read()
+        # resume from the manifest alone reproduces the same calls
+        m2 = RegionManifest(mpath)
+        out2 = tmp_path / "o2.vcf"
+        call_batched(sam, fa, str(out2), cfg, manifest=m2)
+        assert out2.read_text() == open(golden).read()
+
 
 class TestAOTCache:
     def test_roundtrip_matches_jit(self, tmp_path, monkeypatch):
