@@ -1,0 +1,140 @@
+"""Open-ended e2e differential fuzzer over fresh simulated genomes.
+
+Each iteration generates a seeded random fixture (make_fixture's simulator:
+planted SNP/ins/del mix, base errors, soft clips) and requires THREE stacks
+to produce the byte-identical VCF:
+
+  python  — per-record data pipeline, Python assembler + SW, per-site
+            genotyper (``call``): the semantic reference
+  native  — columnar C++ parse, fused window prep/assembly/SW, batched
+            genotyper (``call_batched``): production
+  native+threads — same, with host_threads=4: the worker pool, the
+            multi-threaded parse, and the genotype worker (order effects)
+
+PairHMM is the C++ engine everywhere (oracle-tested separately) so the
+axes under fuzz are data/assembler/SW/genotyper/threading.  A divergence
+writes the three VCFs plus the fixture to --keep-dir and stops.
+
+Usage: python tools/fuzz_differential.py --start 1000 --count 50
+       python tools/fuzz_differential.py --minutes 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from make_fixture import make_reference, plant_variants, simulate_reads
+
+from gatk_hc_tpu.config import DEFAULT_CONFIG
+from gatk_hc_tpu.io.fasta import FastaRecord, write_fasta
+from gatk_hc_tpu.models.caller import call, call_batched
+
+
+def write_fixture(dirpath, seed, length, depth):
+    rng = random.Random(seed)
+    ref = make_reference(rng, length)
+    alt, _truth, anchors = plant_variants(rng, ref)
+    sam_lines = simulate_reads(rng, "fuzz", ref, alt, depth=depth, anchors=anchors)
+    fa = os.path.join(dirpath, f"fuzz{seed}.fa")
+    write_fasta(fa, [FastaRecord("fuzz", "fuzz fixture", ref)])
+    sam = os.path.join(dirpath, f"fuzz{seed}.sam")
+    with open(sam, "w") as handle:
+        handle.write("@HD\tVN:1.6\tSO:coordinate\n")
+        handle.write(f"@SQ\tSN:fuzz\tLN:{len(ref)}\n")
+        for line in sam_lines:
+            handle.write(line + "\n")
+    return sam, fa
+
+
+def run_seed(seed: int, keep_dir: str) -> dict:
+    rng = random.Random(seed ^ 0x5EED)
+    length = rng.choice((6_000, 12_000, 20_000))
+    depth = rng.choice((8, 18, 30))
+    mode = rng.choice(("first", "seeded"))
+    tmp = tempfile.mkdtemp(prefix=f"fuzzdiff{seed}_")
+    try:
+        sam, fa = write_fixture(tmp, seed, length, depth)
+        arms = {}
+        python_cfg = dataclasses.replace(
+            DEFAULT_CONFIG, pairhmm_engine="native",
+            assembler_engine="python", sw_engine="python",
+            data_engine="python", downsample_mode=mode,
+        )
+        out = os.path.join(tmp, "python.vcf")
+        call(sam, fa, out, python_cfg)
+        arms["python"] = open(out, "rb").read()
+
+        native_cfg = dataclasses.replace(
+            DEFAULT_CONFIG, pairhmm_engine="native",
+            assembler_engine="native", sw_engine="native",
+            data_engine="native", downsample_mode=mode,
+        )
+        out = os.path.join(tmp, "native.vcf")
+        call_batched(sam, fa, out, native_cfg)
+        arms["native"] = open(out, "rb").read()
+
+        mt_cfg = dataclasses.replace(native_cfg, host_threads=4)
+        out = os.path.join(tmp, "native_mt.vcf")
+        call_batched(sam, fa, out, mt_cfg)
+        arms["native_mt"] = open(out, "rb").read()
+
+        n_variants = sum(
+            1 for l in arms["python"].splitlines() if not l.startswith(b"#")
+        )
+        ok = arms["python"] == arms["native"] == arms["native_mt"]
+        if not ok:
+            os.makedirs(keep_dir, exist_ok=True)
+            dest = os.path.join(keep_dir, f"seed{seed}")
+            shutil.copytree(tmp, dest, dirs_exist_ok=True)
+        return {
+            "seed": seed, "length": length, "depth": depth, "mode": mode,
+            "variants": n_variants, "ok": ok,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--start", type=int, default=1000)
+    ap.add_argument("--count", type=int, default=0, help="0 = unbounded")
+    ap.add_argument("--minutes", type=float, default=0.0, help="0 = unbounded")
+    ap.add_argument("--keep-dir", default="/tmp/fuzz_differential_failures")
+    args = ap.parse_args()
+
+    deadline = time.time() + args.minutes * 60 if args.minutes else None
+    seed = args.start
+    done = 0
+    total_variants = 0
+    while True:
+        if args.count and done >= args.count:
+            break
+        if deadline and time.time() > deadline:
+            break
+        r = run_seed(seed, args.keep_dir)
+        total_variants += r["variants"]
+        print(json.dumps(r), flush=True)
+        if not r["ok"]:
+            print(json.dumps({"FAILED_SEED": seed, "kept": args.keep_dir}))
+            sys.exit(1)
+        seed += 1
+        done += 1
+    print(json.dumps({
+        "fuzz_ok": True, "seeds": done, "first": args.start,
+        "total_variants": total_variants,
+    }))
+
+
+if __name__ == "__main__":
+    main()
