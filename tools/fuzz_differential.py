@@ -41,19 +41,27 @@ from gatk_hc_tpu.io.fasta import FastaRecord, write_fasta
 from gatk_hc_tpu.models.caller import call, call_batched
 
 
-def write_fixture(dirpath, seed, length, depth):
+def write_fixture(dirpath, seed, length, depth, n_contigs=1):
     rng = random.Random(seed)
-    ref = make_reference(rng, length)
-    alt, _truth, anchors = plant_variants(rng, ref)
-    sam_lines = simulate_reads(rng, "fuzz", ref, alt, depth=depth, anchors=anchors)
+    records, all_lines = [], []
+    for c in range(n_contigs):
+        name = f"fuzz{c}"
+        ref = make_reference(rng, length)
+        alt, _truth, anchors = plant_variants(rng, ref)
+        records.append(FastaRecord(name, "fuzz fixture", ref))
+        all_lines.append(
+            simulate_reads(rng, name, ref, alt, depth=depth, anchors=anchors)
+        )
     fa = os.path.join(dirpath, f"fuzz{seed}.fa")
-    write_fasta(fa, [FastaRecord("fuzz", "fuzz fixture", ref)])
+    write_fasta(fa, records)
     sam = os.path.join(dirpath, f"fuzz{seed}.sam")
     with open(sam, "w") as handle:
         handle.write("@HD\tVN:1.6\tSO:coordinate\n")
-        handle.write(f"@SQ\tSN:fuzz\tLN:{len(ref)}\n")
-        for line in sam_lines:
-            handle.write(line + "\n")
+        for rec in records:
+            handle.write(f"@SQ\tSN:{rec.name}\tLN:{len(rec.seq)}\n")
+        for lines in all_lines:
+            for line in lines:
+                handle.write(line + "\n")
     return sam, fa
 
 
@@ -62,44 +70,66 @@ def run_seed(seed: int, keep_dir: str) -> dict:
     length = rng.choice((6_000, 12_000, 20_000))
     depth = rng.choice((8, 18, 30))
     mode = rng.choice(("first", "seeded"))
+    n_contigs = rng.choice((1, 1, 2, 3))
     tmp = tempfile.mkdtemp(prefix=f"fuzzdiff{seed}_")
     try:
-        sam, fa = write_fixture(tmp, seed, length, depth)
+        sam, fa = write_fixture(tmp, seed, length, depth, n_contigs)
         arms = {}
+
+        def arm(name, fn, cfg):
+            out = os.path.join(tmp, f"{name}.vcf")
+            fn(sam, fa, out, cfg)
+            arms[name] = open(out, "rb").read()
+
+        # reference semantics: per-record data pipeline + python
+        # assembler/SW + per-site genotyper.  ``call`` is single-contig
+        # only; on multi-contig fixtures the per-window python pipeline
+        # runs through call_batched with every engine set to python.
         python_cfg = dataclasses.replace(
             DEFAULT_CONFIG, pairhmm_engine="native",
             assembler_engine="python", sw_engine="python",
             data_engine="python", downsample_mode=mode,
         )
-        out = os.path.join(tmp, "python.vcf")
-        call(sam, fa, out, python_cfg)
-        arms["python"] = open(out, "rb").read()
+        if n_contigs == 1:
+            arm("python", call, python_cfg)
+        else:
+            arm("python", call_batched, python_cfg)
 
         native_cfg = dataclasses.replace(
             DEFAULT_CONFIG, pairhmm_engine="native",
             assembler_engine="native", sw_engine="native",
             data_engine="native", downsample_mode=mode,
         )
-        out = os.path.join(tmp, "native.vcf")
-        call_batched(sam, fa, out, native_cfg)
-        arms["native"] = open(out, "rb").read()
-
-        mt_cfg = dataclasses.replace(native_cfg, host_threads=4)
-        out = os.path.join(tmp, "native_mt.vcf")
-        call_batched(sam, fa, out, mt_cfg)
-        arms["native_mt"] = open(out, "rb").read()
+        arm("native", call_batched, native_cfg)
+        arm(
+            "native_mt", call_batched,
+            dataclasses.replace(native_cfg, host_threads=4),
+        )
+        # streaming + parse-ahead arms exercise the contig switch, the
+        # per-contig slice parse, and the prefetch thread
+        arm(
+            "stream", call_batched,
+            dataclasses.replace(native_cfg, stream_contigs=True),
+        )
+        arm(
+            "stream_mt", call_batched,
+            dataclasses.replace(
+                native_cfg, stream_contigs=True, host_threads=4
+            ),
+        )
 
         n_variants = sum(
             1 for l in arms["python"].splitlines() if not l.startswith(b"#")
         )
-        ok = arms["python"] == arms["native"] == arms["native_mt"]
+        baseline = arms["python"]
+        ok = all(v == baseline for v in arms.values())
         if not ok:
             os.makedirs(keep_dir, exist_ok=True)
             dest = os.path.join(keep_dir, f"seed{seed}")
             shutil.copytree(tmp, dest, dirs_exist_ok=True)
         return {
             "seed": seed, "length": length, "depth": depth, "mode": mode,
-            "variants": n_variants, "ok": ok,
+            "contigs": n_contigs, "variants": n_variants, "ok": ok,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
