@@ -23,6 +23,7 @@
 #include <thread>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <set>
@@ -219,6 +220,314 @@ double pairhmm_one(const uint8_t* rs, const uint8_t* rq, int rlen,
   }
   return static_cast<double>(sum_m + sum_x);
 }
+
+// ---------------------------------------------------------------------------
+// PairHMM forward, 8 pairs per AVX f32 vector (pairs-per-lane).
+//
+// Each of the 8 lanes executes EXACTLY the scalar pairhmm_one<float> op
+// sequence — same mul/add/div order, same FTZ mode, no FMA contraction
+// (-ffp-contract=off + explicit mul/add intrinsics) — so every pair's
+// result is BITWISE identical to the scalar engine (tests assert this on
+// varied-length batches).  This vectorizes the reference's OpenMP axis
+// (inter-pair, intel_pairhmm.hpp:128-131) instead of its intra-pair
+// anti-diagonal (avx-pairhmm-template.h): no cross-lane shifts, no
+// wavefront ramp, and short/long pairs just mask their tails.  It is the
+// same parallel shape as the TPU ppe Pallas kernel, on CPU lanes.
+
+#ifdef HC_HAVE_SSE
+
+struct PairHMMV8Scratch {
+  std::vector<int32_t> hplane;  // (max_h x 8) transposed hap codes
+  std::vector<float> rows;      // 6 x (max_h + 1) x 8: M/X/Y prev+cur
+  void ensure(int max_h) {
+    if (static_cast<int>(hplane.size()) < max_h * 8)
+      hplane.resize(static_cast<size_t>(max_h) * 8);
+    const size_t need = static_cast<size_t>(6) * (max_h + 1) * 8;
+    if (rows.size() < need) rows.resize(need);
+  }
+};
+
+static void pairhmm_f32_x8(const uint8_t* reads, const uint8_t* quals,
+                           const int32_t* read_lens, int32_t read_stride,
+                           const uint8_t* haps, const int32_t* hap_lens,
+                           int32_t hap_stride, const int32_t* pair_read,
+                           const int32_t* pair_hap, int32_t gop, int32_t gcp,
+                           float* out) {
+  const Tables& tab = Tables::instance();
+  const uint8_t* rs[8];
+  const uint8_t* rq[8];
+  const uint8_t* hp[8];
+  int rlen[8], hlen[8];
+  int max_r = 0, max_h = 0;
+  for (int l = 0; l < 8; ++l) {
+    const int32_t r = pair_read[l], h = pair_hap[l];
+    rs[l] = reads + static_cast<int64_t>(r) * read_stride;
+    rq[l] = quals + static_cast<int64_t>(r) * read_stride;
+    hp[l] = haps + static_cast<int64_t>(h) * hap_stride;
+    rlen[l] = read_lens[r];
+    hlen[l] = hap_lens[h];
+    max_r = std::max(max_r, rlen[l]);
+    max_h = std::max(max_h, hlen[l]);
+  }
+  thread_local PairHMMV8Scratch s;
+  s.ensure(max_h);
+  int32_t* hplane = s.hplane.data();
+  for (int c = 0; c < max_h; ++c)
+    for (int l = 0; l < 8; ++l)
+      hplane[static_cast<size_t>(c) * 8 + l] =
+          c < hlen[l] ? base_code(hp[l][c]) : 0;
+
+  const int q7 = gop & 127, g7 = gcp & 127;
+  const __m256 p_mm = _mm256_set1_ps(tab.m2m32[((q7 * (q7 + 1)) >> 1) + q7]);
+  const __m256 p_gapm = _mm256_set1_ps(1.0f - tab.ph2pr32[g7]);
+  const __m256 p_mx = _mm256_set1_ps(tab.ph2pr32[q7]);
+  const __m256 p_xx = _mm256_set1_ps(tab.ph2pr32[g7]);
+  const __m256 p_my = p_mx;
+  const __m256 p_yy = p_xx;
+
+  // per-lane init_y = 2^120 / hlen, the same float division as scalar
+  alignas(32) float init_buf[8];
+  const float initial = std::ldexp(1.0f, 120);
+  for (int l = 0; l < 8; ++l)
+    init_buf[l] = initial / static_cast<float>(hlen[l]);
+  const __m256 init_y = _mm256_load_ps(init_buf);
+
+  const size_t rw = static_cast<size_t>(max_h + 1) * 8;
+  float* Mp = s.rows.data();
+  float* Xp = Mp + rw;
+  float* Yp = Xp + rw;
+  float* Mc = Yp + rw;
+  float* Xc = Mc + rw;
+  float* Yc = Xc + rw;
+  const __m256 zero = _mm256_setzero_ps();
+  for (int c = 0; c <= max_h; ++c) {
+    _mm256_storeu_ps(Mp + c * 8, zero);
+    _mm256_storeu_ps(Xp + c * 8, zero);
+    _mm256_storeu_ps(Yp + c * 8, init_y);
+  }
+
+  const __m256i rlen_v = _mm256_loadu_si256(
+      reinterpret_cast<const __m256i*>(rlen));
+  const __m256i hlen_v = _mm256_loadu_si256(
+      reinterpret_cast<const __m256i*>(hlen));
+  const __m256i four = _mm256_set1_epi32(4);
+  const __m256 one = _mm256_set1_ps(1.0f);
+  const __m256 three = _mm256_set1_ps(3.0f);
+  __m256 sum_m = zero, sum_x = zero;
+
+  alignas(32) float qbuf[8];
+  alignas(32) int32_t rcode_buf[8];
+  for (int r = 1; r <= max_r; ++r) {
+    for (int l = 0; l < 8; ++l) {
+      const bool live = r <= rlen[l];
+      qbuf[l] = tab.ph2pr32[live ? (rq[l][r - 1] & 127) : 0];
+      rcode_buf[l] = live ? base_code(rs[l][r - 1]) : 0;
+    }
+    const __m256 q = _mm256_load_ps(qbuf);
+    const __m256 one_minus_q = _mm256_sub_ps(one, q);
+    const __m256 q_div3 = _mm256_div_ps(q, three);
+    const __m256i rcode = _mm256_load_si256(
+        reinterpret_cast<const __m256i*>(rcode_buf));
+    const __m256i rcode_is_n = _mm256_cmpeq_epi32(rcode, four);
+
+    __m256 m_left = zero;  // M_cur[c-1]
+    __m256 y_left = zero;  // Y_cur[c-1]
+    __m256 row_m = zero, row_x = zero;
+    _mm256_storeu_ps(Mc, zero);
+    _mm256_storeu_ps(Xc, zero);
+    _mm256_storeu_ps(Yc, zero);
+    for (int c = 1; c <= max_h; ++c) {
+      const __m256i hcode = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(hplane + (c - 1) * 8));
+      const __m256i match_i = _mm256_or_si256(
+          _mm256_or_si256(_mm256_cmpeq_epi32(rcode, hcode), rcode_is_n),
+          _mm256_cmpeq_epi32(hcode, four));
+      const __m256 distm = _mm256_blendv_ps(
+          q_div3, one_minus_q, _mm256_castsi256_ps(match_i));
+      const __m256 mp = _mm256_loadu_ps(Mp + (c - 1) * 8);
+      const __m256 xp = _mm256_loadu_ps(Xp + (c - 1) * 8);
+      const __m256 yp = _mm256_loadu_ps(Yp + (c - 1) * 8);
+      const __m256 t1 = _mm256_mul_ps(mp, p_mm);
+      const __m256 t2 = _mm256_mul_ps(xp, p_gapm);
+      const __m256 t3 = _mm256_mul_ps(yp, p_gapm);
+      const __m256 m = _mm256_mul_ps(
+          _mm256_add_ps(_mm256_add_ps(t1, t2), t3), distm);
+      const __m256 x = _mm256_add_ps(
+          _mm256_mul_ps(_mm256_loadu_ps(Mp + c * 8), p_mx),
+          _mm256_mul_ps(_mm256_loadu_ps(Xp + c * 8), p_xx));
+      const __m256 y = _mm256_add_ps(_mm256_mul_ps(m_left, p_my),
+                                     _mm256_mul_ps(y_left, p_yy));
+      _mm256_storeu_ps(Mc + c * 8, m);
+      _mm256_storeu_ps(Xc + c * 8, x);
+      _mm256_storeu_ps(Yc + c * 8, y);
+      // masked row sums: +0.0f adds for lanes with c > hlen keep the
+      // accumulation bit-identical to the scalar c<=hlen loop (all
+      // summands are non-negative, so no -0.0 hazards)
+      const __m256 len_ok = _mm256_castsi256_ps(
+          _mm256_cmpgt_epi32(hlen_v, _mm256_set1_epi32(c - 1)));
+      row_m = _mm256_add_ps(row_m, _mm256_and_ps(m, len_ok));
+      row_x = _mm256_add_ps(row_x, _mm256_and_ps(x, len_ok));
+      m_left = m;
+      y_left = y;
+    }
+    // lanes whose final row this is take their totals (assign, not add)
+    const __m256 final_row = _mm256_castsi256_ps(
+        _mm256_cmpeq_epi32(_mm256_set1_epi32(r), rlen_v));
+    sum_m = _mm256_blendv_ps(sum_m, row_m, final_row);
+    sum_x = _mm256_blendv_ps(sum_x, row_x, final_row);
+    std::swap(Mp, Mc);
+    std::swap(Xp, Xc);
+    std::swap(Yp, Yc);
+  }
+  _mm256_storeu_ps(out, _mm256_add_ps(sum_m, sum_x));
+}
+
+// Same pairs-per-lane construction in f64 (4 pairs per __m256d) — the
+// rescue path recomputes the ~7-8% of pairs whose f32 result underflows,
+// and a scalar rescue loop was the engine bottleneck once f32 went 8-wide.
+// Bitwise identical per lane to pairhmm_one<double>.
+struct PairHMMV4Scratch {
+  std::vector<int32_t> hplane;  // (max_h x 4) transposed hap codes
+  std::vector<double> rows;     // 6 x (max_h + 1) x 4
+  void ensure(int max_h) {
+    if (static_cast<int>(hplane.size()) < max_h * 4)
+      hplane.resize(static_cast<size_t>(max_h) * 4);
+    const size_t need = static_cast<size_t>(6) * (max_h + 1) * 4;
+    if (rows.size() < need) rows.resize(need);
+  }
+};
+
+static void pairhmm_f64_x4(const uint8_t* reads, const uint8_t* quals,
+                           const int32_t* read_lens, int32_t read_stride,
+                           const uint8_t* haps, const int32_t* hap_lens,
+                           int32_t hap_stride, const int32_t* pair_read,
+                           const int32_t* pair_hap, int32_t gop, int32_t gcp,
+                           double* out) {
+  const Tables& tab = Tables::instance();
+  const uint8_t* rs[4];
+  const uint8_t* rq[4];
+  const uint8_t* hp[4];
+  alignas(16) int32_t rlen[4], hlen[4];
+  int max_r = 0, max_h = 0;
+  for (int l = 0; l < 4; ++l) {
+    const int32_t r = pair_read[l], h = pair_hap[l];
+    rs[l] = reads + static_cast<int64_t>(r) * read_stride;
+    rq[l] = quals + static_cast<int64_t>(r) * read_stride;
+    hp[l] = haps + static_cast<int64_t>(h) * hap_stride;
+    rlen[l] = read_lens[r];
+    hlen[l] = hap_lens[h];
+    max_r = std::max(max_r, rlen[l]);
+    max_h = std::max(max_h, hlen[l]);
+  }
+  thread_local PairHMMV4Scratch s;
+  s.ensure(max_h);
+  int32_t* hplane = s.hplane.data();
+  for (int c = 0; c < max_h; ++c)
+    for (int l = 0; l < 4; ++l)
+      hplane[static_cast<size_t>(c) * 4 + l] =
+          c < hlen[l] ? base_code(hp[l][c]) : 0;
+
+  const int q7 = gop & 127, g7 = gcp & 127;
+  const __m256d p_mm = _mm256_set1_pd(tab.m2m64[((q7 * (q7 + 1)) >> 1) + q7]);
+  const __m256d p_gapm = _mm256_set1_pd(1.0 - tab.ph2pr64[g7]);
+  const __m256d p_mx = _mm256_set1_pd(tab.ph2pr64[q7]);
+  const __m256d p_xx = _mm256_set1_pd(tab.ph2pr64[g7]);
+  const __m256d p_my = p_mx;
+  const __m256d p_yy = p_xx;
+
+  alignas(32) double init_buf[4];
+  const double initial = std::ldexp(1.0, 1020);
+  for (int l = 0; l < 4; ++l)
+    init_buf[l] = initial / static_cast<double>(hlen[l]);
+  const __m256d init_y = _mm256_load_pd(init_buf);
+
+  const size_t rw = static_cast<size_t>(max_h + 1) * 4;
+  double* Mp = s.rows.data();
+  double* Xp = Mp + rw;
+  double* Yp = Xp + rw;
+  double* Mc = Yp + rw;
+  double* Xc = Mc + rw;
+  double* Yc = Xc + rw;
+  const __m256d zero = _mm256_setzero_pd();
+  for (int c = 0; c <= max_h; ++c) {
+    _mm256_storeu_pd(Mp + c * 4, zero);
+    _mm256_storeu_pd(Xp + c * 4, zero);
+    _mm256_storeu_pd(Yp + c * 4, init_y);
+  }
+
+  const __m128i rlen_v = _mm_load_si128(reinterpret_cast<const __m128i*>(rlen));
+  const __m128i hlen_v = _mm_load_si128(reinterpret_cast<const __m128i*>(hlen));
+  const __m128i four4 = _mm_set1_epi32(4);
+  const __m256d one = _mm256_set1_pd(1.0);
+  const __m256d three = _mm256_set1_pd(3.0);
+  __m256d sum_m = zero, sum_x = zero;
+  const auto mask_pd = [](__m128i m32) {
+    return _mm256_castsi256_pd(_mm256_cvtepi32_epi64(m32));
+  };
+
+  alignas(32) double qbuf[4];
+  alignas(16) int32_t rcode_buf[4];
+  for (int r = 1; r <= max_r; ++r) {
+    for (int l = 0; l < 4; ++l) {
+      const bool live = r <= rlen[l];
+      qbuf[l] = tab.ph2pr64[live ? (rq[l][r - 1] & 127) : 0];
+      rcode_buf[l] = live ? base_code(rs[l][r - 1]) : 0;
+    }
+    const __m256d q = _mm256_load_pd(qbuf);
+    const __m256d one_minus_q = _mm256_sub_pd(one, q);
+    const __m256d q_div3 = _mm256_div_pd(q, three);
+    const __m128i rcode = _mm_load_si128(
+        reinterpret_cast<const __m128i*>(rcode_buf));
+    const __m128i rcode_is_n = _mm_cmpeq_epi32(rcode, four4);
+
+    __m256d m_left = zero, y_left = zero;
+    __m256d row_m = zero, row_x = zero;
+    _mm256_storeu_pd(Mc, zero);
+    _mm256_storeu_pd(Xc, zero);
+    _mm256_storeu_pd(Yc, zero);
+    for (int c = 1; c <= max_h; ++c) {
+      const __m128i hcode = _mm_loadu_si128(
+          reinterpret_cast<const __m128i*>(hplane + (c - 1) * 4));
+      const __m128i match_i = _mm_or_si128(
+          _mm_or_si128(_mm_cmpeq_epi32(rcode, hcode), rcode_is_n),
+          _mm_cmpeq_epi32(hcode, four4));
+      const __m256d distm =
+          _mm256_blendv_pd(q_div3, one_minus_q, mask_pd(match_i));
+      const __m256d mp = _mm256_loadu_pd(Mp + (c - 1) * 4);
+      const __m256d xp = _mm256_loadu_pd(Xp + (c - 1) * 4);
+      const __m256d yp = _mm256_loadu_pd(Yp + (c - 1) * 4);
+      const __m256d t1 = _mm256_mul_pd(mp, p_mm);
+      const __m256d t2 = _mm256_mul_pd(xp, p_gapm);
+      const __m256d t3 = _mm256_mul_pd(yp, p_gapm);
+      const __m256d m = _mm256_mul_pd(
+          _mm256_add_pd(_mm256_add_pd(t1, t2), t3), distm);
+      const __m256d x = _mm256_add_pd(
+          _mm256_mul_pd(_mm256_loadu_pd(Mp + c * 4), p_mx),
+          _mm256_mul_pd(_mm256_loadu_pd(Xp + c * 4), p_xx));
+      const __m256d y = _mm256_add_pd(_mm256_mul_pd(m_left, p_my),
+                                      _mm256_mul_pd(y_left, p_yy));
+      _mm256_storeu_pd(Mc + c * 4, m);
+      _mm256_storeu_pd(Xc + c * 4, x);
+      _mm256_storeu_pd(Yc + c * 4, y);
+      const __m256d len_ok =
+          mask_pd(_mm_cmpgt_epi32(hlen_v, _mm_set1_epi32(c - 1)));
+      row_m = _mm256_add_pd(row_m, _mm256_and_pd(m, len_ok));
+      row_x = _mm256_add_pd(row_x, _mm256_and_pd(x, len_ok));
+      m_left = m;
+      y_left = y;
+    }
+    const __m256d final_row =
+        mask_pd(_mm_cmpeq_epi32(_mm_set1_epi32(r), rlen_v));
+    sum_m = _mm256_blendv_pd(sum_m, row_m, final_row);
+    sum_x = _mm256_blendv_pd(sum_x, row_x, final_row);
+    std::swap(Mp, Mc);
+    std::swap(Xp, Xc);
+    std::swap(Yp, Yc);
+  }
+  _mm256_storeu_pd(out, _mm256_add_pd(sum_m, sum_x));
+}
+
+#endif  // HC_HAVE_SSE
 
 // ---------------------------------------------------------------------------
 // Smith-Waterman (reference AVX2-engine semantics, SOFTCLIP overhang)
@@ -937,7 +1246,24 @@ void hc_pairhmm_f32(const uint8_t* reads, const uint8_t* quals,
                     const int32_t* pair_hap, int64_t n_pairs, int32_t gop,
                     int32_t gcp, float* out) {
   FtzScope ftz;
-  for (int64_t p = 0; p < n_pairs; ++p) {
+  int64_t p = 0;
+#ifdef HC_HAVE_SSE
+  // pairs-per-lane AVX main path (bitwise-identical per pair to the
+  // scalar loop below); HC_PAIRHMM_SCALAR=1 forces the scalar path for
+  // A/B and debugging
+  static const bool force_scalar = [] {
+    const char* env = std::getenv("HC_PAIRHMM_SCALAR");
+    return env != nullptr && env[0] != '\0' && env[0] != '0';
+  }();
+  if (!force_scalar) {
+    for (; p + 8 <= n_pairs; p += 8) {
+      pairhmm_f32_x8(reads, quals, read_lens, read_stride, haps, hap_lens,
+                     hap_stride, pair_read + p, pair_hap + p, gop, gcp,
+                     out + p);
+    }
+  }
+#endif
+  for (; p < n_pairs; ++p) {
     const int32_t r = pair_read[p];
     const int32_t h = pair_hap[p];
     out[p] = static_cast<float>(pairhmm_one<float>(
@@ -954,7 +1280,21 @@ void hc_pairhmm_f64(const uint8_t* reads, const uint8_t* quals,
                     const int32_t* pair_hap, int64_t n_pairs, int32_t gop,
                     int32_t gcp, double* out) {
   FtzScope ftz;
-  for (int64_t p = 0; p < n_pairs; ++p) {
+  int64_t p = 0;
+#ifdef HC_HAVE_SSE
+  static const bool force_scalar = [] {
+    const char* env = std::getenv("HC_PAIRHMM_SCALAR");
+    return env != nullptr && env[0] != '\0' && env[0] != '0';
+  }();
+  if (!force_scalar) {
+    for (; p + 4 <= n_pairs; p += 4) {
+      pairhmm_f64_x4(reads, quals, read_lens, read_stride, haps, hap_lens,
+                     hap_stride, pair_read + p, pair_hap + p, gop, gcp,
+                     out + p);
+    }
+  }
+#endif
+  for (; p < n_pairs; ++p) {
     const int32_t r = pair_read[p];
     const int32_t h = pair_hap[p];
     out[p] = pairhmm_one<double>(

@@ -101,6 +101,34 @@ class TestNativePairHMM:
         np.testing.assert_array_equal(jac32, Q.JACOBIAN_F32)
         np.testing.assert_array_equal(jac64, Q.JACOBIAN_F64)
 
+    def test_vectorized_batch_matches_oracle_bitexact(self, rng):
+        """The pairs-per-lane AVX f32 batch path (exercised for any batch
+        of >=8 pairs) must be bitwise identical to the scalar oracle on
+        varied-length pairs — every lane-masking edge (short read, short
+        hap, N bases) in one batch."""
+        native = self._native()
+        bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
+        nprng = np.random.default_rng(1234)
+        nr, nh, stride_r, stride_h = 24, 8, 64, 128
+        reads = bases[nprng.integers(0, 5, (nr, stride_r))]
+        quals = nprng.integers(33, 74, (nr, stride_r)).astype(np.uint8)
+        haps = bases[nprng.integers(0, 4, (nh, stride_h))]
+        rlens = nprng.integers(10, stride_r + 1, nr).astype(np.int32)
+        hlens = nprng.integers(20, stride_h + 1, nh).astype(np.int32)
+        pair_read = np.repeat(np.arange(nr, dtype=np.int32), nh)
+        pair_hap = np.tile(np.arange(nh, dtype=np.int32), nr)
+        got = native.pairhmm_raw_native(
+            reads, quals, rlens, haps, hlens, pair_read, pair_hap,
+            ord("I"), ord("+"), np.float32,
+        )
+        for k in nprng.choice(len(pair_read), 40, replace=False):
+            r, h = int(pair_read[k]), int(pair_hap[k])
+            want = oracle.pairhmm_prob(
+                reads[r, : rlens[r]], quals[r, : rlens[r]],
+                haps[h, : hlens[h]], dtype=np.float32,
+            )
+            assert np.float32(want) == got[k], (k, want, got[k])
+
     @pytest.mark.parametrize("dtype", [np.float32, np.float64])
     def test_matches_oracle_bitexact(self, rng, dtype):
         native = self._native()
