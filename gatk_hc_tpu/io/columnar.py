@@ -218,12 +218,13 @@ class SamLayout:
         i = self.names.index(name)
         return int(self.keep_lo[i]), int(self.keep_hi[i])
 
-    def store_for(self, *names: str) -> "ColumnarReadStore":
+    def store_for(self, *names: str, threads: int = 1) -> "ColumnarReadStore":
         """A store holding only the named contigs' kept reads, parsed from
         their byte slices (no re-scan)."""
         ranges = {n: self.contig_range(n) for n in names}
         return ColumnarReadStore(
-            self.sam_path, self.contig_sizes, start_ranges=ranges, layout=self
+            self.sam_path, self.contig_sizes, start_ranges=ranges,
+            layout=self, threads=threads,
         )
 
 
@@ -322,14 +323,19 @@ class ColumnarReadStore:
             c(self.seq_off, i64), c(self.seq, ctypes.c_uint8),
             c(self.qual, ctypes.c_uint8),
         )
+        n_threads = threads if threads > 0 else (os.cpu_count() or 1)
         if not ranged:
-            n_threads = threads if threads > 0 else (os.cpu_count() or 1)
             if n_threads > 1:
                 parsed = lib.hc_sam_parse_mt(
                     *common, ctypes.c_int32(n_threads), *outs
                 )
             else:
                 parsed = lib.hc_sam_parse(*common, *outs)
+        elif n_threads > 1:
+            parsed = lib.hc_sam_parse_ranges_mt(
+                *common, c(keep_lo, i64), c(keep_hi, i64),
+                ctypes.c_int32(n_threads), *outs
+            )
         else:
             parsed = lib.hc_sam_parse_ranges(
                 *common, c(keep_lo, i64), c(keep_hi, i64), *outs

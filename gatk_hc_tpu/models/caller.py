@@ -553,7 +553,9 @@ def call_batched(
         if i + 1 < len(contig_order):
             nxt = contig_order[i + 1]
             if nxt not in prefetch:
-                prefetch[nxt] = prefetch_pool.submit(layout.store_for, nxt)
+                prefetch[nxt] = prefetch_pool.submit(
+                    layout.store_for, nxt, threads=cfg.host_threads
+                )
 
     def switch_contig(contig):
         """Contig streaming: drain every in-flight worker touching the old
@@ -570,7 +572,7 @@ def call_batched(
             # the stage timer charges only the blocking wait; a prefetch
             # that finished during assembly costs ~0 here
             new_store = fut.result() if fut is not None else layout.store_for(
-                contig.name
+                contig.name, threads=cfg.host_threads
             )
         counters.reads_parsed += new_store.n_bucketed
         data["store"] = new_store

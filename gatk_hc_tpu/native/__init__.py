@@ -175,6 +175,12 @@ def _configure(lib: ctypes.CDLL) -> None:
         i64p, u8p, i32p,  # cigar offsets/ops/lens
         i64p, u8p, u8p,  # seq offsets, seq, qual
     ]
+    lib.hc_sam_parse_ranges_mt.restype = ctypes.c_int64
+    lib.hc_sam_parse_ranges_mt.argtypes = (
+        list(lib.hc_sam_parse_ranges.argtypes[:7])
+        + [ctypes.c_int32]  # worker threads
+        + list(lib.hc_sam_parse_ranges.argtypes[7:])
+    )
     lib.hc_prepare_window.restype = ctypes.c_int32
     lib.hc_prepare_window.argtypes = [
         i32p, i32p, i32p, u8p,  # pos, flag, mapq, rnext_eq

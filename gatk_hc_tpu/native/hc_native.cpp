@@ -1778,10 +1778,14 @@ int64_t hc_sam_parse_ranges(const uint8_t* buf, int64_t n,
 // Exact per-block sizing for the multi-threaded parse: unlike hc_sam_scan's
 // allocation upper bounds, these counts must equal what sam_parse_impl
 // writes for a VALID block ("*" cigars contribute zero ops; only >=11-field
-// lines are records).  A block containing a malformed line may count it as
+// lines are records; with keep ranges, only contig-matched records whose
+// POS-1 is in range).  A block containing a malformed line may count it as
 // a record here — pass 2 then fails the whole parse, so the counts are
 // never consumed.
 static void sam_count_block(const uint8_t* buf, int64_t lo, int64_t hi,
+                            const uint8_t* contig_blob,
+                            const int64_t* contig_offs, int32_t n_contigs,
+                            const int64_t* keep_lo, const int64_t* keep_hi,
                             int64_t* out_recs, int64_t* out_ops,
                             int64_t* out_bytes, int64_t* out_lines) {
   int64_t recs = 0, ops = 0, bytes = 0, lines = 0;
@@ -1794,11 +1798,24 @@ static void sam_count_block(const uint8_t* buf, int64_t lo, int64_t hi,
       int64_t f_len[11];
       const int field = split_line_fields(buf + i, buf + eol, f_ptr, f_len);
       if (field >= 11) {
-        ++recs;
-        if (!(f_len[5] == 1 && f_ptr[5][0] == '*'))
-          for (int64_t k = 0; k < f_len[5]; ++k)
-            if (!(f_ptr[5][k] >= '0' && f_ptr[5][k] <= '9')) ++ops;
-        bytes += f_len[9];
+        bool kept = true;
+        if (keep_lo != nullptr) {
+          bool ok = true;
+          const int64_t f_pos = sam_field_int(f_ptr[3], f_len[3], &ok);
+          const int32_t cid = match_contig(f_ptr[2], f_len[2], contig_blob,
+                                           contig_offs, n_contigs);
+          // a !ok line fails pass 2 regardless; count it as kept so the
+          // predicate only ever differs on lines that abort the parse
+          kept = !ok || (cid >= 0 && f_pos - 1 >= keep_lo[cid] &&
+                         f_pos - 1 < keep_hi[cid]);
+        }
+        if (kept) {
+          ++recs;
+          if (!(f_len[5] == 1 && f_ptr[5][0] == '*'))
+            for (int64_t k = 0; k < f_len[5]; ++k)
+              if (!(f_ptr[5][k] >= '0' && f_ptr[5][k] <= '9')) ++ops;
+          bytes += f_len[9];
+        }
       }
     }
     i = eol + 1;
@@ -1809,29 +1826,34 @@ static void sam_count_block(const uint8_t* buf, int64_t lo, int64_t hi,
   *out_lines = lines;
 }
 
-// Multi-threaded keep-everything parse: newline-aligned byte blocks, an
-// exact counting pass, prefix-summed output cursors, then a parallel fill
-// of the shared columnar arrays (disjoint ranges per block).  Outputs are
-// byte-identical to hc_sam_parse for any thread count; a malformed line
-// reports the same (earliest) absolute line number.  The reference's data
-// layer is a serial stream (sam.hpp:100-114) — this is the multi-core
-// replacement for the serial-parse Amdahl term when host assembly already
-// pools across cores.
-int64_t hc_sam_parse_mt(const uint8_t* buf, int64_t n,
-                        const uint8_t* contig_blob, const int64_t* contig_offs,
-                        int32_t n_contigs, int32_t n_threads,
-                        int32_t* pos, int32_t* flag, int32_t* mapq,
-                        uint8_t* rnext_eq, int32_t* rname_id,
-                        int64_t* cig_off, uint8_t* cig_op, int32_t* cig_len,
-                        int64_t* seq_off, uint8_t* seq, uint8_t* qual) {
+// Multi-threaded parse: newline-aligned byte blocks, an exact counting
+// pass, prefix-summed output cursors, then a parallel fill of the shared
+// columnar arrays (disjoint ranges per block).  Outputs are
+// byte-identical to hc_sam_parse / hc_sam_parse_ranges for any thread
+// count; a malformed line reports the same (earliest) absolute line
+// number.  The reference's data layer is a serial stream
+// (sam.hpp:100-114) — this is the multi-core replacement for the
+// serial-parse Amdahl term when host assembly already pools across cores.
+// keep_lo/keep_hi non-null = shard-restricted counting + fill (the same
+// predicate as sam_parse_impl: contig matched AND POS-1 in range).
+static int64_t sam_parse_mt_impl(
+    const uint8_t* buf, int64_t n, const uint8_t* contig_blob,
+    const int64_t* contig_offs, int32_t n_contigs, const int64_t* keep_lo,
+    const int64_t* keep_hi, int32_t n_threads, int32_t* pos, int32_t* flag,
+    int32_t* mapq, uint8_t* rnext_eq, int32_t* rname_id, int64_t* cig_off,
+    uint8_t* cig_op, int32_t* cig_len, int64_t* seq_off, uint8_t* seq,
+    uint8_t* qual) {
   int T = std::max(1, std::min(n_threads, 64));
   if (static_cast<int64_t>(T) > n / (1 << 20)) {  // >=1 MB of text per block
     T = std::max<int>(1, static_cast<int>(n / (1 << 20)));
   }
   if (T == 1) {
-    return hc_sam_parse(buf, n, contig_blob, contig_offs, n_contigs, pos,
-                        flag, mapq, rnext_eq, rname_id, cig_off, cig_op,
-                        cig_len, seq_off, seq, qual);
+    cig_off[0] = 0;
+    seq_off[0] = 0;
+    return sam_parse_impl(buf, n, contig_blob, contig_offs, n_contigs,
+                          keep_lo, keep_hi, 0, 0, 0, 0, pos, flag, mapq,
+                          rnext_eq, rname_id, cig_off, cig_op, cig_len,
+                          seq_off, seq, qual);
   }
   std::vector<int64_t> starts(T + 1);
   starts[0] = 0;
@@ -1850,8 +1872,9 @@ int64_t hc_sam_parse_mt(const uint8_t* buf, int64_t n,
     th.reserve(T);
     for (int b = 0; b < T; ++b)
       th.emplace_back([&, b] {
-        sam_count_block(buf, starts[b], starts[b + 1], &recs[b], &ops[b],
-                        &bytes[b], &lines[b]);
+        sam_count_block(buf, starts[b], starts[b + 1], contig_blob,
+                        contig_offs, n_contigs, keep_lo, keep_hi, &recs[b],
+                        &ops[b], &bytes[b], &lines[b]);
       });
     for (auto& t : th) t.join();
   }
@@ -1872,7 +1895,7 @@ int64_t hc_sam_parse_mt(const uint8_t* buf, int64_t n,
       th.emplace_back([&, b] {
         ret[b] = sam_parse_impl(
             buf + starts[b], starts[b + 1] - starts[b], contig_blob,
-            contig_offs, n_contigs, nullptr, nullptr, r0[b], o0[b], s0[b],
+            contig_offs, n_contigs, keep_lo, keep_hi, r0[b], o0[b], s0[b],
             l0[b], pos, flag, mapq, rnext_eq, rname_id, cig_off, cig_op,
             cig_len, seq_off, seq, qual);
       });
@@ -1881,6 +1904,34 @@ int64_t hc_sam_parse_mt(const uint8_t* buf, int64_t n,
   for (int b = 0; b < T; ++b)  // earliest malformed line wins, like serial
     if (ret[b] < 0) return ret[b];
   return r0[T];
+}
+
+int64_t hc_sam_parse_mt(const uint8_t* buf, int64_t n,
+                        const uint8_t* contig_blob, const int64_t* contig_offs,
+                        int32_t n_contigs, int32_t n_threads,
+                        int32_t* pos, int32_t* flag, int32_t* mapq,
+                        uint8_t* rnext_eq, int32_t* rname_id,
+                        int64_t* cig_off, uint8_t* cig_op, int32_t* cig_len,
+                        int64_t* seq_off, uint8_t* seq, uint8_t* qual) {
+  return sam_parse_mt_impl(buf, n, contig_blob, contig_offs, n_contigs,
+                           nullptr, nullptr, n_threads, pos, flag, mapq,
+                           rnext_eq, rname_id, cig_off, cig_op, cig_len,
+                           seq_off, seq, qual);
+}
+
+// Shard-restricted multi-threaded parse (streaming contig slices and
+// multihost shard parses are ~1 GB each at WGS scale).
+int64_t hc_sam_parse_ranges_mt(
+    const uint8_t* buf, int64_t n, const uint8_t* contig_blob,
+    const int64_t* contig_offs, int32_t n_contigs, const int64_t* keep_lo,
+    const int64_t* keep_hi, int32_t n_threads, int32_t* pos, int32_t* flag,
+    int32_t* mapq, uint8_t* rnext_eq, int32_t* rname_id, int64_t* cig_off,
+    uint8_t* cig_op, int32_t* cig_len, int64_t* seq_off, uint8_t* seq,
+    uint8_t* qual) {
+  return sam_parse_mt_impl(buf, n, contig_blob, contig_offs, n_contigs,
+                           keep_lo, keep_hi, n_threads, pos, flag, mapq,
+                           rnext_eq, rname_id, cig_off, cig_op, cig_len,
+                           seq_off, seq, qual);
 }
 
 // Pass 1 (shard-restricted): per-contig allocation counts AND the byte range

@@ -345,6 +345,27 @@ class TestMultiThreadedParse:
         assert store.n_reads == 0
 
     @pytest.mark.parametrize("threads", [2, 5])
+    def test_parse_ranges_mt_identical(self, threads, tmp_path):
+        """Shard-restricted MT parse == serial ranged parse, including the
+        keep-range filter in the counting pass."""
+        import numpy as np
+
+        from gatk_hc_tpu.io.columnar import SamLayout
+
+        sam = self._big_sam(tmp_path)
+        sizes = self._sizes()
+        name = next(iter(sizes))
+        ranges = {name: (1500, 12000)}
+        lay = SamLayout(sam, sizes, start_ranges=ranges)
+        serial = lay.store_for(name)
+        mt = lay.store_for(name, threads=threads)
+        assert mt.n_reads == serial.n_reads > 0
+        for col in self.COLUMNS:
+            np.testing.assert_array_equal(
+                getattr(mt, col), getattr(serial, col), err_msg=col
+            )
+
+    @pytest.mark.parametrize("threads", [2, 5])
     def test_scan_ranges_mt_identical(self, threads, tmp_path):
         import numpy as np
 

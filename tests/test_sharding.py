@@ -240,9 +240,9 @@ class TestContigStreaming:
         parsed_names = []
         orig = SamLayout.store_for
 
-        def spy(self, *names):
+        def spy(self, *names, **kwargs):
             parsed_names.append(names)
-            return orig(self, *names)
+            return orig(self, *names, **kwargs)
 
         monkeypatch.setattr(SamLayout, "store_for", spy)
         rows = {}
