@@ -382,6 +382,151 @@ static void pairhmm_f32_x8(const uint8_t* reads, const uint8_t* quals,
   _mm256_storeu_ps(out, _mm256_add_ps(sum_m, sum_x));
 }
 
+// 16-lane AVX-512 variant of the same construction (runtime-dispatched:
+// the .so is built for x86-64-v3 so it stays portable across a multihost
+// run's machines; this function alone carries avx512 target attributes
+// and is only called when __builtin_cpu_supports confirms the ISA).
+// AVX-512 mask registers replace the and/blend games: masked adds skip
+// dead lanes outright, which is bit-identical to the scalar c<=hlen loop.
+#if defined(__GNUC__) && defined(__x86_64__)
+#define HC_HAVE_AVX512_FN 1
+
+__attribute__((target("avx512f,avx512bw,avx512dq")))
+static void pairhmm_f32_x16(const uint8_t* reads, const uint8_t* quals,
+                            const int32_t* read_lens, int32_t read_stride,
+                            const uint8_t* haps, const int32_t* hap_lens,
+                            int32_t hap_stride, const int32_t* pair_read,
+                            const int32_t* pair_hap, int32_t gop,
+                            int32_t gcp, float* out) {
+  const Tables& tab = Tables::instance();
+  const uint8_t* rs[16];
+  const uint8_t* rq[16];
+  const uint8_t* hp[16];
+  alignas(64) int32_t rlen[16], hlen[16];
+  int max_r = 0, max_h = 0;
+  for (int l = 0; l < 16; ++l) {
+    const int32_t r = pair_read[l], h = pair_hap[l];
+    rs[l] = reads + static_cast<int64_t>(r) * read_stride;
+    rq[l] = quals + static_cast<int64_t>(r) * read_stride;
+    hp[l] = haps + static_cast<int64_t>(h) * hap_stride;
+    rlen[l] = read_lens[r];
+    hlen[l] = hap_lens[h];
+    max_r = std::max(max_r, rlen[l]);
+    max_h = std::max(max_h, hlen[l]);
+  }
+  struct V16Scratch {
+    std::vector<int32_t> hplane;  // (max_h x 16) transposed hap codes
+    std::vector<float> rows;      // 6 x (max_h + 1) x 16
+    void ensure(int mh) {
+      if (static_cast<int>(hplane.size()) < mh * 16)
+        hplane.resize(static_cast<size_t>(mh) * 16);
+      const size_t need = static_cast<size_t>(6) * (mh + 1) * 16;
+      if (rows.size() < need) rows.resize(need);
+    }
+  };
+  thread_local V16Scratch s;
+  s.ensure(max_h);
+  int32_t* hplane = s.hplane.data();
+  for (int c = 0; c < max_h; ++c)
+    for (int l = 0; l < 16; ++l)
+      hplane[static_cast<size_t>(c) * 16 + l] =
+          c < hlen[l] ? base_code(hp[l][c]) : 0;
+
+  const int q7 = gop & 127, g7 = gcp & 127;
+  const __m512 p_mm = _mm512_set1_ps(tab.m2m32[((q7 * (q7 + 1)) >> 1) + q7]);
+  const __m512 p_gapm = _mm512_set1_ps(1.0f - tab.ph2pr32[g7]);
+  const __m512 p_mx = _mm512_set1_ps(tab.ph2pr32[q7]);
+  const __m512 p_xx = _mm512_set1_ps(tab.ph2pr32[g7]);
+  const __m512 p_my = p_mx;
+  const __m512 p_yy = p_xx;
+
+  alignas(64) float init_buf[16];
+  const float initial = std::ldexp(1.0f, 120);
+  for (int l = 0; l < 16; ++l)
+    init_buf[l] = initial / static_cast<float>(hlen[l]);
+  const __m512 init_y = _mm512_load_ps(init_buf);
+
+  const size_t rw = static_cast<size_t>(max_h + 1) * 16;
+  float* Mp = s.rows.data();
+  float* Xp = Mp + rw;
+  float* Yp = Xp + rw;
+  float* Mc = Yp + rw;
+  float* Xc = Mc + rw;
+  float* Yc = Xc + rw;
+  const __m512 zero = _mm512_setzero_ps();
+  for (int c = 0; c <= max_h; ++c) {
+    _mm512_storeu_ps(Mp + c * 16, zero);
+    _mm512_storeu_ps(Xp + c * 16, zero);
+    _mm512_storeu_ps(Yp + c * 16, init_y);
+  }
+
+  const __m512i rlen_v = _mm512_load_si512(rlen);
+  const __m512i hlen_v = _mm512_load_si512(hlen);
+  const __m512i four = _mm512_set1_epi32(4);
+  const __m512 one = _mm512_set1_ps(1.0f);
+  const __m512 three = _mm512_set1_ps(3.0f);
+  __m512 sum_m = zero, sum_x = zero;
+
+  alignas(64) float qbuf[16];
+  alignas(64) int32_t rcode_buf[16];
+  for (int r = 1; r <= max_r; ++r) {
+    for (int l = 0; l < 16; ++l) {
+      const bool live = r <= rlen[l];
+      qbuf[l] = tab.ph2pr32[live ? (rq[l][r - 1] & 127) : 0];
+      rcode_buf[l] = live ? base_code(rs[l][r - 1]) : 0;
+    }
+    const __m512 q = _mm512_load_ps(qbuf);
+    const __m512 one_minus_q = _mm512_sub_ps(one, q);
+    const __m512 q_div3 = _mm512_div_ps(q, three);
+    const __m512i rcode = _mm512_load_si512(rcode_buf);
+    const __mmask16 rcode_is_n = _mm512_cmpeq_epi32_mask(rcode, four);
+
+    __m512 m_left = zero, y_left = zero;
+    __m512 row_m = zero, row_x = zero;
+    _mm512_storeu_ps(Mc, zero);
+    _mm512_storeu_ps(Xc, zero);
+    _mm512_storeu_ps(Yc, zero);
+    for (int c = 1; c <= max_h; ++c) {
+      const __m512i hcode = _mm512_loadu_si512(hplane + (c - 1) * 16);
+      const __mmask16 match =
+          _mm512_cmpeq_epi32_mask(rcode, hcode) | rcode_is_n |
+          _mm512_cmpeq_epi32_mask(hcode, four);
+      const __m512 distm = _mm512_mask_blend_ps(match, q_div3, one_minus_q);
+      const __m512 mp = _mm512_loadu_ps(Mp + (c - 1) * 16);
+      const __m512 xp = _mm512_loadu_ps(Xp + (c - 1) * 16);
+      const __m512 yp = _mm512_loadu_ps(Yp + (c - 1) * 16);
+      const __m512 t1 = _mm512_mul_ps(mp, p_mm);
+      const __m512 t2 = _mm512_mul_ps(xp, p_gapm);
+      const __m512 t3 = _mm512_mul_ps(yp, p_gapm);
+      const __m512 m = _mm512_mul_ps(
+          _mm512_add_ps(_mm512_add_ps(t1, t2), t3), distm);
+      const __m512 x = _mm512_add_ps(
+          _mm512_mul_ps(_mm512_loadu_ps(Mp + c * 16), p_mx),
+          _mm512_mul_ps(_mm512_loadu_ps(Xp + c * 16), p_xx));
+      const __m512 y = _mm512_add_ps(_mm512_mul_ps(m_left, p_my),
+                                     _mm512_mul_ps(y_left, p_yy));
+      _mm512_storeu_ps(Mc + c * 16, m);
+      _mm512_storeu_ps(Xc + c * 16, x);
+      _mm512_storeu_ps(Yc + c * 16, y);
+      const __mmask16 len_ok =
+          _mm512_cmpgt_epi32_mask(hlen_v, _mm512_set1_epi32(c - 1));
+      row_m = _mm512_mask_add_ps(row_m, len_ok, row_m, m);
+      row_x = _mm512_mask_add_ps(row_x, len_ok, row_x, x);
+      m_left = m;
+      y_left = y;
+    }
+    const __mmask16 final_row =
+        _mm512_cmpeq_epi32_mask(_mm512_set1_epi32(r), rlen_v);
+    sum_m = _mm512_mask_blend_ps(final_row, sum_m, row_m);
+    sum_x = _mm512_mask_blend_ps(final_row, sum_x, row_x);
+    std::swap(Mp, Mc);
+    std::swap(Xp, Xc);
+    std::swap(Yp, Yc);
+  }
+  _mm512_storeu_ps(out, _mm512_add_ps(sum_m, sum_x));
+}
+#endif  // HC_HAVE_AVX512_FN
+
 // Same pairs-per-lane construction in f64 (4 pairs per __m256d) — the
 // rescue path recomputes the ~7-8% of pairs whose f32 result underflows,
 // and a scalar rescue loop was the engine bottleneck once f32 went 8-wide.
@@ -1256,6 +1401,22 @@ void hc_pairhmm_f32(const uint8_t* reads, const uint8_t* quals,
     return env != nullptr && env[0] != '\0' && env[0] != '0';
   }();
   if (!force_scalar) {
+#ifdef HC_HAVE_AVX512_FN
+    static const bool use_avx512 = [] {
+      const char* env = std::getenv("HC_PAIRHMM_NO_AVX512");
+      const bool disabled = env != nullptr && env[0] != '\0' && env[0] != '0';
+      return !disabled && __builtin_cpu_supports("avx512f") &&
+             __builtin_cpu_supports("avx512bw") &&
+             __builtin_cpu_supports("avx512dq");
+    }();
+    if (use_avx512) {
+      for (; p + 16 <= n_pairs; p += 16) {
+        pairhmm_f32_x16(reads, quals, read_lens, read_stride, haps,
+                        hap_lens, hap_stride, pair_read + p, pair_hap + p,
+                        gop, gcp, out + p);
+      }
+    }
+#endif
     for (; p + 8 <= n_pairs; p += 8) {
       pairhmm_f32_x8(reads, quals, read_lens, read_stride, haps, hap_lens,
                      hap_stride, pair_read + p, pair_hap + p, gop, gcp,
