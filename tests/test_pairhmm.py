@@ -129,6 +129,35 @@ class TestNativePairHMM:
             )
             assert np.float32(want) == got[k], (k, want, got[k])
 
+    @pytest.mark.parametrize("n_pairs", [1, 7, 8, 9, 16, 17, 23])
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_sorted_scatter_preserves_pair_order(self, n_pairs, dtype):
+        """The batch entries sort pairs by length internally and scatter
+        results back — out[k] must always be pair k's value across block
+        boundaries (8/16-lane), ties, and duplicate pairs."""
+        native = self._native()
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        nprng = np.random.default_rng(n_pairs * 7 + 1)
+        nr, nh, sr, sh = 6, 5, 40, 90
+        reads = bases[nprng.integers(0, 4, (nr, sr))]
+        quals = nprng.integers(33, 74, (nr, sr)).astype(np.uint8)
+        haps = bases[nprng.integers(0, 4, (nh, sh))]
+        rlens = nprng.integers(8, sr + 1, nr).astype(np.int32)
+        hlens = nprng.integers(15, sh + 1, nh).astype(np.int32)
+        pair_read = nprng.integers(0, nr, n_pairs).astype(np.int32)
+        pair_hap = nprng.integers(0, nh, n_pairs).astype(np.int32)
+        got = native.pairhmm_raw_native(
+            reads, quals, rlens, haps, hlens, pair_read, pair_hap,
+            ord("I"), ord("+"), dtype,
+        )
+        for k in range(n_pairs):
+            one = native.pairhmm_raw_native(
+                reads, quals, rlens, haps, hlens,
+                pair_read[k : k + 1].copy(), pair_hap[k : k + 1].copy(),
+                ord("I"), ord("+"), dtype,
+            )[0]
+            assert one == got[k], (k, one, got[k])
+
     @pytest.mark.parametrize("dtype", [np.float32, np.float64])
     def test_matches_oracle_bitexact(self, rng, dtype):
         native = self._native()
