@@ -177,3 +177,35 @@ class TestNativePairHMM:
                 ord("I"), ord("+"), dtype,
             )[0]
             assert dtype(want) == got, f"trial {trial}: {want} != {got}"
+
+
+class TestScalarFallbackPath:
+    def test_scalar_env_still_golden(self, tmp_path):
+        """HC_PAIRHMM_SCALAR=1 (the debugging/A-B escape hatch) must keep
+        the full pipeline byte-identical — the env is read once per
+        process, so this runs the CLI in a subprocess."""
+        import os
+        import subprocess
+        import sys
+
+        native = pytest.importorskip("gatk_hc_tpu.native")
+        if not native.available():
+            pytest.skip("native library unavailable")
+        fixtures = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "fixtures"
+        )
+        out = tmp_path / "scalar.vcf"
+        env = dict(
+            os.environ, HC_PAIRHMM_SCALAR="1", JAX_PLATFORMS="cpu",
+            PYTHONPATH=os.path.dirname(os.path.dirname(__file__)),
+        )
+        r = subprocess.run(
+            [sys.executable, "-m", "gatk_hc_tpu.cli",
+             "-I", os.path.join(fixtures, "chrM.sam"),
+             "-R", os.path.join(fixtures, "chrM.fa"),
+             "-O", str(out), "--pairhmm", "native"],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        golden = open(os.path.join(fixtures, "chrM.golden.vcf")).read()
+        assert out.read_text() == golden
