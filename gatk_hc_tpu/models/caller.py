@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
 import time
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
@@ -100,7 +101,15 @@ def iter_windows(
     origin = Interval(contig, 0, cfg.region_size)
     padded = Interval(contig, 0, cfg.region_size + cfg.padding_size)
     for _ in range(windows_number):
-        clamped = Interval(contig, padded.begin, min(padded.end, ref_size))
+        # Clamp begin at 0 as well as end at the contig: --padding-size >
+        # --region-size would otherwise yield a negative begin, which the
+        # Python path would silently wrap (seq[-k:end]) and the fused native
+        # path would turn into an out-of-bounds pointer read.  The reference
+        # never hits this (its sizes are hardcoded 245/85,
+        # haplotypecaller.hpp:112-113).
+        clamped = Interval(
+            contig, max(0, padded.begin), min(padded.end, ref_size)
+        )
         yield origin, clamped
         origin = Interval(contig, origin.begin + cfg.region_size, origin.end + cfg.region_size)
         padded = Interval(

@@ -2006,9 +2006,10 @@ int64_t hc_sam_parse_ranges(const uint8_t* buf, int64_t n,
 // allocation upper bounds, these counts must equal what sam_parse_impl
 // writes for a VALID block ("*" cigars contribute zero ops; only >=11-field
 // lines are records; with keep ranges, only contig-matched records whose
-// POS-1 is in range).  A block containing a malformed line may count it as
-// a record here — pass 2 then fails the whole parse, so the counts are
-// never consumed.
+// POS-1 is in range).  The parallel fill consumes these counts BEFORE the
+// malformed-line error check, so the predicate must never count a line the
+// allocation scan skipped (see the ranged branch below) — overcounting
+// would write past the allocated arrays.
 static void sam_count_block(const uint8_t* buf, int64_t lo, int64_t hi,
                             const uint8_t* contig_blob,
                             const int64_t* contig_offs, int32_t n_contigs,
@@ -2031,10 +2032,15 @@ static void sam_count_block(const uint8_t* buf, int64_t lo, int64_t hi,
           const int64_t f_pos = sam_field_int(f_ptr[3], f_len[3], &ok);
           const int32_t cid = match_contig(f_ptr[2], f_len[2], contig_blob,
                                            contig_offs, n_contigs);
-          // a !ok line fails pass 2 regardless; count it as kept so the
-          // predicate only ever differs on lines that abort the parse
-          kept = !ok || (cid >= 0 && f_pos - 1 >= keep_lo[cid] &&
-                         f_pos - 1 < keep_hi[cid]);
+          // a non-numeric-POS line must NOT count as kept: the allocation
+          // scan (sam_scan_ranges_block) skips it, so counting it here
+          // would push every later block's prefix-summed cursor past the
+          // allocated arrays before pass 2 reports the error.  Pass 2
+          // aborts at the line either way, so skipping keeps the cursors
+          // consistent with both the allocation and the records parse
+          // actually writes.
+          kept = ok && cid >= 0 && f_pos - 1 >= keep_lo[cid] &&
+                 f_pos - 1 < keep_hi[cid];
         }
         if (kept) {
           ++recs;
