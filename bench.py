@@ -4,11 +4,13 @@
 Headline metric (BASELINE.json): PairHMM cell-updates/s per chip on the
 single-region batched config (1k synthetic 151bp reads x 16 haplotypes),
 measured on the production Pallas path including host->device transfer of
-the uint8 tables and result readback.  vs_baseline is the ratio against the
-reference-equivalent CPU engine (this repo's C++ scalar PairHMM, same
-semantics as the reference's AVX path, measured on this host) — the upstream
-repo publishes no numbers and cannot be built here (no Boost), see
-BASELINE.md.
+the uint8 tables and result readback.  vs_baseline divides by a FROZEN
+reference-equivalent scalar CPU number (REFERENCE_SCALAR_CELLS_PER_S, the
+repo's C++ scalar PairHMM under HC_PAIRHMM_SCALAR=1 — same semantics as the
+reference's pairhmm.hpp) so the ratio is round-comparable and north-star
+aligned; vs_current_cpu_engine divides by the repo's best CPU engine,
+re-measured each run.  The upstream repo publishes no numbers and cannot be
+built here (no Boost), see BASELINE.md.
 
 Extra context fields: e2e chrM wall-clock + the CPU baseline measurement.
 """
@@ -30,6 +32,16 @@ N_READS = 1024
 N_HAPS = 16
 READ_LEN = 151
 HAP_LEN = 415  # padded-window reference length (245 + 2*85)
+
+# FROZEN north-star divisor (VERDICT r3 weak #2): the reference-equivalent
+# scalar C++ engine (HC_PAIRHMM_SCALAR=1, single thread — same semantics as
+# /root/reference's scalar pairhmm.hpp:80-142, measured best-of-5 on this
+# host 2026-08-19, warm tables).  This number never changes round-to-round,
+# so `vs_baseline` is comparable across rounds and aligned with
+# BASELINE.json's ">50x vs the CPU reference" north star.  The repo's own
+# best CPU engine (AVX pairs-per-lane) keeps improving and is reported
+# separately as `vs_current_cpu_engine`.
+REFERENCE_SCALAR_CELLS_PER_S = 345e6
 
 
 def make_workload(seed: int = 20260816):
@@ -239,10 +251,18 @@ def device_section() -> dict:
 # wedged relay produces nothing
 DEVICE_TIMEOUT_S = 3300.0
 
-# Best healthy-phase results ever measured on this machine, persisted so a
-# run that lands in a wedged/degraded relay phase still reports the last
-# known-good engine numbers (clearly labelled as historical).
+# Best healthy-phase results ever measured, persisted so a run that lands
+# in a wedged/degraded relay phase still reports the last known-good engine
+# numbers (clearly labelled as historical).  Two layers: a per-machine cache
+# and a REPO-COMMITTED record (perf_artifacts/bench_best_healthy.json) that
+# survives machine resets between rounds — the carry-forward the r3 verdict
+# asked for, so a degraded capture can never silently become the number of
+# record.
 HISTORY_PATH = os.path.expanduser("~/.cache/gatk_hc_tpu_bench_history.json")
+REPO_HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "perf_artifacts", "bench_best_healthy.json",
+)
 
 
 def _git_rev() -> str:
@@ -259,11 +279,19 @@ def _git_rev() -> str:
 
 
 def _load_history() -> dict:
-    try:
-        with open(HISTORY_PATH) as handle:
-            return json.load(handle)
-    except Exception:
-        return {}
+    """Best healthy record: max over the machine cache and the repo file."""
+    best = {}
+    for path in (HISTORY_PATH, REPO_HISTORY_PATH):
+        try:
+            with open(path) as handle:
+                hist = json.load(handle)
+            if hist.get("healthy_cells_per_s", 0) > best.get(
+                "healthy_cells_per_s", 0
+            ):
+                best = hist
+        except Exception:
+            pass
+    return best
 
 
 def _update_history(healthy, kernel) -> None:
@@ -278,23 +306,23 @@ def _update_history(healthy, kernel) -> None:
             "git_rev": _git_rev(),
             "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        try:
-            os.makedirs(os.path.dirname(HISTORY_PATH), exist_ok=True)
-            with open(HISTORY_PATH, "w") as handle:
-                json.dump(hist, handle)
-        except Exception:
-            pass
+        for path in (HISTORY_PATH, REPO_HISTORY_PATH):
+            try:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                with open(path, "w") as handle:
+                    json.dump(hist, handle)
+            except Exception:
+                pass
 
 
 def _history_fields() -> dict:
-    """Labelled historical context for degraded/wedged runs."""
+    """Labelled best-ever-healthy context, attached to EVERY artifact so a
+    degraded capture is readable without PERFORMANCE.md."""
     hist = _load_history()
     if not hist:
         return {}
     return {
-        "best_healthy_cells_per_s_this_machine": hist.get(
-            "healthy_cells_per_s"
-        ),
+        "best_healthy_cells_per_s_ever": hist.get("healthy_cells_per_s"),
         "best_healthy_measured_at": hist.get("measured_at"),
         "best_healthy_git_rev": hist.get("git_rev"),
     }
@@ -328,11 +356,14 @@ def main() -> None:
             "value": 0,
             "unit": "cells/s",
             "vs_baseline": 0.0,
-            "baseline_cpu_cells_per_s": round(cpu_cells_per_s),
+            "reference_equivalent_scalar_cells_per_s": round(
+                REFERENCE_SCALAR_CELLS_PER_S
+            ),
+            "current_cpu_engine_cells_per_s": round(cpu_cells_per_s),
             "relay_wedged": True,
             "relay_degraded": True,
-            "floor_ok": True,
-            "kernel_floor_ok": True,
+            "floor_ok": None,
+            "kernel_floor_ok": None,
             "workload": f"relay unresponsive (device section produced no "
                         f"result in {DEVICE_TIMEOUT_S:.0f}s); not an "
                         "engine regression (see PERFORMANCE.md caveats)",
@@ -354,8 +385,17 @@ def main() -> None:
         "metric": "pairhmm_cell_updates_per_s_per_chip",
         "value": round(headline),
         "unit": "cells/s",
-        "vs_baseline": round(headline / cpu_cells_per_s, 2),
-        "baseline_cpu_cells_per_s": round(cpu_cells_per_s),
+        # north-star ratio vs the FROZEN reference-equivalent scalar engine
+        # (round-comparable; BASELINE.json asks for >50x vs the reference
+        # CPU).  vs_current_cpu_engine divides by the repo's own best CPU
+        # engine, re-measured each run — an honest self-comparison that
+        # shrinks as the CPU engine improves.
+        "vs_baseline": round(headline / REFERENCE_SCALAR_CELLS_PER_S, 2),
+        "reference_equivalent_scalar_cells_per_s": round(
+            REFERENCE_SCALAR_CELLS_PER_S
+        ),
+        "vs_current_cpu_engine": round(headline / cpu_cells_per_s, 2),
+        "current_cpu_engine_cells_per_s": round(cpu_cells_per_s),
         # both phase buckets, separately: round-over-round comparisons must
         # compare like phases (null = that phase never occurred in-run)
         "sustained_healthy_cells_per_s": (
@@ -367,7 +407,10 @@ def main() -> None:
         "sample_rounds": rounds,
         "kernel_only_cells_per_s": round(kernel_cells_per_s),
         "sustained_floor_cells_per_s": round(floor),
-        "floor_ok": bool(healthy is None or healthy >= floor),
+        # tri-state (VERDICT r3 weak #1): true/false only when a healthy
+        # sample exists; null = "unknown, no healthy window this run" so a
+        # degraded capture can't vacuously pass the floor
+        "floor_ok": (None if healthy is None else bool(healthy >= floor)),
         # kernel-only regression guard: catches kernel slowdowns even when
         # the whole run sat in a degraded relay phase
         "kernel_floor_cells_per_s": round(kernel_floor),
@@ -383,10 +426,9 @@ def main() -> None:
             f"{HAP_LEN}bp haps; best healthy-phase round of {rounds}"
         ),
     }
-    if healthy is None:
-        # degraded run: attach the machine's best healthy-phase numbers so
-        # round-over-round readers can separate relay phase from engine
-        result.update(_history_fields())
+    # best-ever healthy context on EVERY artifact: round-over-round readers
+    # can always separate relay phase from engine state
+    result.update(_history_fields())
     print(json.dumps(result))
 
 

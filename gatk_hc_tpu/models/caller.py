@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import threading
 import time
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
