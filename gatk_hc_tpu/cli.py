@@ -32,10 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--pairhmm",
         default=DEFAULT_CONFIG.pairhmm_engine,
-        choices=("auto", "pallas", "jax", "native", "python"),
+        choices=("auto", "pallas", "jax", "native", "python", "shardmap"),
         help="PairHMM engine (default: %(default)s; auto = native C++ for "
         "small inputs where jax startup dominates, pallas otherwise — "
-        "bit-exact either way)",
+        "bit-exact either way; shardmap = one shard_map program over a "
+        "(data, hap) device mesh, exact host finalize, for pod-scale runs)",
     )
     parser.add_argument(
         "--assembler",
@@ -206,12 +207,12 @@ def main(argv=None) -> int:
                 logger=logger, timers=timers, counters=counters,
                 manifest_path=args.manifest,
             )
-        elif cfg.pairhmm_engine in ("pallas", "jax", "native"):
+        elif cfg.pairhmm_engine in ("pallas", "jax", "native", "shardmap"):
             # native uses the CPU batch runner inside call_batched (same
             # grouping + columnar data path) and never touches jax — its
             # backend init costs ~1s of latency; "python" stays on the
             # simple per-region oracle pipeline
-            if cfg.pairhmm_engine in ("pallas", "jax"):
+            if cfg.pairhmm_engine in ("pallas", "jax", "shardmap"):
                 from .parallel.compile_cache import enable_compile_cache
 
                 enable_compile_cache()

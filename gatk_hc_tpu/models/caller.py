@@ -250,6 +250,10 @@ def call_batched(
             from ..ops.runner import JnpPairHMMRunner
 
             runner = JnpPairHMMRunner(cfg)
+        elif cfg.pairhmm_engine == "shardmap":
+            from ..parallel.sharded_step import ShardMapPairHMMRunner
+
+            runner = ShardMapPairHMMRunner(cfg)
         else:
             runner = PallasPairHMMRunner(cfg)
     timers = timers or StageTimers()

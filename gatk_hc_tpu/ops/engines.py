@@ -70,6 +70,10 @@ def make_pairhmm_engine(cfg: HCConfig) -> Callable:
         from .pairhmm_pallas import pallas_pairhmm_engine
 
         return pallas_pairhmm_engine(cfg)
+    if name == "shardmap":
+        from ..parallel.sharded_step import shardmap_pairhmm_engine
+
+        return shardmap_pairhmm_engine(cfg)
     raise ValueError(f"unknown pairhmm engine {name!r}")
 
 

@@ -13,12 +13,14 @@ from gatk_hc_tpu.ops.pairhmm_jax import pairhmm_forward_batch, transition_consta
 from gatk_hc_tpu.parallel import multihost
 from gatk_hc_tpu.parallel.checkpoint import RegionManifest
 from gatk_hc_tpu.parallel.sharded_step import (
+    HAP_SPECS,
+    READ_SPECS,
+    ShardMapPairHMMRunner,
     make_mesh,
-    make_sharded_likelihood_step,
+    make_sharded_raw_step,
     shard_inputs,
 )
 from gatk_hc_tpu.utils.interval import Interval
-from gatk_hc_tpu.utils.quality import LOG10_INITIAL_CONSTANT_F32
 
 needs_8_devices = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
@@ -40,43 +42,66 @@ def _mesh_workload(n_reads, n_haps, r_pad=16, c_pad=128, seed=0):
     return rc, omq, q3, rl, hc, hl, iy
 
 
+def _unsharded_probs(trans, rc, omq, q3, rl, hc, hl, iy, r_pad, c_pad):
+    """Full pair grid through the single-chip jnp forward (the oracle-exact
+    engine) — the bitwise reference for the sharded step."""
+    n_reads, n_haps = rc.shape[0], hc.shape[0]
+    pr = np.repeat(np.arange(n_reads, dtype=np.int32), n_haps)
+    ph = np.tile(np.arange(n_haps, dtype=np.int32), n_reads)
+    return np.asarray(
+        pairhmm_forward_batch(
+            jnp.asarray(rc[pr]), jnp.asarray(omq[pr]), jnp.asarray(q3[pr]),
+            jnp.asarray(rl[pr]), jnp.asarray(hc[ph]), jnp.asarray(hl[ph]),
+            jnp.asarray(iy[ph]), trans, r_pad=r_pad, c_pad=c_pad,
+        )
+    ).reshape(n_reads, n_haps)
+
+
 @needs_8_devices
 class TestShardedStep:
-    def test_matches_unsharded(self):
+    def test_raw_matches_unsharded_bitwise(self):
+        """The sharded step emits RAW f32 probabilities — bitwise equal to
+        the single-chip jnp forward, so the exact host f64 finalize chain
+        yields identical likelihoods (VERDICT r3 weak #3)."""
         trans = transition_constants(ord("I"), ord("+"))
         r_pad, c_pad = 16, 128
         n_reads, n_haps = 16, 4
         rc, omq, q3, rl, hc, hl, iy = _mesh_workload(n_reads, n_haps, r_pad, c_pad)
 
         mesh = make_mesh(8, hap_parallel=2)
-        step = make_sharded_likelihood_step(
+        step = make_sharded_raw_step(
             mesh, trans, r_pad, c_pad, use_pallas=False, cfg=DEFAULT_CONFIG
         )
-        specs = (
-            P("data", None), P("data", None), P("data", None), P("data"),
-            P("hap", None), P("hap"), P("hap"),
+        args = shard_inputs(
+            mesh, (rc, omq, q3, rl, hc, hl, iy), READ_SPECS + HAP_SPECS
         )
-        args = shard_inputs(mesh, (rc, omq, q3, rl, hc, hl, iy), specs)
-        floored, keep, n_kept = step(*args)
-        floored = np.asarray(floored)
+        raw, best, n_rescue = step(*args)
+        want = _unsharded_probs(trans, rc, omq, q3, rl, hc, hl, iy, r_pad, c_pad)
+        np.testing.assert_array_equal(np.asarray(raw), want)
+        np.testing.assert_array_equal(np.asarray(best), want.max(axis=1))
+        assert int(np.asarray(n_rescue)[0]) == 0
 
-        # unsharded reference: full pair grid through the same forward
-        pr = np.repeat(np.arange(n_reads, dtype=np.int32), n_haps)
-        ph = np.tile(np.arange(n_haps, dtype=np.int32), n_reads)
-        probs = np.asarray(
-            pairhmm_forward_batch(
-                jnp.asarray(rc[pr]), jnp.asarray(omq[pr]), jnp.asarray(q3[pr]),
-                jnp.asarray(rl[pr]), jnp.asarray(hc[ph]), jnp.asarray(hl[ph]),
-                jnp.asarray(iy[ph]), trans, r_pad=r_pad, c_pad=c_pad,
-            )
-        ).reshape(n_reads, n_haps)
-        lik = np.log10(np.maximum(probs, 1e-45)).astype(np.float32) - np.float32(
-            LOG10_INITIAL_CONSTANT_F32
+    def test_pallas_kernel_under_shard_map(self):
+        """Kernel-under-collectives composition (VERDICT r3 weak #7): the
+        Pallas kernel (striped, interpret mode — the CPU-exact variant)
+        compiles and runs inside shard_map on an 8-device mesh, bitwise
+        equal to the jnp forward."""
+        trans = transition_constants(ord("I"), ord("+"))
+        r_pad, c_pad = 16, 128
+        n_reads, n_haps = 8, 2
+        rc, omq, q3, rl, hc, hl, iy = _mesh_workload(n_reads, n_haps, r_pad, c_pad)
+
+        mesh = make_mesh(8, hap_parallel=2)
+        step = make_sharded_raw_step(
+            mesh, trans, r_pad, c_pad, use_pallas=True, cfg=DEFAULT_CONFIG,
+            interpret=True,
         )
-        best = lik.max(axis=1)
-        want = np.maximum(lik, (best - 4.5)[:, None])
-        np.testing.assert_allclose(floored, want, rtol=1e-6)
-        assert int(np.asarray(n_kept)[0]) == n_reads
+        args = shard_inputs(
+            mesh, (rc, omq, q3, rl, hc, hl, iy), READ_SPECS + HAP_SPECS
+        )
+        raw = np.asarray(step(*args)[0])
+        want = _unsharded_probs(trans, rc, omq, q3, rl, hc, hl, iy, r_pad, c_pad)
+        np.testing.assert_array_equal(raw, want)
 
     def test_mesh_shapes(self):
         mesh = make_mesh(8, hap_parallel=2)
@@ -85,6 +110,33 @@ class TestShardedStep:
         assert mesh1.devices.shape == (8, 1)
         with pytest.raises(ValueError):
             make_mesh(8, hap_parallel=3)
+
+
+@needs_8_devices
+class TestShardMapRunnerGolden:
+    def test_chrm_golden_vcf_through_shard_map(self, tmp_path):
+        """The full chrM pipeline with the PairHMM computed by the shard_map
+        runner over the 8-virtual-device (data=4, hap=2) mesh must produce
+        the byte-identical golden VCF: raw probs on device (pmax/psum
+        collectives), exact f64 finalize + normalize on host (VERDICT r3
+        #7 'Done =' criterion)."""
+        import dataclasses
+        import os
+
+        from gatk_hc_tpu.models.caller import call_batched
+
+        fixtures = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "fixtures"
+        )
+        golden = os.path.join(fixtures, "chrM.golden.vcf")
+        cfg = dataclasses.replace(DEFAULT_CONFIG, pairhmm_engine="shardmap")
+        out = tmp_path / "chrM_shardmap.vcf"
+        call_batched(
+            os.path.join(fixtures, "chrM.sam"),
+            os.path.join(fixtures, "chrM.fa"),
+            str(out), cfg,
+        )
+        assert out.read_text() == open(golden).read()
 
 
 @needs_8_devices

@@ -117,12 +117,12 @@ def bench_runner_weak_scaling(counts):
 def bench_sharded_step_weak_scaling(counts):
     import jax
     import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
 
     from gatk_hc_tpu.config import DEFAULT_CONFIG
     from gatk_hc_tpu.ops.pairhmm_jax import transition_constants
     from gatk_hc_tpu.parallel.sharded_step import (
-        make_mesh, make_sharded_likelihood_step, shard_inputs,
+        HAP_SPECS, READ_SPECS, make_mesh, make_sharded_raw_step,
+        shard_inputs,
     )
 
     trans = transition_constants(ord("I"), ord("+"))
@@ -146,14 +146,12 @@ def bench_sharded_step_weak_scaling(counts):
         q3 = np.full((n_reads, r_pad), q / 3.0, np.float32)
         rl = np.full(n_reads, r_pad - 2, np.int32)
         iy = (np.float32(2.0**120) / hl.astype(np.float32)).astype(np.float32)
-        step = make_sharded_likelihood_step(
+        step = make_sharded_raw_step(
             mesh, trans, r_pad, c_pad, use_pallas, DEFAULT_CONFIG
         )
-        specs = (
-            P("data", None), P("data", None), P("data", None), P("data"),
-            P("hap", None), P("hap"), P("hap"),
+        args = shard_inputs(
+            mesh, (rc, omq, q3, rl, hc, hl, iy), READ_SPECS + HAP_SPECS
         )
-        args = shard_inputs(mesh, (rc, omq, q3, rl, hc, hl, iy), specs)
         jax.block_until_ready(step(*args))
         t0 = time.perf_counter()
         for _ in range(5):
