@@ -48,7 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
         default=DEFAULT_CONFIG.genotyper_engine,
         choices=("host", "jax"),
         help="genotype reductions: exact host NumPy f64 or batched device "
-        "jnp (f64 on CPU backends; f32 on TPU with a documented GQ caveat)",
+        "jnp (f64 on CPU backends; f32 on TPU with a stability guard that "
+        "host-verifies any site whose GT/GQ is not provably exact)",
     )
     parser.add_argument(
         "--downsample",

@@ -497,12 +497,14 @@ def call_batched(
         if batched:
             from .genotyper import genotype_regions_jax, genotype_regions_numpy
 
-            genotype_regions = (
-                genotype_regions_jax
-                if cfg.genotyper_engine == "jax"
-                else genotype_regions_numpy
-            )
-            per_region = genotype_regions([b[1] for b in batched], cfg)
+            if cfg.genotyper_engine == "jax":
+                per_region = genotype_regions_jax(
+                    [b[1] for b in batched], cfg, counters=counters
+                )
+            else:
+                per_region = genotype_regions_numpy(
+                    [b[1] for b in batched], cfg
+                )
             for (result, _inputs), region_variants in zip(batched, per_region):
                 result.variants = region_variants
                 counters.variants += len(result.variants)

@@ -10,11 +10,14 @@ a handful of shapes; masks carry the per-site read/hap/allele counts.
 Where it fits: the production path keeps these reductions on the host in
 float64 (vectorized NumPy — bit-exact with the reference and fast enough
 that genotyping is ~3% of end-to-end wall at 60 Mb).  This module exists
-for pod-scale deployments where genotyping runs under shard_map next to
-the PairHMM step: on CPU backends it runs in float64 and matches the host
-genotyper exactly (tested); TPUs have no float64, so there it computes in
-float32 — GQ values can differ when the top-2 gap sits within f32 error
-of a rounding boundary, which is why it is not the default engine.
+for pod-scale deployments where genotyping runs next to the PairHMM step:
+on CPU backends it runs in float64 and matches the host genotyper exactly
+(tested).  TPUs have no float64, so there it computes in float32 with
+Neumaier-compensated read sums, and the caller-side stability guard
+(models/genotyper.py::genotype_regions_jax) host-verifies every site whose
+GT/GQ decision is not provably stable under the f32 error bound — so the
+emitted VCF is host-identical on every backend, with a few percent of
+sites re-running on the host (counted as ``gq_host_verified``).
 """
 
 from __future__ import annotations
@@ -46,7 +49,7 @@ def genotype_pair_tables() -> Tuple[np.ndarray, np.ndarray]:
     return a1.astype(np.int32), a2.astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("max_gq",))
+@functools.partial(jax.jit, static_argnames=("max_gq", "compensated"))
 def genotype_sites(
     likelihoods: jnp.ndarray,  # (S, R, H) read x hap log10 likelihoods
     hap_to_allele: jnp.ndarray,  # (S, H) int32 allele index per haplotype
@@ -55,6 +58,7 @@ def genotype_sites(
     allele_count: jnp.ndarray,  # (S,) int32
     jacobian: jnp.ndarray,  # (table_size,) Jacobian log table
     max_gq: int = 99,
+    compensated: bool = False,
 ):
     """Returns (genotype_lik (S, G), best_index (S,), gq (S,)).
 
@@ -96,13 +100,34 @@ def genotype_sites(
     vals = jnp.where(jnp.asarray(a1 == a2), hom, het)  # (S, R, G)
     vals = jnp.where(read_keep[:, :, None], vals, 0.0)  # masked reads add 0
     n_reads = jnp.sum(read_keep, axis=1).astype(dtype)  # (S,)
-    # lax.scan forces the host genotyper's left-to-right addition order
-    # (XLA lowers cumsum/sum to a reassociating parallel prefix)
-    summed, _ = jax.lax.scan(
-        lambda carry, v: (carry + v, None),
-        jnp.zeros((S, vals.shape[2]), dtype),
-        vals.transpose(1, 0, 2),
-    )
+    zero = jnp.zeros((S, vals.shape[2]), dtype)
+    if compensated:
+        # Neumaier compensated summation for the f32 (TPU) path: shrinks
+        # the summation error from O(R^2 * eps * m) to ~2*eps*sum|v|, which
+        # tightens the stability bound the host-verify guard uses
+        # (models/genotyper.py::genotype_regions_jax) and so keeps nearly
+        # every site's GT/GQ decision on device.
+        def nstep(carry, v):
+            s, c = carry
+            t = s + v
+            c = c + jnp.where(
+                jnp.abs(s) >= jnp.abs(v), (s - t) + v, (v - t) + s
+            )
+            return (t, c), None
+
+        (s_sum, comp), _ = jax.lax.scan(
+            nstep, (zero, zero), vals.transpose(1, 0, 2)
+        )
+        summed = s_sum + comp
+    else:
+        # lax.scan forces the host genotyper's left-to-right addition order
+        # (XLA lowers cumsum/sum to a reassociating parallel prefix) — the
+        # f64 path is bit-exact with the host engine
+        summed, _ = jax.lax.scan(
+            lambda carry, v: (carry + v, None),
+            zero,
+            vals.transpose(1, 0, 2),
+        )
     totals = summed - (n_reads * jnp.asarray(_LOG10_2, dtype))[:, None]
 
     # mask genotype slots beyond each site's allele count
@@ -135,7 +160,8 @@ def genotype_sites_host(
     max_gq: int = 99,
 ):
     """Convenience wrapper: pads nothing, runs the jitted reduction with the
-    float64 Jacobian table (CPU backends) or float32 (TPU)."""
+    float64 Jacobian table (CPU backends) or float32 (TPU, compensated
+    summation so the host-verify guard's bound stays tight)."""
     import contextlib
 
     use_f64 = likelihoods.dtype == np.float64
@@ -150,4 +176,5 @@ def genotype_sites_host(
             jnp.asarray(allele_count),
             jnp.asarray(table),
             max_gq=max_gq,
+            compensated=not use_f64,
         )

@@ -37,6 +37,10 @@ class RunCounters:
     cell_updates: int = 0
     rescued_pairs: int = 0
     variants: int = 0
+    # --genotyper jax on f32 backends: sites whose GT/GQ decision was not
+    # provably stable under the f32 error bound and re-ran on the exact
+    # host f64 path (models/genotyper.py::genotype_regions_jax guard)
+    gq_host_verified: int = 0
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

@@ -329,3 +329,96 @@ class TestBatchedNumpyGenotyper:
         hv = np.ones((1, 3), bool)
         best, gq = _genotype_sites_numpy(lik, h2a, keep, hv, 2, 99)
         assert int(best[0]) == 2 and int(gq[0]) == 0
+
+
+class TestF32StabilityGuard:
+    """--genotyper jax on f32 backends (TPU numerics): the stability guard
+    must make the output host-identical by routing every unprovable GT/GQ
+    decision to the exact host f64 path (VERDICT r3 weak #4)."""
+
+    def _region(self, lik):
+        ref = ("ACGT" * 25)
+        pos = 50
+        alt = ref[:pos] + ("G" if ref[pos] != "G" else "C") + ref[pos + 1:]
+        origin = Interval("chrM", 0, 100)
+        h_ref = Haplotype(ref)
+        h_ref.cigar = parse_cigar("100M")
+        h_alt = Haplotype(alt)
+        h_alt.cigar = parse_cigar("100M")
+        reads = [make_read(1, ref[:80]) for _ in range(lik.shape[0])]
+        return (reads, [h_ref, h_alt], lik, ref, origin, origin)
+
+    def test_exact_tie_is_flagged_and_host_identical(self):
+        from gatk_hc_tpu.models.genotyper import genotype_regions_jax
+        from gatk_hc_tpu.utils.logging import RunCounters
+
+        # degenerate matrix: with every read scoring both alleles -1.0,
+        # all three genotype totals are (near-)EXACTLY equal in f64 —
+        # hom = -1 + log10(2) per read, het = -1 + jacobian[0] per read,
+        # and jacobian[0] IS log10(2) — so the f32 argmax cannot be proven
+        # stable.  The guard must flag the site and the host recompute
+        # must make the emitted variant identical to the host engine's
+        # (later-ties-win selects 1/1).
+        lik = np.full((12, 2), -1.0, dtype=np.float64)
+        region = self._region(lik)
+        host = assign_genotype_likelihoods(*region, DEFAULT_CONFIG)
+        counters = RunCounters()
+        import dataclasses
+
+        cfg = dataclasses.replace(DEFAULT_CONFIG, genotyper_engine="jax")
+        dev = genotype_regions_jax(
+            [region], cfg, use_f64=False, counters=counters
+        )[0]
+        assert counters.gq_host_verified >= 1
+        assert [v.to_vcf_row() for v in dev] == [
+            v.to_vcf_row() for v in host
+        ]
+
+    def test_random_regions_host_identical(self):
+        """Random likelihood matrices, f32 device path vs exact host: every
+        emitted variant row identical (the guard absorbs all f32 drift)."""
+        from gatk_hc_tpu.models.genotyper import genotype_regions_jax
+        from gatk_hc_tpu.utils.logging import RunCounters
+
+        import dataclasses
+
+        cfg = dataclasses.replace(DEFAULT_CONFIG, genotyper_engine="jax")
+        rng = np.random.default_rng(20260819)
+        counters = RunCounters()
+        for _ in range(8):
+            n = int(rng.integers(4, 40))
+            lik = (rng.random((n, 2)) * -12.0).round(3)
+            region = self._region(lik)
+            host = assign_genotype_likelihoods(*region, DEFAULT_CONFIG)
+            dev = genotype_regions_jax(
+                [region], cfg, use_f64=False, counters=counters
+            )[0]
+            assert [v.to_vcf_row() for v in dev] == [
+                v.to_vcf_row() for v in host
+            ]
+
+    def test_chrm_golden_with_f32_device_genotyper(self, tmp_path, monkeypatch):
+        """Full chrM pipeline with the genotyper forced onto the f32 (TPU
+        numerics) device path: byte-identical golden VCF."""
+        import dataclasses
+        import pathlib
+
+        import gatk_hc_tpu.models.genotyper as gt
+        from gatk_hc_tpu.models.caller import call_batched
+
+        orig = gt.genotype_regions_jax
+
+        def f32_regions(region_inputs, cfg, use_f64=None, counters=None):
+            return orig(region_inputs, cfg, use_f64=False, counters=counters)
+
+        monkeypatch.setattr(gt, "genotype_regions_jax", f32_regions)
+        fixtures = pathlib.Path(__file__).parent.parent / "fixtures"
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, pairhmm_engine="native", genotyper_engine="jax"
+        )
+        out = tmp_path / "gjax32.vcf"
+        call_batched(
+            str(fixtures / "chrM.sam"), str(fixtures / "chrM.fa"),
+            str(out), cfg,
+        )
+        assert out.read_text() == (fixtures / "chrM.golden.vcf").read_text()
