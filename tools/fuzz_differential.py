@@ -41,13 +41,13 @@ from gatk_hc_tpu.io.fasta import FastaRecord, write_fasta
 from gatk_hc_tpu.models.caller import call, call_batched
 
 
-def write_fixture(dirpath, seed, length, depth, n_contigs=1):
+def write_fixture(dirpath, seed, length, depth, n_contigs=1, profile="uniform"):
     rng = random.Random(seed)
     records, all_lines = [], []
     for c in range(n_contigs):
         name = f"fuzz{c}"
-        ref = make_reference(rng, length)
-        alt, _truth, anchors = plant_variants(rng, ref)
+        ref = make_reference(rng, length, profile=profile)
+        alt, _truth, anchors = plant_variants(rng, ref, profile=profile)
         records.append(FastaRecord(name, "fuzz fixture", ref))
         all_lines.append(
             simulate_reads(rng, name, ref, alt, depth=depth, anchors=anchors)
@@ -71,9 +71,12 @@ def run_seed(seed: int, keep_dir: str) -> dict:
     depth = rng.choice((8, 18, 30))
     mode = rng.choice(("first", "seeded"))
     n_contigs = rng.choice((1, 1, 2, 3))
+    # homopolymer-rich / indel-heavy genomes are the classic PairHMM +
+    # assembly stress profile (VERDICT r3 next-step 8)
+    profile = rng.choice(("uniform", "uniform", "homopolymer"))
     tmp = tempfile.mkdtemp(prefix=f"fuzzdiff{seed}_")
     try:
-        sam, fa = write_fixture(tmp, seed, length, depth, n_contigs)
+        sam, fa = write_fixture(tmp, seed, length, depth, n_contigs, profile)
         arms = {}
 
         def arm(name, fn, cfg):
@@ -129,7 +132,8 @@ def run_seed(seed: int, keep_dir: str) -> dict:
             shutil.copytree(tmp, dest, dirs_exist_ok=True)
         return {
             "seed": seed, "length": length, "depth": depth, "mode": mode,
-            "contigs": n_contigs, "variants": n_variants, "ok": ok,
+            "contigs": n_contigs, "profile": profile,
+            "variants": n_variants, "ok": ok,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

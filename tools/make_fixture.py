@@ -28,28 +28,81 @@ CHRM_LEN = 16569
 READ_LEN = 151
 
 
-def make_reference(rng: random.Random, length: int) -> str:
-    return "".join(rng.choice(BASES) for _ in range(length))
+def make_reference(rng: random.Random, length: int, profile: str = "uniform") -> str:
+    if profile == "uniform":
+        return "".join(rng.choice(BASES) for _ in range(length))
+    if profile == "homopolymer":
+        # ~half the sequence inside 4-12bp single-base runs — the classic
+        # PairHMM/assembly stress shape (polymerase slippage hotspots)
+        parts = []
+        n = 0
+        while n < length:
+            if rng.random() < 0.35:
+                run = rng.randint(4, 12)
+                parts.append(rng.choice(BASES) * run)
+                n += run
+            else:
+                k = rng.randint(2, 6)
+                parts.append("".join(rng.choice(BASES) for _ in range(k)))
+                n += k
+        return "".join(parts)[:length]
+    raise ValueError(f"unknown reference profile {profile!r}")
 
 
-def plant_variants(rng: random.Random, ref: str):
+def _run_length(ref: str, pos: int) -> int:
+    """Length of the homopolymer run starting at ref[pos]."""
+    j = pos
+    while j < len(ref) and ref[j] == ref[pos]:
+        j += 1
+    return j - pos
+
+
+def plant_variants(rng: random.Random, ref: str, profile: str = "uniform"):
     """Return (alt haplotype, list of (ref_pos, kind, payload)).
 
     Variants are spaced >= 300bp apart so most windows hold at most one
     event, with a few dense clusters for multi-allele coverage.
+
+    profile="homopolymer": indel-heavy (ins/del ~4x snp) and each indel
+    snaps to the start of a nearby homopolymer run when one exists, with
+    slippage-shaped payloads (insertions duplicate the run base) — the
+    hardest case for left-anchored event extraction (genotyper.hpp:35-111)
+    and for assembly of low-complexity sequence.
     """
+    homopoly = profile == "homopolymer"
+    kinds = (
+        ["ins", "del", "ins", "del", "snp"]
+        if homopoly
+        else ["snp", "snp", "snp", "ins", "del"]
+    )
     variants = []
     pos = 500
     while pos < len(ref) - 500:
-        kind = rng.choice(["snp", "snp", "snp", "ins", "del"])
+        kind = rng.choice(kinds)
+        if homopoly and kind in ("ins", "del"):
+            # snap to the first run of >= 4 within the next 200bp
+            for probe in range(pos, min(pos + 200, len(ref) - 500)):
+                if _run_length(ref, probe) >= 4:
+                    pos = probe
+                    break
         if kind == "snp":
             alt_base = rng.choice([b for b in BASES if b != ref[pos]])
             variants.append((pos, "snp", alt_base))
         elif kind == "ins":
-            ins = "".join(rng.choice(BASES) for _ in range(rng.randint(1, 4)))
+            if homopoly and _run_length(ref, pos) >= 2:
+                ins = ref[pos] * rng.randint(1, 3)  # slippage duplication
+            else:
+                ins = "".join(
+                    rng.choice(BASES) for _ in range(rng.randint(1, 4))
+                )
             variants.append((pos, "ins", ins))
         else:
-            variants.append((pos, "del", rng.randint(1, 4)))
+            if homopoly:
+                # contract the run by 1-2 (never past its end)
+                span = min(rng.randint(1, 2), max(_run_length(ref, pos) - 1, 1))
+            else:
+                span = rng.randint(1, 4)
+            variants.append((pos, "del", span))
         pos += rng.randint(300, 700)
 
     # build alt haplotype + alt->ref coordinate anchors (indels make alt
@@ -142,6 +195,14 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=20260816)
     parser.add_argument("--name", default="chrM")
     parser.add_argument(
+        "--profile",
+        default="uniform",
+        choices=("uniform", "homopolymer"),
+        help="reference/variant profile: uniform random bases with"
+        " snp-heavy variants (default), or homopolymer-rich sequence with"
+        " slippage-shaped indel-heavy variants (PairHMM/assembly stress)",
+    )
+    parser.add_argument(
         "--contigs",
         type=int,
         default=1,
@@ -160,8 +221,8 @@ def main() -> None:
     per_contig = []  # (name, sam_lines, variants)
     for i, name in enumerate(names):
         rng = random.Random(args.seed + i)
-        ref = make_reference(rng, args.length)
-        alt, variants, anchors = plant_variants(rng, ref)
+        ref = make_reference(rng, args.length, profile=args.profile)
+        alt, variants, anchors = plant_variants(rng, ref, profile=args.profile)
         sam_lines = simulate_reads(rng, name, ref, alt, args.depth, anchors=anchors)
         records.append(FastaRecord(name, "synthetic fixture", ref))
         per_contig.append((name, sam_lines, variants))
