@@ -996,6 +996,41 @@ def pairhmm_pallas_planes(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nr_pad", "nh_pad", "r_pad", "c_pad", "ppe_rows", "interpret",
+    ),
+)
+def pairhmm_pallas_planes_fused(
+    bufs: jnp.ndarray,  # (k, L) stacked plane buffers, one per group
+    pairs: jnp.ndarray,  # (k, 2, B) stacked pair chunks
+    trans: Tuple,
+    nr_pad: int,
+    nh_pad: int,
+    r_pad: int,
+    c_pad: int,
+    ppe_rows: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ONE-launch dispatch of k same-signature plane groups (the relay
+    charges ~4ms per program launch regardless of size, so fusing k groups
+    amortizes the per-launch cost k-fold — the sustained-vs-kernel gap
+    closer, VERDICT r3 next-step 3).  lax.map compiles the per-group body
+    once and runs the k kernels sequentially inside one XLA program, so
+    each group's result is BITWISE identical to a pairhmm_pallas_planes
+    dispatch of the same buffer.  Returns (k*B,) f32, group-major."""
+
+    def one(xs):
+        buf, p = xs
+        return pairhmm_pallas_planes(
+            buf, p, trans, nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad,
+            c_pad=c_pad, ppe_rows=ppe_rows, interpret=interpret,
+        )
+
+    return jax.lax.map(one, (bufs, pairs)).reshape(-1)
+
+
 def _unpack_u8_ppe(u8buf, i32buf, ppe_table, nr_pad, nh_pad, r_pad, c_pad):
     """One-gather unpack for the ppe kernel.  Returns ru in (3, NR, R)
     layout (segment-major: masks | omq bits | q3 bits) plus hu (NH, C)."""

@@ -300,6 +300,9 @@ class PallasPairHMMRunner:
         # results — a 1-device host degenerates to the single-chip path.
         self._devices = list(devices) if devices is not None else jax.local_devices()
         self._next_device = 0
+        # test hook: lets CPU (interpret-mode) tests exercise the ppe
+        # planes/fused dispatch paths, which production gates to real TPUs
+        self._allow_ppe_interpret = False
         # Grouping budget (pairs per table group) and dispatch chunk sizes.
         # The relay-tunnelled TPU charges ~3ms per program launch, so real
         # hardware favors few, large dispatches; interpret mode (CPU tests)
@@ -380,7 +383,7 @@ class PallasPairHMMRunner:
         one exists (skips ~3s of per-process tracing), else the regular
         jit.  Both lower to the same StableHLO, so results are bitwise
         identical."""
-        key = (nr_pad, nh_pad, r_pad, c_pad, n_pairs)
+        key = (nr_pad, nh_pad, r_pad, c_pad, n_pairs, self.interpret)
         fn = self._call_cache.get(key)
         if fn is not None:
             return fn
@@ -406,20 +409,46 @@ class PallasPairHMMRunner:
             from . import aot
             from .pairhmm_pallas import pairhmm_pallas_planes
 
-            fn = aot.load(
-                aot.planes_signature_key(
-                    jax.default_backend(), nr_pad, nh_pad, r_pad, c_pad,
-                    n_pairs, self.cfg.ppe_rows, self.trans,
+            fn = None
+            if not self.interpret:
+                fn = aot.load(
+                    aot.planes_signature_key(
+                        jax.default_backend(), nr_pad, nh_pad, r_pad, c_pad,
+                        n_pairs, self.cfg.ppe_rows, self.trans,
+                    )
                 )
-            )
             if fn is None:
                 fn = functools.partial(
                     pairhmm_pallas_planes,
                     trans=self.trans,
                     nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
-                    ppe_rows=self.cfg.ppe_rows,
+                    ppe_rows=self.cfg.ppe_rows, interpret=self.interpret,
                 )
             self._call_cache[key] = fn
+            return fn
+
+    def _fused_callable(self, k, nr_pad, nh_pad, r_pad, c_pad, n_pairs):
+        """Jitted one-launch program for k stacked same-signature plane
+        groups (pairhmm_pallas_planes_fused)."""
+        key = ("fused", k, nr_pad, nh_pad, r_pad, c_pad, n_pairs,
+               self.interpret)
+        fn = self._call_cache.get(key)
+        if fn is not None:
+            return fn
+        with self._call_lock:
+            fn = self._call_cache.get(key)
+            if fn is None:
+                import functools
+
+                from .pairhmm_pallas import pairhmm_pallas_planes_fused
+
+                fn = functools.partial(
+                    pairhmm_pallas_planes_fused,
+                    trans=self.trans,
+                    nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
+                    ppe_rows=self.cfg.ppe_rows, interpret=self.interpret,
+                )
+                self._call_cache[key] = fn
             return fn
 
     def prewarm(self, signatures=None, block: bool = False):
@@ -546,7 +575,19 @@ class PallasPairHMMRunner:
         import jax.numpy as jnp
 
         groups = self._plan_groups(jobs)
-        submitted = [self._submit_group(jobs, group) for group in groups]
+        if self.cfg.fuse_groups > 1:
+            # defer single-chunk planes dispatches and fuse same-signature
+            # runs into one launch each (per-launch relay cost amortizes
+            # fuse_groups-fold); non-conforming groups dispatch as usual
+            sink: List = []
+            submitted = []
+            for group in groups:
+                entry = self._submit_group(jobs, group, planes_sink=sink)
+                if entry is not None:
+                    submitted.append(entry)
+            submitted.extend(self._dispatch_fused_planes(sink))
+        else:
+            submitted = [self._submit_group(jobs, group) for group in groups]
         per_dev: Dict = {}  # device -> [out arrays in order]
         layout = []  # per group: [(device, start, size), ...] for its outs
         for outs, _spans in submitted:
@@ -747,7 +788,8 @@ class PallasPairHMMRunner:
             groups.append(current)
         return groups
 
-    def _submit_group(self, jobs: Sequence[PairHMMJob], group: List[int]):
+    def _submit_group(self, jobs: Sequence[PairHMMJob], group: List[int],
+                      planes_sink: Optional[List] = None):
         # build unique tables
         r_pad, c_pad = self._pads_for_group(jobs, group)
         n_reads = sum(len(jobs[g].reads) for g in group)
@@ -898,7 +940,7 @@ class PallasPairHMMRunner:
             off += size
 
         use_ppe = (
-            not self.interpret
+            (not self.interpret or self._allow_ppe_interpret)
             and self.cfg.pallas_algo == "ppe"
             and c_pad % _PPE_UNROLL == 0
             and c_pad <= 640
@@ -906,7 +948,11 @@ class PallasPairHMMRunner:
         )
         outs = []
         if use_ppe:
-            path, calibrate = self._path_ctl.choose()
+            if self.interpret:
+                # test hook path: the packed dispatch has no interpret plumb
+                path, calibrate = "planes", False
+            else:
+                path, calibrate = self._path_ctl.choose()
             t0 = time.perf_counter() if calibrate else 0.0
             if path == "packed":
                 # packed path: raw uint8 shipping (2 B/base) + ONE fused
@@ -945,6 +991,17 @@ class PallasPairHMMRunner:
                     read_u8, qual_u8, hap_u8, read_lens, hap_lens,
                     hap_init_y, nr_pad, nh_pad, r_pad, c_pad,
                 )
+                if (
+                    planes_sink is not None
+                    and not calibrate
+                    and len(sizes) == 1
+                ):
+                    # defer for fused dispatch (_dispatch_fused_planes)
+                    planes_sink.append((
+                        buf, chunk_pairs[0], sizes[0], spans, total,
+                        (nr_pad, nh_pad, r_pad, c_pad), device,
+                    ))
+                    return None
                 buf_dev, *pairs_devs = jax.device_put(
                     [buf] + chunk_pairs, device
                 )
@@ -989,6 +1046,52 @@ class PallasPairHMMRunner:
                 )
             )
         return (outs, (spans, total))
+
+    def _dispatch_fused_planes(self, records) -> List:
+        """Dispatch deferred planes records (from _submit_group), fusing up
+        to cfg.fuse_groups same-signature single-chunk groups into ONE
+        device_put + ONE launch each.  Each fused entry's spans carry
+        per-group offsets into the flattened (k*size,) output, so
+        _finalize_group consumes it like any other group.  Results are
+        bitwise identical to per-group dispatch (lax.map of the same jitted
+        body)."""
+        if not records:
+            return []
+        import jax
+
+        buckets: Dict = {}
+        for rec in records:
+            _buf, _pairs, size, _spans, _total, sig, _dev = rec
+            buckets.setdefault((sig, size), []).append(rec)
+        entries = []
+        for (sig, size), recs in buckets.items():
+            nr_pad, nh_pad, r_pad, c_pad = sig
+            for i in range(0, len(recs), self.cfg.fuse_groups):
+                part = recs[i : i + self.cfg.fuse_groups]
+                k = len(part)
+                device = part[0][6]
+                if k == 1:
+                    buf, pairs, _size, spans, total, _sig, device = part[0]
+                    buf_dev, pairs_dev = jax.device_put([buf, pairs], device)
+                    fn = self._planes_callable(
+                        nr_pad, nh_pad, r_pad, c_pad, size
+                    )
+                    entries.append(([fn(buf_dev, pairs_dev)], (spans, total)))
+                    continue
+                bufs = np.stack([r[0] for r in part])
+                prs = np.stack([r[1] for r in part])
+                bufs_dev, prs_dev = jax.device_put([bufs, prs], device)
+                fn = self._fused_callable(
+                    k, nr_pad, nh_pad, r_pad, c_pad, size
+                )
+                out = fn(bufs_dev, prs_dev)  # (k*size,) group-major
+                merged = [
+                    (g, j * size + start, nr, nh)
+                    for j, rec in enumerate(part)
+                    for g, start, nr, nh in rec[3]
+                ]
+                entries.append(([out], (merged, k * size)))
+        return entries
 
     def _build_planes(self, read_u8, qual_u8, hap_u8, read_lens, hap_lens,
                       hap_init_y, nr_pad, nh_pad, r_pad, c_pad):

@@ -312,3 +312,54 @@ class TestPpe4Kernel:
             np.testing.assert_allclose(outs[rows], outs[2], rtol=rtol)
             # the bulk must still be bit-identical even in interpret mode
             assert np.mean(outs[rows] == outs[2]) > bulk
+
+
+class TestFusedGroupDispatch:
+    """cfg.fuse_groups > 1: same-signature single-chunk plane groups fuse
+    into ONE launch (lax.map of the per-group program) — results must be
+    bitwise identical to per-group dispatch.  Runs the ppe planes path in
+    interpret mode via the runner's test hook."""
+
+    def _runner(self, fuse, rng_seed=5):
+        import dataclasses
+
+        from gatk_hc_tpu.config import DEFAULT_CONFIG
+        from gatk_hc_tpu.ops.runner import PallasPairHMMRunner
+
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, read_pad_buckets=(32,), hap_pad_buckets=(128,),
+            fuse_groups=fuse,
+        )
+        r = PallasPairHMMRunner(cfg, pair_budget=1024, interpret=True)
+        r._allow_ppe_interpret = True
+        return r
+
+    def test_fused_matches_unfused_bitwise(self, rng):
+        from gatk_hc_tpu.ops.runner import PairHMMJob
+
+        # 16 jobs x (8 reads x 16 haps) = 128 pairs each; budget 1024 ->
+        # two 8-job groups, fused into one 2-group launch when fuse=4
+        jobs_a = [make_job(rng, 8, 16) for _ in range(16)]
+        jobs_b = [PairHMMJob(j.reads, j.haps) for j in jobs_a]
+
+        fused = self._runner(fuse=4)
+        fused.run(jobs_a)
+        plain = self._runner(fuse=1)
+        plain.run(jobs_b)
+        for a, b in zip(jobs_a, jobs_b):
+            np.testing.assert_array_equal(a.result, b.result)
+
+    def test_fused_mixed_group_sizes(self, rng):
+        """A tail group smaller than the fuse width and multi-signature
+        batches must still finalize every job correctly."""
+        from gatk_hc_tpu.ops.runner import PairHMMJob
+
+        jobs_a = [make_job(rng, 8, 16) for _ in range(10)]  # 1280 pairs
+        jobs_b = [PairHMMJob(j.reads, j.haps) for j in jobs_a]
+        fused = self._runner(fuse=3)
+        fused.run(jobs_a)
+        plain = self._runner(fuse=1)
+        plain.run(jobs_b)
+        for a, b in zip(jobs_a, jobs_b):
+            assert a.result is not None
+            np.testing.assert_array_equal(a.result, b.result)

@@ -37,7 +37,8 @@ def make_runner(arm):
 
     # failover off: a timed arm must never silently become the C++ engine
     cfg = dataclasses.replace(
-        DEFAULT_CONFIG, dispatch_mode=arm["mode"], device_timeout_s=0.0
+        DEFAULT_CONFIG, dispatch_mode=arm["mode"], device_timeout_s=0.0,
+        fuse_groups=arm.get("fuse", 1),
     )
     runner = PallasPairHMMRunner(cfg, pair_budget=arm["budget"])
     if arm.get("read_buckets"):
@@ -69,6 +70,13 @@ ARMS = [
     {"name": "b48-packed-c48", "budget": 49152, "mode": "packed",
      "read_buckets": (1024, 3072, 4096),
      "chunks": (49152, 16384, 8192, 4096)},
+    # fused dispatch: up to 4 same-signature 16384-pair groups in ONE
+    # launch (ONE device_put for the stacked planes + ONE program) —
+    # per-launch relay cost amortizes 4x (cfg.fuse_groups)
+    {"name": "b16-planes-fuse4", "budget": 16384, "mode": "planes",
+     "fuse": 4},
+    {"name": "b16-planes-fuse8", "budget": 16384, "mode": "planes",
+     "fuse": 8},
 ]
 
 
