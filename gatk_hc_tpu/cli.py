@@ -267,6 +267,19 @@ def main(argv=None) -> int:
             )
         except Exception:
             pass
+        # cold-start attribution: interpreter+imports (process age minus
+        # the CLI wall), backend init, prewarm, first dispatch/fetch
+        from .utils.logging import process_age_s
+
+        age = process_age_s()
+        if age == age:  # not NaN
+            stats["process_age_s"] = round(age, 3)
+            stats["pre_main_s"] = round(age - elapsed, 3)
+        ip = dict(getattr(runner, "init_profile", None) or {})
+        inner = getattr(runner, "_runner", None)
+        ip.update(getattr(inner, "init_profile", None) or {})
+        if ip:
+            stats["init_profile"] = ip
         fallbacks = getattr(runner, "device_fallbacks", 0)
         if fallbacks:
             # device-wedge failover fired: results are still exact (C++

@@ -26,6 +26,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import HCConfig
+from ..utils.logging import process_age_s as _process_age_s
 from ..utils.quality import BASE_TABLE, INITIAL_CONSTANT_F32, PH2PR_F32
 
 ReadArray = Tuple[np.ndarray, np.ndarray]  # (bases u8, quals u8)
@@ -303,6 +304,10 @@ class PallasPairHMMRunner:
         # test hook: lets CPU (interpret-mode) tests exercise the ppe
         # planes/fused dispatch paths, which production gates to real TPUs
         self._allow_ppe_interpret = False
+        # cold-start attribution (surfaced as init_profile in --stats):
+        # first submit-batch / first drain-fetch durations land here, and
+        # BackgroundRunner adds its ctor/prewarm stamps
+        self.init_profile: Dict[str, float] = {}
         # Grouping budget (pairs per table group) and dispatch chunk sizes.
         # The relay-tunnelled TPU charges ~3ms per program launch, so real
         # hardware favors few, large dispatches; interpret mode (CPU tests)
@@ -574,6 +579,12 @@ class PallasPairHMMRunner:
     def _submit_batch(self, jobs: Sequence[PairHMMJob]):
         import jax.numpy as jnp
 
+        first = "first_submit_batch_s" not in self.init_profile
+        if first:
+            self.init_profile["first_submit_at_age_s"] = round(
+                _process_age_s(), 3
+            )
+            t_first = time.perf_counter()
         groups = self._plan_groups(jobs)
         if self.cfg.fuse_groups > 1:
             # defer single-chunk planes dispatches and fuse same-signature
@@ -612,6 +623,12 @@ class PallasPairHMMRunner:
                 arr.copy_to_host_async()
             except (AttributeError, NotImplementedError):
                 break  # backend without async copies: drain fetches as before
+        if first:
+            # pack + device_put + dispatch of the first batch (programs
+            # may still be loading: that cost shows up here)
+            self.init_profile["first_submit_batch_s"] = round(
+                time.perf_counter() - t_first, 3
+            )
         return (jobs, submitted, coalesced, layout)
 
     def drain(self, batches) -> None:
@@ -654,7 +671,13 @@ class PallasPairHMMRunner:
         if not resolved:
             return
         flat = [a for _, _, coalesced, _ in resolved for a in coalesced.values()]
+        first_fetch = "first_drain_fetch_s" not in self.init_profile
+        t_fetch = time.perf_counter()
         fetched_list = self._fetch(flat, timeout)
+        if first_fetch:
+            self.init_profile["first_drain_fetch_s"] = round(
+                time.perf_counter() - t_fetch, 3
+            )
         if fetched_list is None:
             self._declare_wedged("fetch")
             for jobs, _, _, _ in resolved:
@@ -1202,7 +1225,14 @@ class BackgroundRunner:
 
         def build():
             try:
+                t0 = time.perf_counter()
                 runner = PallasPairHMMRunner(cfg)
+                runner.init_profile["build_start_at_age_s"] = round(
+                    _process_age_s() - (time.perf_counter() - t0), 3
+                )
+                runner.init_profile["runner_ctor_s"] = round(
+                    time.perf_counter() - t0, 3
+                )
                 with self._decide_lock:
                     # a timed-out _get() may already have installed the
                     # native fallback; a late-finishing build must not
@@ -1214,7 +1244,11 @@ class BackgroundRunner:
                 if self._stop_requested:
                     runner.stop_prewarm()
                 else:
+                    t1 = time.perf_counter()
                     runner.prewarm()
+                    runner.init_profile["prewarm_kickoff_s"] = round(
+                        time.perf_counter() - t1, 3
+                    )
             except BaseException as exc:  # surfaced on first use
                 self._exc = exc
 

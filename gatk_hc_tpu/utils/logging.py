@@ -46,6 +46,23 @@ class RunCounters:
         return json.dumps(dataclasses.asdict(self))
 
 
+def process_age_s() -> float:
+    """Seconds since THIS process started (procfs) — attributes the
+    interpreter + site-import cost that no in-process timer can see (the
+    gap between process_age and the CLI's own wall clock).  NaN where
+    /proc is unavailable."""
+    try:
+        with open("/proc/self/stat") as handle:
+            rest = handle.read().rsplit(")", 1)[1].split()
+        start_jiffies = float(rest[19])  # field 22: starttime
+        clk = os.sysconf("SC_CLK_TCK")
+        with open("/proc/uptime") as handle:
+            uptime = float(handle.read().split()[0])
+        return uptime - start_jiffies / clk
+    except Exception:
+        return float("nan")
+
+
 class StageTimers:
     def __init__(self) -> None:
         self.totals: Dict[str, float] = {}
