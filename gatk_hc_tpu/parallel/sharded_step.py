@@ -234,8 +234,13 @@ class ShardMapPairHMMRunner:
     ):
         self.cfg = cfg
         if mesh is None:
-            n = len(jax.devices())
-            mesh = make_mesh(n, hap_parallel=2 if n % 2 == 0 and n > 1 else 1)
+            # LOCAL devices only: in a multi-process (multi-host) run each
+            # process drives its own region shard over its own chips (the
+            # production layout — cross-host work splits by region in
+            # parallel/multihost.py, so the mesh must never span hosts)
+            devs = np.array(jax.local_devices())
+            hp = 2 if len(devs) % 2 == 0 and len(devs) > 1 else 1
+            mesh = Mesh(devs.reshape(len(devs) // hp, hp), ("data", "hap"))
         self.mesh = mesh
         if use_pallas is None:
             use_pallas = jax.default_backend() in ("tpu", "axon")

@@ -148,3 +148,48 @@ def test_two_process_multicontig_matches_single(tmp_path):
         assert p.returncode == 0, stdout.decode(errors="replace")[-2000:]
 
     assert open(out).read() == single_text
+
+
+@pytest.mark.slow
+def test_two_process_shardmap_matches_golden(tmp_path):
+    """2 jax.distributed processes, each with a 4-virtual-device local
+    (data=2, hap=2) mesh, PairHMM through the shard_map runner, exact host
+    finalize: the gathered VCF must byte-match the golden (VERDICT r3 #7 —
+    the pod-scale path produces the golden VCF in a real multi-process
+    run)."""
+    sam = os.path.join(FIXTURES, "chrM.sam")
+    fa = os.path.join(FIXTURES, "chrM.fa")
+    golden = os.path.join(FIXTURES, "chrM.golden.vcf")
+    if not (os.path.exists(sam) and os.path.exists(golden)):
+        pytest.skip("chrM fixture missing")
+    out = str(tmp_path / "mh_shardmap.vcf")
+    coord = f"127.0.0.1:{_free_port()}"
+    script = _WORKER.format(repo=REPO, sam=sam, fa=fa, out=out, coord=coord)
+    script = script.replace('pairhmm_engine="native"', 'pairhmm_engine="shardmap"')
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in (0, 1)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        outputs.append(stdout.decode(errors="replace"))
+    for p, text in zip(procs, outputs):
+        assert p.returncode == 0, text[-2000:]
+
+    with open(out) as f1, open(golden) as f2:
+        assert f1.read() == f2.read()
