@@ -363,3 +363,26 @@ class TestFusedGroupDispatch:
         for a, b in zip(jobs_a, jobs_b):
             assert a.result is not None
             np.testing.assert_array_equal(a.result, b.result)
+
+    def test_fused_multi_device_placement_independent(self, rng):
+        """fuse_groups > 1 with round-robin over 8 virtual devices: fused
+        batches land on different devices, results identical to a
+        single-device unfused run."""
+        import jax
+
+        from gatk_hc_tpu.ops.runner import PairHMMJob
+
+        if len(jax.devices()) < 8:
+            import pytest
+
+            pytest.skip("needs 8 virtual devices")
+        jobs_a = [make_job(rng, 8, 16) for _ in range(16)]
+        jobs_b = [PairHMMJob(j.reads, j.haps) for j in jobs_a]
+        fused = self._runner(fuse=2)  # 2 groups per launch, 1 launch here
+        fused._devices = list(jax.devices())
+        fused.run(jobs_a)
+        plain = self._runner(fuse=1)
+        plain._devices = list(jax.devices())[:1]
+        plain.run(jobs_b)
+        for a, b in zip(jobs_a, jobs_b):
+            np.testing.assert_array_equal(a.result, b.result)
