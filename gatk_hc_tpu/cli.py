@@ -280,6 +280,10 @@ def main(argv=None) -> int:
         ip.update(getattr(inner, "init_profile", None) or {})
         if ip:
             stats["init_profile"] = ip
+        if counters.gq_host_verified:
+            # --genotyper jax on an f32 backend: sites the stability guard
+            # routed to the exact host f64 recompute
+            stats["gq_host_verified"] = counters.gq_host_verified
         fallbacks = getattr(runner, "device_fallbacks", 0)
         if fallbacks:
             # device-wedge failover fired: results are still exact (C++
