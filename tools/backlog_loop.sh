@@ -7,7 +7,7 @@ HOURS=${1:-10}
 MARK=/tmp/tpu_backlog
 mkdir -p $MARK
 DEADLINE=$(( $(date +%s) + HOURS * 3600 ))
-ALL="e2e_ok aot_r4 warm_e2e cold_walls kernel_rows ppe8 genotyper_jax bench_ok dispatch_ab sweep wgs4"
+ALL="e2e_ok aot_r4 kernel_rows ppe8 genotyper_jax fused_golden cold_walls bench_ok sweep dispatch_ab wgs4"
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   done_all=1
   for m in $ALL; do [ -f $MARK/$m ] || done_all=0; done
