@@ -56,6 +56,25 @@ def planes_signature_key(
     )
 
 
+def fused_signature_key(
+    platform: str,
+    k: int,
+    nr_pad: int,
+    nh_pad: int,
+    r_pad: int,
+    c_pad: int,
+    n_pairs: int,
+    ppe_rows: int,
+    trans: Tuple,
+) -> str:
+    """Key for the k-group fused dispatch (pairhmm_pallas_planes_fused)."""
+    trans_tag = hashlib.sha256(repr(tuple(trans)).encode()).hexdigest()[:8]
+    return (
+        f"fused{k}-{platform}-{nr_pad}x{nh_pad}-{r_pad}x{c_pad}-B{n_pairs}"
+        f"-ppe{ppe_rows}-t{trans_tag}-{_source_hash()}"
+    )
+
+
 def _path(key: str) -> str:
     return os.path.join(_CACHE_DIR, key + ".jaxexport")
 

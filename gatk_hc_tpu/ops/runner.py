@@ -445,14 +445,27 @@ class PallasPairHMMRunner:
             if fn is None:
                 import functools
 
+                import jax
+
+                from . import aot
                 from .pairhmm_pallas import pairhmm_pallas_planes_fused
 
-                fn = functools.partial(
-                    pairhmm_pallas_planes_fused,
-                    trans=self.trans,
-                    nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
-                    ppe_rows=self.cfg.ppe_rows, interpret=self.interpret,
-                )
+                if not self.interpret:
+                    fn = aot.load(
+                        aot.fused_signature_key(
+                            jax.default_backend(), k, nr_pad, nh_pad,
+                            r_pad, c_pad, n_pairs, self.cfg.ppe_rows,
+                            self.trans,
+                        )
+                    )
+                if fn is None:
+                    fn = functools.partial(
+                        pairhmm_pallas_planes_fused,
+                        trans=self.trans,
+                        nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad,
+                        c_pad=c_pad,
+                        ppe_rows=self.cfg.ppe_rows, interpret=self.interpret,
+                    )
                 self._call_cache[key] = fn
             return fn
 
