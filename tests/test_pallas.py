@@ -337,9 +337,10 @@ class TestFusedGroupDispatch:
     def test_fused_matches_unfused_bitwise(self, rng):
         from gatk_hc_tpu.ops.runner import PairHMMJob
 
-        # 16 jobs x (8 reads x 16 haps) = 128 pairs each; budget 1024 ->
-        # two 8-job groups, fused into one 2-group launch when fuse=4
-        jobs_a = [make_job(rng, 8, 16) for _ in range(16)]
+        # 12 jobs x (8 reads x 16 haps) = 128 pairs each; budget 1024 ->
+        # an 8-job group + a 4-job tail group (padded to the same 1024-pair
+        # chunk), fused into one 2-group launch when fuse=4
+        jobs_a = [make_job(rng, 8, 16) for _ in range(12)]
         jobs_b = [PairHMMJob(j.reads, j.haps) for j in jobs_a]
 
         fused = self._runner(fuse=4)
@@ -354,7 +355,7 @@ class TestFusedGroupDispatch:
         batches must still finalize every job correctly."""
         from gatk_hc_tpu.ops.runner import PairHMMJob
 
-        jobs_a = [make_job(rng, 8, 16) for _ in range(10)]  # 1280 pairs
+        jobs_a = [make_job(rng, 8, 16) for _ in range(9)]  # 1152 pairs
         jobs_b = [PairHMMJob(j.reads, j.haps) for j in jobs_a]
         fused = self._runner(fuse=3)
         fused.run(jobs_a)
@@ -376,7 +377,7 @@ class TestFusedGroupDispatch:
             import pytest
 
             pytest.skip("needs 8 virtual devices")
-        jobs_a = [make_job(rng, 8, 16) for _ in range(16)]
+        jobs_a = [make_job(rng, 8, 16) for _ in range(12)]
         jobs_b = [PairHMMJob(j.reads, j.haps) for j in jobs_a]
         fused = self._runner(fuse=2)  # 2 groups per launch, 1 launch here
         fused._devices = list(jax.devices())
