@@ -8,6 +8,7 @@
 #          cold-wall table, wgs4 capstone (all dominated by per-op cost)
 # Each step is skipped once its marker exists; drive with backlog_loop.sh.
 set -u
+set -o pipefail
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 MARK=/tmp/tpu_backlog
@@ -45,8 +46,10 @@ fi
 
 if [ ! -f $MARK/aot_r4 ]; then
   echo "== warm_cache (full: device pre-load + AOT regen) =="
-  timeout 3600 python tools/warm_cache.py 2>&1 | tail -2 \
-    && touch $MARK/aot_r4
+  timeout 3600 python tools/warm_cache.py > /tmp/warm_cache_r4.log 2>&1
+  wc_status=$?
+  tail -4 /tmp/warm_cache_r4.log
+  [ $wc_status = 0 ] && touch $MARK/aot_r4 || echo "warm_cache FAILED ($wc_status); full log: /tmp/warm_cache_r4.log"
 fi
 
 if [ ! -f $MARK/kernel_rows ]; then
