@@ -1032,20 +1032,25 @@ def pairhmm_pallas_planes_fused(
 
 
 def _unpack_u8_ppe(u8buf, i32buf, ppe_table, nr_pad, nh_pad, r_pad, c_pad):
-    """One-gather unpack for the ppe kernel.  Returns ru in (3, NR, R)
-    layout (segment-major: masks | omq bits | q3 bits) plus hu (NH, C)."""
+    """Two-gather unpack for the ppe kernel (source-index gather over the
+    packed bytes, then the 768-entry combined element table).  Returns ru
+    in (3, NR, R) layout (segment-major: masks | omq bits | q3 bits) plus
+    hu (NH, C)."""
     nrr = nr_pad * r_pad
     n = 3 * nrr + nh_pad * c_pad
     pos = jax.lax.iota(jnp.int32, n)
-    # segment offsets into ppe_element_table; the hap segment uses the mask
-    # segment (offset 0) like the reads.  These selects fuse into the
-    # gather's index computation — the whole prep is ONE gather op.
+    # u8buf ships each byte ONCE ([reads | quals | haps], 2*nrr + hc — the
+    # whole point of the packed encoding); the qual bytes feed BOTH the omq
+    # (offset 256) and q3 (offset 512) segments of ppe_element_table, so
+    # the source index re-reads the qual segment for output positions
+    # [2*nrr, 3*nrr) and shifts the hap segment down by one nrr.
     offs = jnp.where(
         (pos >= nrr) & (pos < 2 * nrr), jnp.int32(256),
         jnp.where((pos >= 2 * nrr) & (pos < 3 * nrr), jnp.int32(512),
                   jnp.int32(0)),
     )
-    flat = jnp.take(ppe_table, u8buf[:n].astype(jnp.int32) + offs)
+    src = jnp.where(pos >= 2 * nrr, pos - nrr, pos)
+    flat = jnp.take(ppe_table, jnp.take(u8buf, src).astype(jnp.int32) + offs)
     ru = flat[: 3 * nrr].reshape(3, nr_pad, r_pad)
     hu = flat[3 * nrr :].reshape(nh_pad, c_pad)
     read_lens = i32buf[:nr_pad]

@@ -387,3 +387,56 @@ class TestFusedGroupDispatch:
         plain.run(jobs_b)
         for a, b in zip(jobs_a, jobs_b):
             np.testing.assert_array_equal(a.result, b.result)
+
+
+class TestPackedUnpack:
+    def test_prepare_tables_ppe_matches_plane_tables(self):
+        """The packed-path device unpack (runner layout [reads|quals|haps],
+        each byte shipped ONCE) must produce exactly the planes the host
+        path builds with plane_tables — regression for the one-gather
+        layout bug that crashed any run calibrating onto the packed path
+        (u8buf[:n] assumed quals were shipped twice)."""
+        import jax.numpy as jnp
+
+        from gatk_hc_tpu.ops.pairhmm_pallas import (
+            plane_tables,
+            ppe_element_table,
+            prepare_tables_ppe,
+        )
+        from gatk_hc_tpu.utils.quality import (
+            BASE_TABLE,
+            INITIAL_CONSTANT_F32,
+            PH2PR_F32,
+        )
+
+        rng = np.random.default_rng(11)
+        nr, nh, r_pad, c_pad = 8, 4, 16, 32
+        read_u8 = rng.integers(60, 90, (nr, r_pad)).astype(np.uint8)
+        qual_u8 = rng.integers(33, 105, (nr, r_pad)).astype(np.uint8)
+        hap_u8 = rng.integers(60, 90, (nh, c_pad)).astype(np.uint8)
+        read_lens = np.full(nr, r_pad - 2, np.int32)
+        hap_lens = np.full(nh, c_pad - 3, np.int32)
+        init_y = (INITIAL_CONSTANT_F32 / hap_lens.astype(np.float32)).astype(
+            np.float32
+        )
+        u8buf = np.concatenate(
+            [read_u8.ravel(), qual_u8.ravel(), hap_u8.ravel()]
+        )
+        i32buf = np.concatenate(
+            [read_lens, hap_lens, init_y.view(np.int32)]
+        )
+        tab = jnp.asarray(ppe_element_table(BASE_TABLE, PH2PR_F32))
+        ru, hu, rl, hl, iy = prepare_tables_ppe(
+            jnp.asarray(u8buf), jnp.asarray(i32buf), tab,
+            nr_pad=nr, nh_pad=nh, r_pad=r_pad, c_pad=c_pad,
+        )
+        mask_tab, omq_tab, q3_tab = plane_tables(BASE_TABLE, PH2PR_F32)
+        np.testing.assert_array_equal(np.asarray(ru[0]), mask_tab[read_u8])
+        np.testing.assert_array_equal(np.asarray(ru[1]), omq_tab[qual_u8])
+        np.testing.assert_array_equal(np.asarray(ru[2]), q3_tab[qual_u8])
+        np.testing.assert_array_equal(np.asarray(hu), mask_tab[hap_u8])
+        np.testing.assert_array_equal(np.asarray(rl), read_lens)
+        np.testing.assert_array_equal(np.asarray(hl), hap_lens)
+        np.testing.assert_array_equal(
+            np.asarray(iy).view(np.int32), init_y.view(np.int32)
+        )
