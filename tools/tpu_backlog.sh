@@ -90,6 +90,38 @@ PY
     || echo FUSED_GOLDEN_MISMATCH_OR_TIMEOUT
 fi
 
+# bench.py is phase-aware internally (probes each round, waits cheaply for
+# a healthy window inside its 1500s budget, wedge-watchdogged subprocess):
+# run it whenever the relay is ALIVE; the marker only sets once a healthy
+# sustained sample landed.
+if [ ! -f $MARK/bench_ok ]; then
+  echo "== bench.py (phase-aware) =="
+  timeout 3600 python bench.py 2>/dev/null | tail -1 | tee $ART/bench_r4_latest.json
+  if grep -q '"sustained_healthy_cells_per_s": [0-9]' $ART/bench_r4_latest.json; then
+    touch $MARK/bench_ok
+  else
+    echo "bench captured no healthy sample; will retry next loop"
+    date -u +%FT%TZ >> $MARK/bench_attempts
+  fi
+fi
+
+# wgs4 capstone fallback: if two full bench attempts found no healthy
+# window, run the device-in-the-loop config-5 capstone anyway (a degraded-
+# phase wall is labeled by its stats; accuracy + RSS are phase-independent)
+if [ ! -f $MARK/wgs4 ] && [ ! -f $MARK/bench_ok ] && [ -f /tmp/wgs4/wgs.sam ] \
+   && [ "$(wc -l < $MARK/bench_attempts 2>/dev/null || echo 0)" -ge 2 ]; then
+  echo "== wgs4 streaming pallas e2e (degraded-phase fallback) =="
+  timeout 10800 python -m gatk_hc_tpu.cli -I /tmp/wgs4/wgs.sam -R /tmp/wgs4/wgs.fa \
+    -O /tmp/wgs4/out_tpu.vcf --pairhmm pallas --stream-contigs --stats \
+    > $ART/wgs4_tpu_stats_r4.json 2>&1
+  tail -1 $ART/wgs4_tpu_stats_r4.json
+  if [ -s /tmp/wgs4/out_tpu.vcf ]; then
+    timeout 600 python tools/check_truth.py /tmp/wgs4/out_tpu.vcf \
+      /tmp/wgs4/wgs.truth.txt | tee $ART/wgs4_truth_r4.json
+    grep -q sensitivity $ART/wgs4_truth_r4.json && touch $MARK/wgs4
+  fi
+fi
+
 # ---------- tier 2: only meaningful in a HEALTHY phase ----------
 [ $healthy = 1 ] || { echo "backlog state: $(ls $MARK)"; exit 0; }
 
@@ -115,14 +147,6 @@ d['process_wall_s']=float('$wall'); print(json.dumps(d))
     diff -q /tmp/out_cold$i.vcf fixtures/chrM.golden.vcf >/dev/null || ok=0
   done
   [ $ok = 1 ] && [ "$(wc -l < $ART/cold_walls_r4.jsonl)" = 5 ] && touch $MARK/cold_walls
-fi
-
-if [ ! -f $MARK/bench_ok ]; then
-  echo "== bench.py =="
-  timeout 3600 python bench.py 2>/dev/null | tail -1 | tee $ART/bench_r4_latest.json
-  grep -q '"sustained_healthy_cells_per_s": [0-9]' $ART/bench_r4_latest.json \
-    && touch $MARK/bench_ok \
-    || echo "bench captured no healthy sample; will retry next loop"
 fi
 
 if [ -f $MARK/bench_ok ] && [ ! -f $MARK/sweep ]; then
