@@ -96,8 +96,13 @@ fi
 # sustained sample landed.
 if [ ! -f $MARK/bench_ok ]; then
   echo "== bench.py (phase-aware) =="
-  timeout 3600 python bench.py 2>/dev/null | tail -1 | tee $ART/bench_r4_latest.json
-  if grep -q '"sustained_healthy_cells_per_s": [0-9]' $ART/bench_r4_latest.json; then
+  timeout 3600 python bench.py 2>/dev/null | tail -1 > $ART/.bench_tmp.json
+  if [ -s $ART/.bench_tmp.json ]; then
+    cat $ART/.bench_tmp.json
+    cp $ART/.bench_tmp.json "$ART/bench_r4_attempt$(date -u +%H%M).json"
+    mv $ART/.bench_tmp.json $ART/bench_r4_latest.json
+  fi
+  if grep -q '"sustained_healthy_cells_per_s": [0-9]' $ART/bench_r4_latest.json 2>/dev/null; then
     touch $MARK/bench_ok
   else
     echo "bench captured no healthy sample; will retry next loop"
