@@ -182,8 +182,10 @@ class TestPlanesPath:
         hap_lens = rng2.integers(1, c_pad, nh_pad).astype(np.int32)
         iy = rng2.random(nh_pad).astype(np.float32)
 
-        # device one-gather prep from the packed u8 layout
-        u8buf = np.concatenate([read_u8, qual_u8, qual_u8, hap_u8])
+        # device prep from the PRODUCTION packed layout (each byte shipped
+        # once — the old duplicated-quals layout here was exactly how the
+        # packed-path crash survived round 3 untested)
+        u8buf = np.concatenate([read_u8, qual_u8, hap_u8])
         i32buf = np.concatenate([read_lens, hap_lens, iy.view(np.int32)])
         tab = jnp.asarray(ppe_element_table(BASE_TABLE, PH2PR_F32))
         ru_d, hu_d, rl_d, hl_d, iy_d = prepare_tables_ppe(
