@@ -110,6 +110,20 @@ if [ ! -f $MARK/bench_ok ]; then
   fi
 fi
 
+# fused-dispatch A/B, degraded-phase fallback: the sweep interleaves arms
+# round-robin in ONE process, so the RELATIVE fused-vs-unfused answer is
+# valid in any alive phase (both arms eat the same per-op cost; fusing cuts
+# op count 4-8x).  Runs once after the first bench attempt; the healthy
+# tier-2 sweep supersedes it for absolute numbers.
+if [ ! -f $MARK/fuse_ab ] && [ ! -f $MARK/sweep ] \
+   && [ "$(wc -l < $MARK/bench_attempts 2>/dev/null || echo 0)" -ge 1 ]; then
+  echo "== fused dispatch A/B (phase-relative, alive is enough) =="
+  timeout 3600 python tools/sustained_sweep.py --rounds 2 \
+    --arms b16-planes,b16-planes-fuse4,b16-planes-fuse8 2>/dev/null \
+    | tail -12 | tee $ART/fuse_ab_r4.json
+  grep -q best_gcells $ART/fuse_ab_r4.json && touch $MARK/fuse_ab
+fi
+
 # wgs4 capstone fallback: if two full bench attempts found no healthy
 # window, run the device-in-the-loop config-5 capstone anyway (a degraded-
 # phase wall is labeled by its stats; accuracy + RSS are phase-independent)
