@@ -1,0 +1,51 @@
+"""bench.py harness logic (CPU, tiny shapes).
+
+The sustained numbers themselves are hardware-only; these tests pin the
+harness mechanics the artifacts depend on: the dispatch A/B runs both arms
+per phase round, returns per-arm buckets, and restores the unfused config
+between rounds (a stale fused cfg would silently change later rounds'
+dispatch).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import bench
+from gatk_hc_tpu.io.columnar import ReadPairs
+
+
+def _tiny_workload(n_reads=8, n_haps=2, read_len=16, hap_len=24):
+    rng = np.random.default_rng(7)
+    haps = [
+        rng.integers(65, 69, hap_len).astype(np.uint8) for _ in range(n_haps)
+    ]
+    flat_seq = rng.integers(65, 69, n_reads * read_len).astype(np.uint8)
+    flat_qual = np.full(n_reads * read_len, 40, np.uint8)
+    off = np.arange(n_reads + 1, dtype=np.int64) * read_len
+    return ReadPairs(flat_seq, flat_qual, off), haps
+
+
+def test_bench_device_runs_both_arms_per_round(monkeypatch):
+    monkeypatch.setattr(bench, "probe_relay_op_ms", lambda: 5.0)  # healthy
+    reads, haps = _tiny_workload()
+    # budget_s=0: deadline already passed -> exactly one round (both arms)
+    healthy, degraded, rounds, arms = bench.bench_device(
+        reads, haps, n_jobs=2, budget_s=0.0
+    )
+    assert rounds == 1
+    assert degraded is None and not arms["degraded"]
+    assert set(arms["healthy"]) == {"unfused", "fused4"}
+    assert healthy == max(arms["healthy"].values()) > 0
+
+
+def test_bench_device_degraded_bucket(monkeypatch):
+    monkeypatch.setattr(bench, "probe_relay_op_ms", lambda: 40.0)  # degraded
+    reads, haps = _tiny_workload()
+    healthy, degraded, rounds, arms = bench.bench_device(
+        reads, haps, n_jobs=2, budget_s=0.0
+    )
+    assert healthy is None and not arms["healthy"]
+    assert set(arms["degraded"]) == {"unfused", "fused4"}
+    assert degraded == max(arms["degraded"].values()) > 0
