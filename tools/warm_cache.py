@@ -30,8 +30,9 @@ def main():
     )
     ap.add_argument(
         "--fused", action="store_true",
-        help="also export + warm the k-group fused dispatch programs "
-        "(pairhmm_pallas_planes_fused) for the bench shape, k in (2,4,8)",
+        help="warm ALL k-group fused dispatch programs (k in 2,4,8) for "
+        "the bench shape; k=4 (the bench/production fused arm) is always "
+        "warmed regardless",
     )
     args = ap.parse_args()
 
@@ -141,46 +142,47 @@ def main():
                 flush=True,
             )
 
-    if args.fused or cfg.fuse_groups > 1:
-        # fused dispatch programs (cfg.fuse_groups): bench/standard-contig
-        # shape, k in (2, 4, 8) — export + one warm execution each
-        from gatk_hc_tpu.ops.pairhmm_pallas import pairhmm_pallas_planes_fused
+    # fused dispatch warm: k=4 always (bench.py's fused arm runs every
+    # bench round); all of (2, 4, 8) with --fused or when production
+    # fuses by default
+    from gatk_hc_tpu.ops.pairhmm_pallas import pairhmm_pallas_planes_fused
 
-        nr, nh, r_pad, c_pad, chunk = 4096, 512, 160, 448, runner._chunks[0]
-        buf_len = nr + 2 * nh + 3 * nr * r_pad + nh * c_pad
-        for k in (2, 4, 8):
+    fused_ks = (2, 4, 8) if (args.fused or cfg.fuse_groups > 1) else (4,)
+    nr, nh, r_pad, c_pad, chunk = 4096, 512, 160, 448, runner._chunks[0]
+    buf_len = nr + 2 * nh + 3 * nr * r_pad + nh * c_pad
+    for k in fused_ks:
 
-            def ff(bufs, pairs, k=k):
-                return pairhmm_pallas_planes_fused(
-                    bufs, pairs, trans,
-                    nr_pad=nr, nh_pad=nh, r_pad=r_pad, c_pad=c_pad,
-                    ppe_rows=cfg.ppe_rows,
-                )
-
-            key = aot.fused_signature_key(
-                platform, k, nr, nh, r_pad, c_pad, chunk, cfg.ppe_rows,
-                trans,
+        def ff(bufs, pairs, k=k):
+            return pairhmm_pallas_planes_fused(
+                bufs, pairs, trans,
+                nr_pad=nr, nh_pad=nh, r_pad=r_pad, c_pad=c_pad,
+                ppe_rows=cfg.ppe_rows,
             )
-            shapes = (
-                jax.ShapeDtypeStruct((k, buf_len), jnp.int32),
-                jax.ShapeDtypeStruct((k, 2, chunk), jnp.int32),
-            )
-            t0 = time.time()
+
+        key = aot.fused_signature_key(
+            platform, k, nr, nh, r_pad, c_pad, chunk, cfg.ppe_rows,
+            trans,
+        )
+        shapes = (
+            jax.ShapeDtypeStruct((k, buf_len), jnp.int32),
+            jax.ShapeDtypeStruct((k, 2, chunk), jnp.int32),
+        )
+        t0 = time.time()
+        fn = aot.load(key)
+        exported = "cached-export"
+        if fn is None:
+            aot.save(key, ff, shapes)
             fn = aot.load(key)
-            exported = "cached-export"
-            if fn is None:
-                aot.save(key, ff, shapes)
-                fn = aot.load(key)
-                exported = "exported"
-            if fn is None:
-                fn, exported = ff, "jit"
-            bufs = np.ones((k, buf_len), np.int32)
-            pairs = np.zeros((k, 2, chunk), np.int32)
-            pairs[:, 0] = rng.integers(0, nr, (k, chunk))
-            pairs[:, 1] = rng.integers(0, nh, (k, chunk))
-            np.asarray(fn(jnp.asarray(bufs), jnp.asarray(pairs)))
-            print(f"fused k={k} chunk={chunk}: {time.time()-t0:.1f}s "
-                  f"({exported})", flush=True)
+            exported = "exported"
+        if fn is None:
+            fn, exported = ff, "jit"
+        bufs = np.ones((k, buf_len), np.int32)
+        pairs = np.zeros((k, 2, chunk), np.int32)
+        pairs[:, 0] = rng.integers(0, nr, (k, chunk))
+        pairs[:, 1] = rng.integers(0, nh, (k, chunk))
+        np.asarray(fn(jnp.asarray(bufs), jnp.asarray(pairs)))
+        print(f"fused k={k} chunk={chunk}: {time.time()-t0:.1f}s "
+              f"({exported})", flush=True)
 
     # the driver's single-chip entry-point program
     import __graft_entry__ as g
