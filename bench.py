@@ -118,7 +118,7 @@ def _run_stream(runner, jobs, jobs_per_submit: int = 4) -> float:
 
 def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
     """Production Pallas path sustained throughput, phase-aware, with an
-    in-round dispatch A/B (unfused vs fused-4 launches).
+    in-round dispatch A/B (unfused vs fused-4 vs fused-8 launches).
 
     The tunnelled TPU throttles in phases lasting minutes to HOURS; a
     number taken in a degraded phase says nothing about the engine.  Each
@@ -129,10 +129,10 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
     buys a long cheap wait for a healthy window instead of a few expensive
     degraded reruns.
 
-    Both dispatch arms run back-to-back inside each round, so the
+    All dispatch arms run back-to-back inside each round, so the
     fused-vs-unfused comparison is phase-relative valid even in a degraded
-    phase (both arms pay the same per-op relay cost; cfg.fuse_groups=4
-    issues one launch per 4 same-signature groups and is bitwise identical
+    phase (every arm pays the same per-op relay cost; cfg.fuse_groups=k
+    issues one launch per k same-signature groups and is bitwise identical
     — hardware-golden-verified, see perf_artifacts/).  Returns
     (healthy, degraded, rounds, arms) where healthy/degraded are the
     best cells/s over both arms (or None) and arms maps
@@ -151,13 +151,22 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
     cfg = dataclasses.replace(
         DEFAULT_CONFIG, dispatch_mode="planes", device_timeout_s=0.0
     )
-    fused_cfg = dataclasses.replace(cfg, fuse_groups=4)
+    fused4_cfg = dataclasses.replace(cfg, fuse_groups=4)
+    fused8_cfg = dataclasses.replace(cfg, fuse_groups=8)
     runner = PallasPairHMMRunner(cfg)
     runner.run([PairHMMJob(reads, haps)])  # compile + warm (unfused)
-    runner.cfg = fused_cfg  # warm the k=4 fused program at this signature
-    runner.run([PairHMMJob(reads, haps) for _ in range(4)])
+    for k, c in ((4, fused4_cfg), (8, fused8_cfg)):
+        runner.cfg = c  # warm the k-group fused program at this signature
+        runner.run([PairHMMJob(reads, haps) for _ in range(k)])
     runner.cfg = cfg
-    arms_cfg = (("unfused", cfg), ("fused4", fused_cfg))
+    # (arm, cfg, jobs per submit batch): fusing only spans one submit
+    # batch, so the fused8 arm submits 8 jobs per batch (2 launches per
+    # 16-job round) while fused4/unfused keep the production depth of 4
+    arms_cfg = (
+        ("unfused", cfg, 4),
+        ("fused4", fused4_cfg, 4),
+        ("fused8", fused8_cfg, 8),
+    )
     cells_per_round = n_jobs * len(reads) * len(haps) * READ_LEN * HAP_LEN
     deadline = time.time() + budget_s
     best = {"healthy": None, "degraded": None}
@@ -173,11 +182,11 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
                 break
             time.sleep(15)
             continue
-        for arm_name, arm_cfg in arms_cfg:
+        for arm_name, arm_cfg, jps in arms_cfg:
             runner.cfg = arm_cfg  # safe: fuse_groups is read at dispatch,
             # and the previous arm fully drained before the swap
             jobs = [PairHMMJob(reads, haps) for _ in range(n_jobs)]
-            dt = _run_stream(runner, jobs)
+            dt = _run_stream(runner, jobs, jobs_per_submit=jps)
             rate = cells_per_round / dt
             bucket = arms[phase]
             if rate > bucket.get(arm_name, 0.0):
@@ -455,7 +464,7 @@ def main() -> None:
             f"16 region jobs of {N_READS}x{N_HAPS} pairs each per round, "
             f"pipelined submit/drain stream, {READ_LEN}bp reads, "
             f"{HAP_LEN}bp haps; best over dispatch arms "
-            f"(unfused, fused4), best round of {rounds}"
+            f"(unfused, fused4, fused8), best round of {rounds}"
         ),
     }
     # best-ever healthy context on EVERY artifact: round-over-round readers
