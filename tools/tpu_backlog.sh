@@ -54,8 +54,9 @@ fi
 
 if [ ! -f $MARK/kernel_rows ]; then
   echo "== kernel rows A/B (ppe 1/2/4/8; kernel-only, phase-insensitive) =="
+  echo "# capture $(date -u +%FT%TZ)" >> $ART/kernel_rows_r4.txt
   timeout 2400 python tools/kernel_bench.py --ppe-rows 1,2,4,8 --algos ppe 2>/dev/null \
-    | tee $ART/kernel_rows_r4.txt
+    | tee -a $ART/kernel_rows_r4.txt
   grep -q Gcells $ART/kernel_rows_r4.txt && touch $MARK/kernel_rows
 fi
 
