@@ -159,13 +159,23 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
         runner.cfg = c  # warm the k-group fused program at this signature
         runner.run([PairHMMJob(reads, haps) for _ in range(k)])
     runner.cfg = cfg
-    # (arm, cfg, jobs per submit batch): fusing only spans one submit
-    # batch, so the fused8 arm submits 8 jobs per batch (2 launches per
-    # 16-job round) while fused4/unfused keep the production depth of 4
+    # packed-encoding arm: ships 4x fewer bytes per group than int32
+    # planes (uint8 + a device-side table gather) — the winning encoding
+    # when a relay phase is bandwidth-throttled rather than op-throttled.
+    # The encoding is fixed per dispatch via _path_ctl.forced; toggling it
+    # between fully-drained arms is exactly what DispatchPathController's
+    # calibration does mid-run in adaptive mode.
+    runner._path_ctl.forced = "packed"
+    runner.run([PairHMMJob(reads, haps)])  # compile + warm (packed)
+    runner._path_ctl.forced = cfg.dispatch_mode
+    # (arm, cfg, encoding, jobs per submit batch): fusing only spans one
+    # submit batch, so the fused8 arm submits 8 jobs per batch (2 launches
+    # per 16-job round) while fused4/unfused keep the production depth of 4
     arms_cfg = (
-        ("unfused", cfg, 4),
-        ("fused4", fused4_cfg, 4),
-        ("fused8", fused8_cfg, 8),
+        ("unfused", cfg, "planes", 4),
+        ("fused4", fused4_cfg, "planes", 4),
+        ("fused8", fused8_cfg, "planes", 8),
+        ("packed", cfg, "packed", 4),
     )
     cells_per_round = n_jobs * len(reads) * len(haps) * READ_LEN * HAP_LEN
     deadline = time.time() + budget_s
@@ -182,9 +192,10 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
                 break
             time.sleep(15)
             continue
-        for arm_name, arm_cfg, jps in arms_cfg:
+        for arm_name, arm_cfg, encoding, jps in arms_cfg:
             runner.cfg = arm_cfg  # safe: fuse_groups is read at dispatch,
             # and the previous arm fully drained before the swap
+            runner._path_ctl.forced = encoding
             jobs = [PairHMMJob(reads, haps) for _ in range(n_jobs)]
             dt = _run_stream(runner, jobs, jobs_per_submit=jps)
             rate = cells_per_round / dt
@@ -194,6 +205,7 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
             if best[phase] is None or rate > best[phase]:
                 best[phase] = rate
         runner.cfg = cfg
+        runner._path_ctl.forced = cfg.dispatch_mode
         rounds += 1
         healthy_rounds += phase == "healthy"
         # stop on enough healthy samples, or at the budget
@@ -464,7 +476,7 @@ def main() -> None:
             f"16 region jobs of {N_READS}x{N_HAPS} pairs each per round, "
             f"pipelined submit/drain stream, {READ_LEN}bp reads, "
             f"{HAP_LEN}bp haps; best over dispatch arms "
-            f"(unfused, fused4, fused8), best round of {rounds}"
+            f"(unfused, fused4, fused8, packed), best round of {rounds}"
         ),
     }
     # best-ever healthy context on EVERY artifact: round-over-round readers
