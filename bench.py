@@ -43,6 +43,22 @@ HAP_LEN = 415  # padded-window reference length (245 + 2*85)
 # separately as `vs_current_cpu_engine`.
 REFERENCE_SCALAR_CELLS_PER_S = 345e6
 
+# Dispatch A/B arm matrix: (name, fuse_groups [0 = unfused], encoding,
+# jobs per submit batch).  tests/test_bench.py asserts every configured arm
+# runs in every phase round, keyed off THIS tuple — add arms here and the
+# harness tests follow automatically.
+ARM_SPECS = (
+    ("unfused", 0, "planes", 4),
+    ("fused4", 4, "planes", 4),
+    ("fused8", 8, "planes", 8),
+    ("packed", 0, "packed", 4),
+    # packed encoding (4x fewer bytes) x fused-4 launches (4x fewer ops):
+    # the r4 A/B showed each winning separately; this is the composition
+    # (pairhmm_pallas_packed_fused) and the production default
+    ("packedfused4", 4, "packed", 4),
+)
+ARM_NAMES = tuple(name for name, _, _, _ in ARM_SPECS)
+
 
 def make_workload(seed: int = 20260816):
     """Realistic region shape: the 16 haplotypes are all small variations of
@@ -149,7 +165,8 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
     # it would silently time the C++ fallback as device throughput; a wedged
     # relay is handled by the subprocess watchdog instead
     cfg = dataclasses.replace(
-        DEFAULT_CONFIG, dispatch_mode="planes", device_timeout_s=0.0
+        DEFAULT_CONFIG, dispatch_mode="planes", device_timeout_s=0.0,
+        fuse_groups=1,
     )
     fused4_cfg = dataclasses.replace(cfg, fuse_groups=4)
     fused8_cfg = dataclasses.replace(cfg, fuse_groups=8)
@@ -159,7 +176,7 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
         runner.cfg = c  # warm the k-group fused program at this signature
         runner.run([PairHMMJob(reads, haps) for _ in range(k)])
     runner.cfg = cfg
-    # packed-encoding arm: ships 4x fewer bytes per group than int32
+    # packed-encoding arms: ship 4x fewer bytes per group than int32
     # planes (uint8 + a device-side table gather) — the winning encoding
     # when a relay phase is bandwidth-throttled rather than op-throttled.
     # The encoding is fixed per dispatch via _path_ctl.forced; toggling it
@@ -167,15 +184,16 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
     # calibration does mid-run in adaptive mode.
     runner._path_ctl.forced = "packed"
     runner.run([PairHMMJob(reads, haps)])  # compile + warm (packed)
+    runner.cfg = fused4_cfg  # warm the fused-4 packed program
+    runner.run([PairHMMJob(reads, haps) for _ in range(4)])
+    runner.cfg = cfg
     runner._path_ctl.forced = cfg.dispatch_mode
     # (arm, cfg, encoding, jobs per submit batch): fusing only spans one
     # submit batch, so the fused8 arm submits 8 jobs per batch (2 launches
     # per 16-job round) while fused4/unfused keep the production depth of 4
-    arms_cfg = (
-        ("unfused", cfg, "planes", 4),
-        ("fused4", fused4_cfg, "planes", 4),
-        ("fused8", fused8_cfg, "planes", 8),
-        ("packed", cfg, "packed", 4),
+    arms_cfg = tuple(
+        (name, {0: cfg, 4: fused4_cfg, 8: fused8_cfg}[k], enc, jps)
+        for name, k, enc, jps in ARM_SPECS
     )
     cells_per_round = n_jobs * len(reads) * len(haps) * READ_LEN * HAP_LEN
     deadline = time.time() + budget_s
@@ -476,7 +494,7 @@ def main() -> None:
             f"16 region jobs of {N_READS}x{N_HAPS} pairs each per round, "
             f"pipelined submit/drain stream, {READ_LEN}bp reads, "
             f"{HAP_LEN}bp haps; best over dispatch arms "
-            f"(unfused, fused4, fused8, packed), best round of {rounds}"
+            f"({', '.join(ARM_NAMES)}), best round of {rounds}"
         ),
     }
     # best-ever healthy context on EVERY artifact: round-over-round readers

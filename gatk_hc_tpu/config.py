@@ -148,12 +148,17 @@ class HCConfig:
     # 448 covers every standard 245+2*85=415bp window's haplotypes (incl.
     # insertion slack) with 12.5% fewer padded DP cells than 512
     hap_pad_buckets: Tuple[int, ...] = (448, 512)
-    # Fuse up to N same-signature single-chunk plane groups into ONE
-    # device launch (lax.map inside one XLA program, bitwise identical per
-    # group).  The relay charges ~4ms per launch regardless of size, so
-    # fusing amortizes per-dispatch overhead toward the kernel roofline.
-    # 1 = off (each group its own launch); A/B'd by tools/sustained_sweep.py
-    fuse_groups: int = 1
+    # Fuse up to N same-signature single-chunk groups (either shipping
+    # encoding: planes or packed) into ONE device launch (lax.map inside
+    # one XLA program, bitwise identical per group).  The relay charges
+    # ~4ms per launch regardless of size, so fusing amortizes per-dispatch
+    # overhead toward the kernel roofline.  1 = off (each group its own
+    # launch).  Default 4: the round-4/5 hardware A/Bs showed fused-4
+    # dispatch strictly >= unfused in both relay phases for both encodings
+    # (bench.py dispatch_arms; tools/sustained_sweep.py).
+    fuse_groups: int = _env_int_choice(
+        "GATK_HC_TPU_FUSE_GROUPS", 4, (1, 2, 3, 4, 6, 8, 16)
+    )
 
     # --- Engine selection ---
     # "pallas": TPU Pallas kernel;  "jax": pure-jnp fallback;

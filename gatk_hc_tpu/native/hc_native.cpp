@@ -4,7 +4,9 @@
 // ctypes (see __init__.py).  Components:
 //   * numeric context tables (ph2pr / jacobian / matchToMatch), same
 //     formulas as the reference's Context.h so the Python tables match
-//     bit-for-bit (verified by tests/test_native.py);
+//     bit-for-bit (verified by tests/test_pairhmm.py::test_tables_bit_equal
+//     and the differential suites in tests/test_pairhmm.py,
+//     tests/test_sw.py, tests/test_assembler.py, tests/test_columnar.py);
 //   * PairHMM forward engine, float32-with-FTZ and float64, replicating the
 //     reference main path's semantics (raw-ASCII quality indexing, Intel
 //     recurrence order, final sumM+sumX over the last row);

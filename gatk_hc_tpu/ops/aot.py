@@ -75,6 +75,44 @@ def fused_signature_key(
     )
 
 
+def packed_signature_key(
+    platform: str,
+    nr_pad: int,
+    nh_pad: int,
+    r_pad: int,
+    c_pad: int,
+    n_pairs: int,
+    ppe_rows: int,
+    trans: Tuple,
+) -> str:
+    """Key for the one-launch packed dispatch (pairhmm_pallas_packed)."""
+    trans_tag = hashlib.sha256(repr(tuple(trans)).encode()).hexdigest()[:8]
+    return (
+        f"packed-{platform}-{nr_pad}x{nh_pad}-{r_pad}x{c_pad}-B{n_pairs}"
+        f"-ppe{ppe_rows}-t{trans_tag}-{_source_hash()}"
+    )
+
+
+def packed_fused_signature_key(
+    platform: str,
+    k: int,
+    nr_pad: int,
+    nh_pad: int,
+    r_pad: int,
+    c_pad: int,
+    n_pairs: int,
+    ppe_rows: int,
+    trans: Tuple,
+) -> str:
+    """Key for the k-group fused packed dispatch
+    (pairhmm_pallas_packed_fused)."""
+    trans_tag = hashlib.sha256(repr(tuple(trans)).encode()).hexdigest()[:8]
+    return (
+        f"packedfused{k}-{platform}-{nr_pad}x{nh_pad}-{r_pad}x{c_pad}"
+        f"-B{n_pairs}-ppe{ppe_rows}-t{trans_tag}-{_source_hash()}"
+    )
+
+
 def _path(key: str) -> str:
     return os.path.join(_CACHE_DIR, key + ".jaxexport")
 

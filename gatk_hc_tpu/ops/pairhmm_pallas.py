@@ -1077,11 +1077,12 @@ def prepare_tables_ppe(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("r_pad", "c_pad", "ppe_rows")
+    jax.jit, static_argnames=("r_pad", "c_pad", "ppe_rows", "interpret")
 )
 def dispatch_pairs_ppe(
     ru, hu, read_lens, hap_lens, init_y, pairs,
     trans: Tuple, r_pad: int, c_pad: int, ppe_rows: int = 2,
+    interpret: bool = False,
 ):
     """Pair expansion (gathers from prepared tables) + the ppe kernel.
     ru arrives segment-major (3, NR, R)."""
@@ -1104,8 +1105,82 @@ def dispatch_pairs_ppe(
     iy = jnp.take(init_y, pair_hap)
     return _pallas_call_ppe(
         rows_hbm, hap_blk, vec(rlens), vec(clens), vec(iy),
-        trans, r_pad, c_pad, False, ppe_rows,
+        trans, r_pad, c_pad, interpret, ppe_rows,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nr_pad", "nh_pad", "r_pad", "c_pad", "ppe_rows", "interpret",
+    ),
+)
+def pairhmm_pallas_packed(
+    u8buf: jnp.ndarray,  # packed group bytes [reads | quals | haps]
+    i32buf: jnp.ndarray,  # [rlens | hlens | init_y bits]
+    ppe_table: jnp.ndarray,  # 768-entry combined element table (device)
+    pairs: jnp.ndarray,  # (2, B) i32
+    trans: Tuple,
+    nr_pad: int,
+    nh_pad: int,
+    r_pad: int,
+    c_pad: int,
+    ppe_rows: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ONE-launch packed dispatch: device unpack-gather (_unpack_u8_ppe) +
+    pair expansion + ppe kernel in a single XLA program.  The split
+    prepare_tables_ppe / dispatch_pairs_ppe pair costs TWO relay launches
+    per single-chunk group (the relay charges ~4ms per launch regardless of
+    size); combining them halves the per-group dispatch cost and is the
+    unit the fused variant below maps over.  All pre-kernel ops are exact
+    gathers/reshapes/bitcasts, so results are bitwise identical to the
+    split dispatch."""
+    tables = _unpack_u8_ppe(
+        u8buf, i32buf, ppe_table, nr_pad, nh_pad, r_pad, c_pad
+    )
+    return dispatch_pairs_ppe(
+        *tables, pairs, trans, r_pad=r_pad, c_pad=c_pad,
+        ppe_rows=ppe_rows, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nr_pad", "nh_pad", "r_pad", "c_pad", "ppe_rows", "interpret",
+    ),
+)
+def pairhmm_pallas_packed_fused(
+    u8bufs: jnp.ndarray,  # (k, U) stacked packed byte buffers
+    i32bufs: jnp.ndarray,  # (k, I) stacked length/init buffers
+    ppe_table: jnp.ndarray,  # shared 768-entry combined element table
+    pairs: jnp.ndarray,  # (k, 2, B) stacked pair chunks
+    trans: Tuple,
+    nr_pad: int,
+    nh_pad: int,
+    r_pad: int,
+    c_pad: int,
+    ppe_rows: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ONE-launch dispatch of k same-signature PACKED groups: the packed
+    encoding's 4x-smaller transfer (uint8 vs i32 planes) composed with the
+    fused path's k-fold launch amortization — the combination the round-4
+    A/B showed each winning separately but that could not previously
+    coexist (fusion was planes-only).  lax.map of pairhmm_pallas_packed, so
+    each group's result is BITWISE identical to its own packed dispatch.
+    Returns (k*B,) f32, group-major."""
+
+    def one(xs):
+        u8, i32, p = xs
+        return pairhmm_pallas_packed(
+            u8, i32, ppe_table, p, trans, nr_pad=nr_pad, nh_pad=nh_pad,
+            r_pad=r_pad, c_pad=c_pad, ppe_rows=ppe_rows,
+            interpret=interpret,
+        )
+
+    return jax.lax.map(one, (u8bufs, i32bufs, pairs)).reshape(-1)
 
 
 @functools.partial(

@@ -469,6 +469,83 @@ class PallasPairHMMRunner:
                 self._call_cache[key] = fn
             return fn
 
+    def _packed_callable(self, nr_pad, nh_pad, r_pad, c_pad, n_pairs):
+        """One-launch program for a single-chunk PACKED group
+        (pairhmm_pallas_packed: device unpack + expansion + kernel in one
+        XLA program — halves the per-group launch count vs the split
+        prepare/dispatch pair)."""
+        key = ("packed", nr_pad, nh_pad, r_pad, c_pad, n_pairs,
+               self.interpret)
+        fn = self._call_cache.get(key)
+        if fn is not None:
+            return fn
+        with self._call_lock:
+            fn = self._call_cache.get(key)
+            if fn is None:
+                import functools
+
+                import jax
+
+                from . import aot
+                from .pairhmm_pallas import pairhmm_pallas_packed
+
+                if not self.interpret:
+                    fn = aot.load(
+                        aot.packed_signature_key(
+                            jax.default_backend(), nr_pad, nh_pad,
+                            r_pad, c_pad, n_pairs, self.cfg.ppe_rows,
+                            self.trans,
+                        )
+                    )
+                if fn is None:
+                    fn = functools.partial(
+                        pairhmm_pallas_packed,
+                        trans=self.trans,
+                        nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad,
+                        c_pad=c_pad,
+                        ppe_rows=self.cfg.ppe_rows, interpret=self.interpret,
+                    )
+                self._call_cache[key] = fn
+            return fn
+
+    def _packed_fused_callable(self, k, nr_pad, nh_pad, r_pad, c_pad,
+                               n_pairs):
+        """Jitted one-launch program for k stacked same-signature packed
+        groups (pairhmm_pallas_packed_fused)."""
+        key = ("packedfused", k, nr_pad, nh_pad, r_pad, c_pad, n_pairs,
+               self.interpret)
+        fn = self._call_cache.get(key)
+        if fn is not None:
+            return fn
+        with self._call_lock:
+            fn = self._call_cache.get(key)
+            if fn is None:
+                import functools
+
+                import jax
+
+                from . import aot
+                from .pairhmm_pallas import pairhmm_pallas_packed_fused
+
+                if not self.interpret:
+                    fn = aot.load(
+                        aot.packed_fused_signature_key(
+                            jax.default_backend(), k, nr_pad, nh_pad,
+                            r_pad, c_pad, n_pairs, self.cfg.ppe_rows,
+                            self.trans,
+                        )
+                    )
+                if fn is None:
+                    fn = functools.partial(
+                        pairhmm_pallas_packed_fused,
+                        trans=self.trans,
+                        nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad,
+                        c_pad=c_pad,
+                        ppe_rows=self.cfg.ppe_rows, interpret=self.interpret,
+                    )
+                self._call_cache[key] = fn
+            return fn
+
     def prewarm(self, signatures=None, block: bool = False):
         """Trace/compile the expected first dispatch programs concurrently
         with host parse/assembly (a daemon thread; the per-process cost of
@@ -606,10 +683,10 @@ class PallasPairHMMRunner:
             sink: List = []
             submitted = []
             for group in groups:
-                entry = self._submit_group(jobs, group, planes_sink=sink)
+                entry = self._submit_group(jobs, group, fuse_sink=sink)
                 if entry is not None:
                     submitted.append(entry)
-            submitted.extend(self._dispatch_fused_planes(sink))
+            submitted.extend(self._dispatch_fused(sink))
         else:
             submitted = [self._submit_group(jobs, group) for group in groups]
         per_dev: Dict = {}  # device -> [out arrays in order]
@@ -825,7 +902,7 @@ class PallasPairHMMRunner:
         return groups
 
     def _submit_group(self, jobs: Sequence[PairHMMJob], group: List[int],
-                      planes_sink: Optional[List] = None):
+                      fuse_sink: Optional[List] = None):
         # build unique tables
         r_pad, c_pad = self._pads_for_group(jobs, group)
         n_reads = sum(len(jobs[g].reads) for g in group)
@@ -985,8 +1062,11 @@ class PallasPairHMMRunner:
         outs = []
         if use_ppe:
             if self.interpret:
-                # test hook path: the packed dispatch has no interpret plumb
-                path, calibrate = "planes", False
+                # test hook path: interpret runs planes unless a test
+                # forces the packed encoding (packed-fused CPU coverage)
+                forced = self._path_ctl.forced
+                path = "packed" if forced == "packed" else "planes"
+                calibrate = False
             else:
                 path, calibrate = self._path_ctl.choose()
             t0 = time.perf_counter() if calibrate else 0.0
@@ -1000,24 +1080,51 @@ class PallasPairHMMRunner:
                 i32buf = np.concatenate(
                     [read_lens, hap_lens, hap_init_y.view(np.int32)]
                 )
+                if (
+                    fuse_sink is not None
+                    and not calibrate
+                    and len(sizes) == 1
+                ):
+                    # defer for fused dispatch (_dispatch_fused): k
+                    # same-signature packed groups become ONE launch
+                    fuse_sink.append((
+                        "packed", (u8buf, i32buf), chunk_pairs[0],
+                        sizes[0], spans, total,
+                        (nr_pad, nh_pad, r_pad, c_pad), device,
+                    ))
+                    return None
                 u8_dev, i32_dev, *pairs_devs = jax.device_put(
                     [u8buf, i32buf] + chunk_pairs, device
                 )
                 _base, _omq, _q3, ppe_tab = self._device_tables(device)
-                from .pairhmm_pallas import dispatch_pairs_ppe, prepare_tables_ppe
-
-                tables = prepare_tables_ppe(
-                    u8_dev, i32_dev, ppe_tab,
-                    nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
-                )
-                for pairs_dev in pairs_devs:
-                    outs.append(
-                        dispatch_pairs_ppe(
-                            *tables, pairs_dev, self.trans,
-                            r_pad=r_pad, c_pad=c_pad,
-                            ppe_rows=self.cfg.ppe_rows,
-                        )
+                if len(sizes) == 1:
+                    # single chunk: unpack + expansion + kernel in ONE
+                    # launch (the split pair below costs two)
+                    fn = self._packed_callable(
+                        nr_pad, nh_pad, r_pad, c_pad, sizes[0]
                     )
+                    outs.append(fn(u8_dev, i32_dev, ppe_tab, pairs_devs[0]))
+                else:
+                    # multi-chunk: prepare tables once, reuse per chunk
+                    from .pairhmm_pallas import (
+                        dispatch_pairs_ppe,
+                        prepare_tables_ppe,
+                    )
+
+                    tables = prepare_tables_ppe(
+                        u8_dev, i32_dev, ppe_tab,
+                        nr_pad=nr_pad, nh_pad=nh_pad,
+                        r_pad=r_pad, c_pad=c_pad,
+                    )
+                    for pairs_dev in pairs_devs:
+                        outs.append(
+                            dispatch_pairs_ppe(
+                                *tables, pairs_dev, self.trans,
+                                r_pad=r_pad, c_pad=c_pad,
+                                ppe_rows=self.cfg.ppe_rows,
+                                interpret=self.interpret,
+                            )
+                        )
             else:
                 # planes path: the HOST applies the 256-entry element
                 # tables (numpy fancy-indexing, ~2ms/group) and ships ready
@@ -1028,14 +1135,14 @@ class PallasPairHMMRunner:
                     hap_init_y, nr_pad, nh_pad, r_pad, c_pad,
                 )
                 if (
-                    planes_sink is not None
+                    fuse_sink is not None
                     and not calibrate
                     and len(sizes) == 1
                 ):
-                    # defer for fused dispatch (_dispatch_fused_planes)
-                    planes_sink.append((
-                        buf, chunk_pairs[0], sizes[0], spans, total,
-                        (nr_pad, nh_pad, r_pad, c_pad), device,
+                    # defer for fused dispatch (_dispatch_fused)
+                    fuse_sink.append((
+                        "planes", buf, chunk_pairs[0], sizes[0], spans,
+                        total, (nr_pad, nh_pad, r_pad, c_pad), device,
                     ))
                     return None
                 buf_dev, *pairs_devs = jax.device_put(
@@ -1083,48 +1190,80 @@ class PallasPairHMMRunner:
             )
         return (outs, (spans, total))
 
-    def _dispatch_fused_planes(self, records) -> List:
-        """Dispatch deferred planes records (from _submit_group), fusing up
-        to cfg.fuse_groups same-signature single-chunk groups into ONE
-        device_put + ONE launch each.  Each fused entry's spans carry
-        per-group offsets into the flattened (k*size,) output, so
-        _finalize_group consumes it like any other group.  Results are
-        bitwise identical to per-group dispatch (lax.map of the same jitted
-        body)."""
+    def _dispatch_fused(self, records) -> List:
+        """Dispatch deferred single-chunk records (from _submit_group),
+        fusing up to cfg.fuse_groups same-signature groups of the SAME
+        shipping encoding into ONE device_put + ONE launch each.  Each
+        fused entry's spans carry per-group offsets into the flattened
+        (k*size,) output, so _finalize_group consumes it like any other
+        group.  Results are bitwise identical to per-group dispatch
+        (lax.map of the same jitted body).  Record layout:
+        (path, payload, pairs, size, spans, total, sig, device) where
+        payload is the i32 plane buffer (planes) or (u8buf, i32buf)
+        (packed)."""
         if not records:
             return []
         import jax
 
         buckets: Dict = {}
         for rec in records:
-            _buf, _pairs, size, _spans, _total, sig, _dev = rec
-            buckets.setdefault((sig, size), []).append(rec)
+            path, _payload, _pairs, size, _spans, _total, sig, _dev = rec
+            buckets.setdefault((path, sig, size), []).append(rec)
         entries = []
-        for (sig, size), recs in buckets.items():
+        for (path, sig, size), recs in buckets.items():
             nr_pad, nh_pad, r_pad, c_pad = sig
             for i in range(0, len(recs), self.cfg.fuse_groups):
                 part = recs[i : i + self.cfg.fuse_groups]
                 k = len(part)
-                device = part[0][6]
-                if k == 1:
-                    buf, pairs, _size, spans, total, _sig, device = part[0]
+                device = part[0][7]
+                spans_totals = [(rec[4], rec[5]) for rec in part]
+                if path == "packed":
+                    _b, _o, _q, ppe_tab = self._device_tables(device)
+                    if k == 1:
+                        (u8buf, i32buf), pairs = part[0][1], part[0][2]
+                        u8_dev, i32_dev, pairs_dev = jax.device_put(
+                            [u8buf, i32buf, pairs], device
+                        )
+                        fn = self._packed_callable(
+                            nr_pad, nh_pad, r_pad, c_pad, size
+                        )
+                        entries.append((
+                            [fn(u8_dev, i32_dev, ppe_tab, pairs_dev)],
+                            spans_totals[0],
+                        ))
+                        continue
+                    u8s = np.stack([r[1][0] for r in part])
+                    i32s = np.stack([r[1][1] for r in part])
+                    prs = np.stack([r[2] for r in part])
+                    u8s_dev, i32s_dev, prs_dev = jax.device_put(
+                        [u8s, i32s, prs], device
+                    )
+                    fn = self._packed_fused_callable(
+                        k, nr_pad, nh_pad, r_pad, c_pad, size
+                    )
+                    out = fn(u8s_dev, i32s_dev, ppe_tab, prs_dev)
+                elif k == 1:
+                    buf, pairs = part[0][1], part[0][2]
                     buf_dev, pairs_dev = jax.device_put([buf, pairs], device)
                     fn = self._planes_callable(
                         nr_pad, nh_pad, r_pad, c_pad, size
                     )
-                    entries.append(([fn(buf_dev, pairs_dev)], (spans, total)))
+                    entries.append(
+                        ([fn(buf_dev, pairs_dev)], spans_totals[0])
+                    )
                     continue
-                bufs = np.stack([r[0] for r in part])
-                prs = np.stack([r[1] for r in part])
-                bufs_dev, prs_dev = jax.device_put([bufs, prs], device)
-                fn = self._fused_callable(
-                    k, nr_pad, nh_pad, r_pad, c_pad, size
-                )
-                out = fn(bufs_dev, prs_dev)  # (k*size,) group-major
+                else:
+                    bufs = np.stack([r[1] for r in part])
+                    prs = np.stack([r[2] for r in part])
+                    bufs_dev, prs_dev = jax.device_put([bufs, prs], device)
+                    fn = self._fused_callable(
+                        k, nr_pad, nh_pad, r_pad, c_pad, size
+                    )
+                    out = fn(bufs_dev, prs_dev)  # (k*size,) group-major
                 merged = [
                     (g, j * size + start, nr, nh)
-                    for j, rec in enumerate(part)
-                    for g, start, nr, nh in rec[3]
+                    for j, (spans, _total) in enumerate(spans_totals)
+                    for g, start, nr, nh in spans
                 ]
                 entries.append(([out], (merged, k * size)))
         return entries

@@ -36,7 +36,7 @@ def test_bench_device_runs_both_arms_per_round(monkeypatch):
     )
     assert rounds == 1
     assert degraded is None and not arms["degraded"]
-    assert set(arms["healthy"]) == {"unfused", "fused4", "fused8"}
+    assert set(arms["healthy"]) == set(bench.ARM_NAMES)
     assert healthy == max(arms["healthy"].values()) > 0
 
 
@@ -47,5 +47,5 @@ def test_bench_device_degraded_bucket(monkeypatch):
         reads, haps, n_jobs=2, budget_s=0.0
     )
     assert healthy is None and not arms["healthy"]
-    assert set(arms["degraded"]) == {"unfused", "fused4", "fused8"}
+    assert set(arms["degraded"]) == set(bench.ARM_NAMES)
     assert degraded == max(arms["degraded"].values()) > 0

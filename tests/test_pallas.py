@@ -391,6 +391,74 @@ class TestFusedGroupDispatch:
             np.testing.assert_array_equal(a.result, b.result)
 
 
+class TestPackedFusedDispatch:
+    """The packed encoding's fused path (pairhmm_pallas_packed /
+    pairhmm_pallas_packed_fused): single-chunk packed groups defer to the
+    fuse sink and dispatch k-at-a-time in ONE launch.  Must be bitwise
+    identical to both the unfused packed dispatch and the planes path
+    (same element tables, same kernel; only shipping encoding + launch
+    count differ)."""
+
+    def _runner(self, fuse, forced="packed"):
+        import dataclasses
+
+        from gatk_hc_tpu.config import DEFAULT_CONFIG
+        from gatk_hc_tpu.ops.runner import PallasPairHMMRunner
+
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, read_pad_buckets=(32,), hap_pad_buckets=(128,),
+            fuse_groups=fuse, dispatch_mode=forced,
+        )
+        r = PallasPairHMMRunner(cfg, pair_budget=1024, interpret=True)
+        r._allow_ppe_interpret = True
+        return r
+
+    def test_packed_fused_matches_planes_unfused_bitwise(self, rng):
+        from gatk_hc_tpu.ops.runner import PairHMMJob
+
+        jobs_a = [make_job(rng, 8, 16) for _ in range(12)]
+        jobs_b = [PairHMMJob(j.reads, j.haps) for j in jobs_a]
+        fused = self._runner(fuse=4, forced="packed")
+        fused.run(jobs_a)
+        plain = self._runner(fuse=1, forced="planes")
+        plain.run(jobs_b)
+        for a, b in zip(jobs_a, jobs_b):
+            np.testing.assert_array_equal(a.result, b.result)
+
+    def test_packed_unfused_matches_packed_fused_bitwise(self, rng):
+        from gatk_hc_tpu.ops.runner import PairHMMJob
+
+        jobs_a = [make_job(rng, 8, 16) for _ in range(9)]  # 3-group tail
+        jobs_b = [PairHMMJob(j.reads, j.haps) for j in jobs_a]
+        fused = self._runner(fuse=3, forced="packed")
+        fused.run(jobs_a)
+        plain = self._runner(fuse=1, forced="packed")
+        plain.run(jobs_b)
+        for a, b in zip(jobs_a, jobs_b):
+            assert a.result is not None
+            np.testing.assert_array_equal(a.result, b.result)
+
+    def test_packed_fused_multi_device_placement_independent(self, rng):
+        import jax
+
+        from gatk_hc_tpu.ops.runner import PairHMMJob
+
+        if len(jax.devices()) < 8:
+            import pytest
+
+            pytest.skip("needs 8 virtual devices")
+        jobs_a = [make_job(rng, 8, 16) for _ in range(12)]
+        jobs_b = [PairHMMJob(j.reads, j.haps) for j in jobs_a]
+        fused = self._runner(fuse=2, forced="packed")
+        fused._devices = list(jax.devices())
+        fused.run(jobs_a)
+        plain = self._runner(fuse=1, forced="planes")
+        plain._devices = list(jax.devices())[:1]
+        plain.run(jobs_b)
+        for a, b in zip(jobs_a, jobs_b):
+            np.testing.assert_array_equal(a.result, b.result)
+
+
 class TestPackedUnpack:
     def test_prepare_tables_ppe_matches_plane_tables(self):
         """The packed-path device unpack (runner layout [reads|quals|haps],

@@ -184,6 +184,88 @@ def main():
         print(f"fused k={k} chunk={chunk}: {time.time()-t0:.1f}s "
               f"({exported})", flush=True)
 
+    # packed one-launch + k-fused packed programs (the production default
+    # dispatch is adaptive encoding x fuse_groups=4, so a run that
+    # calibrates onto packed dispatches pairhmm_pallas_packed_fused)
+    from gatk_hc_tpu.ops.pairhmm_pallas import (
+        pairhmm_pallas_packed, pairhmm_pallas_packed_fused,
+    )
+
+    packed_ks = (1, 2, 4, 8) if args.fused else (1, 4)
+    for (nr, nh), r_pad, c_pad, chunk in combos:
+        u8_len = 2 * nr * r_pad + nh * c_pad
+        i32_len = nr + 2 * nh
+        for k in packed_ks:
+            if k == 1:
+                def fp(u8, i32, tab, pairs, nr=nr, nh=nh, r_pad=r_pad,
+                       c_pad=c_pad):
+                    return pairhmm_pallas_packed(
+                        u8, i32, tab, pairs, trans,
+                        nr_pad=nr, nh_pad=nh, r_pad=r_pad, c_pad=c_pad,
+                        ppe_rows=cfg.ppe_rows,
+                    )
+
+                key = aot.packed_signature_key(
+                    platform, nr, nh, r_pad, c_pad, chunk, cfg.ppe_rows,
+                    trans,
+                )
+                shapes = (
+                    jax.ShapeDtypeStruct((u8_len,), jnp.uint8),
+                    jax.ShapeDtypeStruct((i32_len,), jnp.int32),
+                    jax.ShapeDtypeStruct(ppe_tab.shape, ppe_tab.dtype),
+                    jax.ShapeDtypeStruct((2, chunk), jnp.int32),
+                )
+                u8_np = np.ones((u8_len,), np.uint8)
+                i32_np = np.ones((i32_len,), np.int32)
+                pairs = np.zeros((2, chunk), np.int32)
+                pairs[0] = rng.integers(0, nr, chunk)
+                pairs[1] = rng.integers(0, nh, chunk)
+                call_args = (jnp.asarray(u8_np), jnp.asarray(i32_np),
+                             ppe_tab, jnp.asarray(pairs))
+            else:
+                def fp(u8s, i32s, tab, pairs, k=k, nr=nr, nh=nh,
+                       r_pad=r_pad, c_pad=c_pad):
+                    return pairhmm_pallas_packed_fused(
+                        u8s, i32s, tab, pairs, trans,
+                        nr_pad=nr, nh_pad=nh, r_pad=r_pad, c_pad=c_pad,
+                        ppe_rows=cfg.ppe_rows,
+                    )
+
+                key = aot.packed_fused_signature_key(
+                    platform, k, nr, nh, r_pad, c_pad, chunk,
+                    cfg.ppe_rows, trans,
+                )
+                shapes = (
+                    jax.ShapeDtypeStruct((k, u8_len), jnp.uint8),
+                    jax.ShapeDtypeStruct((k, i32_len), jnp.int32),
+                    jax.ShapeDtypeStruct(ppe_tab.shape, ppe_tab.dtype),
+                    jax.ShapeDtypeStruct((k, 2, chunk), jnp.int32),
+                )
+                pairs = np.zeros((k, 2, chunk), np.int32)
+                pairs[:, 0] = rng.integers(0, nr, (k, chunk))
+                pairs[:, 1] = rng.integers(0, nh, (k, chunk))
+                call_args = (
+                    jnp.asarray(np.ones((k, u8_len), np.uint8)),
+                    jnp.asarray(np.ones((k, i32_len), np.int32)),
+                    ppe_tab, jnp.asarray(pairs),
+                )
+            t0 = time.time()
+            fn = aot.load(key)
+            exported = "cached-export"
+            if fn is None:
+                aot.save(key, fp, shapes)
+                fn = aot.load(key)
+                exported = "exported"
+            if fn is None:
+                fn, exported = fp, "jit"
+            np.asarray(fn(*call_args))
+            print(
+                f"packed{'' if k == 1 else f'fused k={k}'} nr={nr} nh={nh} "
+                f"r_pad={r_pad} c_pad={c_pad} chunk={chunk}: "
+                f"{time.time()-t0:.1f}s ({exported})",
+                flush=True,
+            )
+
     # the driver's single-chip entry-point program
     import __graft_entry__ as g
 
