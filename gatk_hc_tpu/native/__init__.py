@@ -128,6 +128,9 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_int64,  # cigar arena capacity
     ]
 
+    lib.hc_fused_run.restype = ctypes.c_int32
+    lib.hc_fused_run.argtypes = [i64p]
+
     lib.hc_prof_read.restype = None
     lib.hc_prof_read.argtypes = [i64p, ctypes.c_int32]
 
@@ -260,13 +263,18 @@ def profile_read(reset: bool = False):
     attribution the reference never had (its rdtsc hooks are compile-time,
     PairWiseSW.h:111-119)."""
     lib = _load()
-    out = np.zeros(8, dtype=np.int64)
+    out = np.zeros(12, dtype=np.int64)
     lib.hc_prof_read(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int32(1 if reset else 0),
     )
     result = {name: out[i] / 1e9 for i, name in enumerate(PROF_PHASES)}
     result["regions_assembled"] = int(out[7])
+    # count slots (workload-attribution aid for the host wall):
+    result["ladder_retries"] = int(out[8])
+    result["sw_full_dp"] = int(out[9])
+    result["sw_fast_path"] = int(out[10])
+    result["sw_full_dp_cells"] = int(out[11])
     return result
 
 
@@ -405,6 +413,9 @@ class _AssembleScratch(threading.local):
     per-haplotype arrays (they are indexed up to max_h regardless of arena
     byte size).  ctypes pointers are bound once per (re)allocation."""
 
+    gen = 0  # bumped on any (re)allocation: hc_fused_run ctrl blocks
+    # embed raw buffer addresses and re-bind when the generation moves
+
     def ensure(self, max_h: int, ref_len: int):
         arena_cap = max_h * (ref_len + 64)
         # true per-alignment element bound is n + m + 2 with m <= the arena
@@ -412,6 +423,7 @@ class _AssembleScratch(threading.local):
         # never overflow (hc_assemble_sw returns -5 as a last-resort guard)
         cigar_cap = max_h * (2 * ref_len + 128)
         if getattr(self, "max_h", 0) < max_h:
+            self.gen += 1
             self.max_h = max_h
             self.hap_offsets = np.empty(max_h + 1, dtype=np.int64)
             self.scores = np.empty(max_h, dtype=np.float64)
@@ -422,12 +434,14 @@ class _AssembleScratch(threading.local):
             self.p_align_offsets = _bind(self.align_offsets, ctypes.c_int32)
             self.p_cigar_offsets = _bind(self.cigar_offsets, ctypes.c_int64)
         if getattr(self, "arena", None) is None or len(self.arena) < arena_cap:
+            self.gen += 1
             self.arena = np.empty(arena_cap, dtype=np.uint8)
             self.p_arena = _bind(self.arena, ctypes.c_uint8)
         if (
             getattr(self, "cigar_ops", None) is None
             or len(self.cigar_ops) < cigar_cap
         ):
+            self.gen += 1
             self.cigar_ops = np.empty(cigar_cap, dtype=np.uint8)
             self.cigar_lens = np.empty(cigar_cap, dtype=np.int32)
             self.p_cigar_ops = _bind(self.cigar_ops, ctypes.c_uint8)
@@ -441,14 +455,18 @@ class _WindowScratch(threading.local):
     Python share of prep time).  Consumers must COPY what escapes the
     call (io/columnar.py::window_reads_from_outputs does)."""
 
+    gen = 0  # bumped on any (re)allocation (see _AssembleScratch.gen)
+
     def ensure(self, cap: int, n: int):
         if getattr(self, "cap", 0) < cap:
+            self.gen += 1
             self.cap = max(cap, 1 << 16, 2 * getattr(self, "cap", 0))
             self.out_seq = np.empty(self.cap, np.uint8)
             self.out_qual = np.empty(self.cap, np.uint8)
             self.p_seq = _bind(self.out_seq, ctypes.c_uint8)
             self.p_qual = _bind(self.out_qual, ctypes.c_uint8)
         if getattr(self, "n", 0) < n:
+            self.gen += 1
             self.n = max(n, 256, 2 * getattr(self, "n", 0))
             self.out_off = np.empty(self.n + 1, np.int64)
             self.out_ab = np.empty(self.n, np.int64)
@@ -466,17 +484,30 @@ _ASSEMBLE_SCRATCH = _AssembleScratch()
 _WINDOW_SCRATCH = _WindowScratch()
 
 
+class _FusedCtrls(threading.local):
+    """Per-thread {contig: (ctrl block, aux arrays)} for hc_fused_run.  The
+    ctrl block embeds THREAD-LOCAL scratch pointers and is mutated per call
+    (begin/end slots), so it can never be shared across pool workers."""
+
+    def ensure_map(self):
+        if not hasattr(self, "map"):
+            self.map = {}
+        return self.map
+
+
 def fused_window_fn(cfg, store, contig_seqs=None):
     """Whole-window native fast path over a ColumnarReadStore:
     ``(contig, begin, end, window_ref) -> (reads, n_downsampled, haps)``.
-    One ctypes call per region runs downsample/filter/clip + assembly +
-    per-haplotype SW (hc_prepare_assemble_sw); the separate
-    prepare_window/assemble path remains the differential oracle.  Reads
-    come back as a columnar WindowReads (no per-read objects); all static
-    arguments and reusable scratch pointers are bound once.
-    ``contig_seqs`` ({name: full sequence}) lets the window reference be
-    pointer arithmetic into one per-contig encode instead of a per-region
-    encode + data_as."""
+    ONE single-argument ctypes call per region runs downsample-select +
+    filter/clip + assembly + per-haplotype SW (hc_fused_run): every
+    argument lives in a per-thread int64 control block bound once per
+    contig (the 30-argument hc_prepare_assemble_sw call cost ~50us of
+    marshalling per region and the numpy select another ~17us — ~20s over
+    a 60Mb WGS walk).  The separate prepare_window/assemble path remains
+    the differential oracle.  Reads come back as a columnar WindowReads
+    (no per-read objects).  ``contig_seqs`` ({name: full sequence}) is
+    required for the ctrl path (window ref = pointer arithmetic into one
+    per-contig encode); without it the legacy multi-argument call runs."""
     from ..io.columnar import window_reads_from_outputs
     from ..models.haplotype import Haplotype
 
@@ -499,28 +530,149 @@ def fused_window_fn(cfg, store, contig_seqs=None):
     # pointer arithmetic instead of a per-region encode + data_as
     contig_bytes: dict = {}
     fn = lib.hc_prepare_assemble_sw
+    fused = lib.hc_fused_run
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    ds_mode = {"first": 0, "seeded": 1}[cfg.downsample_mode]
+    ds_base = (cfg.downsample_seed * 0x10001) & 0xFFFFFFFFFFFFFFFF
+    win_width = cfg.region_size + 2 * cfg.padding_size
+    ctrls = _FusedCtrls()
 
-    def run(contig: str, begin: int, end: int, window_ref: str):
-        sel = store._indexes[contig].select(begin, end, cfg)
-        if sel.size == 0:
-            return [], 0, []
-        cap = int((store.seq_off[sel + 1] - store.seq_off[sel]).sum())
-        ws = _WINDOW_SCRATCH.ensure(cap, len(sel))
+    def _contig_ref(contig):
         ref_arr = contig_bytes.get(contig)
         if ref_arr is None and contig_seqs and contig in contig_seqs:
             ref_arr = contig_bytes[contig] = np.frombuffer(
                 contig_seqs[contig].encode(), dtype=np.uint8
             )
-        if ref_arr is not None:
-            ref_ptr = ctypes.cast(
-                ctypes.c_void_p(ref_arr.ctypes.data + begin), u8p
-            )
-            ref_len = end - begin
-        else:
-            win_arr = np.frombuffer(window_ref.encode(), dtype=np.uint8)
-            ref_ptr = c(win_arr, ctypes.c_uint8)
-            ref_len = len(win_arr)
+        return ref_arr
+
+    def _fill_scratch_slots(ctrl, ws, s, aux):
+        sel_scratch, nds_out, needed_out = aux
+        ctrl[20] = ws.out_seq.ctypes.data
+        ctrl[21] = ws.out_qual.ctypes.data
+        ctrl[22] = len(ws.out_seq)
+        ctrl[23] = ws.out_off.ctypes.data
+        ctrl[24] = ws.out_ab.ctypes.data
+        ctrl[25] = ws.out_ae.ctypes.data
+        ctrl[26] = ws.kept_out.ctypes.data
+        ctrl[27] = sel_scratch.ctypes.data
+        ctrl[32] = s.arena.ctypes.data
+        ctrl[33] = len(s.arena)
+        ctrl[34] = s.hap_offsets.ctypes.data
+        ctrl[35] = s.scores.ctypes.data
+        ctrl[37] = s.align_offsets.ctypes.data
+        ctrl[38] = s.cigar_ops.ctypes.data
+        ctrl[39] = s.cigar_lens.ctypes.data
+        ctrl[40] = s.cigar_offsets.ctypes.data
+        ctrl[41] = len(s.cigar_ops)
+        ctrl[42] = nds_out.ctypes.data
+        ctrl[43] = needed_out.ctypes.data
+
+    def _make_ctrl(contig, ref_arr):
+        idx = store._indexes[contig]
+        # the C side reads these as int64; coerce defensively (np.bincount
+        # yields intp, which is int64 on every supported platform, but a
+        # silent dtype change would corrupt the select)
+        for name in ("rows", "starts", "counts"):
+            a = getattr(idx, name)
+            if a.dtype != np.int64 or not a.flags.c_contiguous:
+                setattr(idx, name, np.ascontiguousarray(a, dtype=np.int64))
+        ctrl = np.zeros(44, dtype=np.int64)
+        cols = (store.pos, store.flag, store.mapq, store.rnext_eq,
+                store.cig_off, store.cig_op, store.cig_len,
+                store.seq_off, store.seq, store.qual)
+        for k, a in enumerate(cols):
+            ctrl[k] = a.ctypes.data
+        ctrl[10] = idx.rows.ctypes.data
+        ctrl[11] = idx.starts.ctypes.data
+        ctrl[12] = idx.counts.ctypes.data
+        ctrl[13] = idx.size
+        ctrl[14] = ds_mode
+        ctrl.view(np.uint64)[15] = ds_base
+        ctrl[16] = cfg.min_mapping_quality
+        ctrl[17] = cfg.min_read_length_after_trimming
+        ctrl[29] = ref_arr.ctypes.data
+        ctrl[30] = cfg_ints.ctypes.data
+        ctrl[31] = sw_ints.ctypes.data
+        ctrl[36] = max_h
+        sel_scratch = np.empty(max(win_width, 1024), np.int64)
+        nds_out = np.zeros(1, np.int32)
+        needed_out = np.zeros(1, np.int64)
+        aux = (sel_scratch, nds_out, needed_out)
+        ws = _WINDOW_SCRATCH.ensure(1 << 16, win_width)
+        s = _ASSEMBLE_SCRATCH.ensure(max_h, win_width)
+        _fill_scratch_slots(ctrl, ws, s, aux)
+        gens = [ws.gen + s.gen]
+        ctrl_p = ctrl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        # keep every pointed-to array alive alongside the block
+        keep = (idx, cols, cfg_ints, sw_ints, ref_arr)
+        return (ctrl, ctrl_p, aux, gens, keep)
+
+    def _unmarshal(contig, n):
+        ws, s = _WINDOW_SCRATCH, _ASSEMBLE_SCRATCH
+        kept = int(ws.kept_out[0])
+        reads = window_reads_from_outputs(
+            contig, ws.out_seq, ws.out_qual, ws.out_off, ws.out_ab,
+            ws.out_ae, kept,
+        )
+        haplotypes = []
+        hap_offs = s.hap_offsets
+        cig_offs = s.cigar_offsets
+        for i in range(n):
+            bases_u8 = s.arena[hap_offs[i] : hap_offs[i + 1]].copy()
+            h = Haplotype(bases_u8.tobytes().decode(), s.scores[i])
+            h.bases_u8 = bases_u8
+            h.alignment_begin_wrt_ref = int(s.align_offsets[i])
+            lo, hi = int(cig_offs[i]), int(cig_offs[i + 1])
+            ops = s.cigar_ops[lo:hi].tobytes().decode()
+            h.cigar = tuple(zip(s.cigar_lens[lo:hi].tolist(), ops))
+            haplotypes.append(h)
+        return reads, haplotypes
+
+    def run(contig: str, begin: int, end: int, window_ref: str):
+        ref_arr = _contig_ref(contig)
+        if ref_arr is None:
+            return run_fallback(contig, begin, end, window_ref)
+        cmap = ctrls.ensure_map()
+        entry = cmap.get(contig)
+        if entry is None:
+            entry = cmap[contig] = _make_ctrl(contig, ref_arr)
+        ctrl, ctrl_p, aux, gens, _keep = entry
+        # scratch buffers are shared with the other native entry points on
+        # this thread; any reallocation there invalidates the embedded
+        # addresses -> re-bind when the generation moved
+        if _WINDOW_SCRATCH.gen + _ASSEMBLE_SCRATCH.gen != gens[0]:
+            ws = _WINDOW_SCRATCH.ensure(1, 1)
+            s = _ASSEMBLE_SCRATCH.ensure(max_h, win_width)
+            _fill_scratch_slots(ctrl, ws, s, aux)
+            gens[0] = ws.gen + s.gen
+        ctrl[18] = begin
+        ctrl[19] = end
+        n = fused(ctrl_p)
+        if n == -10:  # out blob scratch too small: grow + rebind + retry
+            ws = _WINDOW_SCRATCH.ensure(int(aux[2][0]), win_width)
+            s = _ASSEMBLE_SCRATCH.ensure(max_h, win_width)
+            _fill_scratch_slots(ctrl, ws, s, aux)
+            gens[0] = ws.gen + s.gen
+            n = fused(ctrl_p)
+        if n < 0:
+            _raise_assemble_error("hc_fused_run", n)
+        n_ds = int(aux[1][0])
+        if n_ds == 0:
+            return [], 0, []
+        reads, haplotypes = _unmarshal(contig, n)
+        if not reads:
+            return [], n_ds, []
+        return reads, n_ds, haplotypes
+
+    def run_fallback(contig: str, begin: int, end: int, window_ref: str):
+        sel = store._indexes[contig].select(begin, end, cfg)
+        if sel.size == 0:
+            return [], 0, []
+        cap = int((store.seq_off[sel + 1] - store.seq_off[sel]).sum())
+        ws = _WINDOW_SCRATCH.ensure(cap, len(sel))
+        win_arr = np.frombuffer(window_ref.encode(), dtype=np.uint8)
+        ref_ptr = c(win_arr, ctypes.c_uint8)
+        ref_len = len(win_arr)
         s = _ASSEMBLE_SCRATCH.ensure(max_h, end - begin)
         n = fn(
             *store._static_ptrs,
@@ -539,23 +691,7 @@ def fused_window_fn(cfg, store, contig_seqs=None):
         )
         if n < 0:
             _raise_assemble_error("hc_prepare_assemble_sw", n)
-        kept = int(ws.kept_out[0])
-        reads = window_reads_from_outputs(
-            contig, ws.out_seq, ws.out_qual, ws.out_off, ws.out_ab,
-            ws.out_ae, kept,
-        )
-        haplotypes = []
-        for i in range(n):
-            bases_u8 = s.arena[s.hap_offsets[i] : s.hap_offsets[i + 1]].copy()
-            h = Haplotype(bases_u8.tobytes().decode(), s.scores[i])
-            h.bases_u8 = bases_u8
-            h.alignment_begin_wrt_ref = int(s.align_offsets[i])
-            lo, hi = s.cigar_offsets[i], s.cigar_offsets[i + 1]
-            ops = s.cigar_ops[lo:hi].tobytes().decode()
-            h.cigar = tuple(
-                (int(s.cigar_lens[lo + k]), ops[k]) for k in range(hi - lo)
-            )
-            haplotypes.append(h)
+        reads, haplotypes = _unmarshal(contig, n)
         return reads, int(sel.size), haplotypes
 
     return run

@@ -49,8 +49,10 @@ namespace {
 // region, ~0.04% of a 1 ms region).  Atomic: pool workers accumulate
 // concurrently.  Slots: 0 segments+dup-scan, 1 graph build, 2 guards
 // (unique/cycle), 3 path DFS, 4 score+reconstruct+sort, 5 SW, 6 window
-// prep, 7 regions assembled.
-constexpr int PROF_SLOTS = 8;
+// prep, 7 regions assembled.  Count slots (not nanoseconds): 8 kmer-ladder
+// retry iterations, 9 SW full-DP calls, 10 SW all-M fast-path hits,
+// 11 SW full-DP cells (n*m summed).
+constexpr int PROF_SLOTS = 12;
 std::atomic<int64_t> g_prof[PROF_SLOTS] = {};
 
 inline int64_t prof_now() {
@@ -707,9 +709,13 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
       out->offset = 0;
       out->cigar = std::to_string(n) + "M";
       out->elements.assign(1, {'M', n});
+      g_prof[10].fetch_add(1, std::memory_order_relaxed);
       return 0;
     }
   }
+  g_prof[9].fetch_add(1, std::memory_order_relaxed);
+  g_prof[11].fetch_add(static_cast<int64_t>(n) * m,
+                       std::memory_order_relaxed);
   // Two-row rolling int32 DP (identical arithmetic path to the full-matrix
   // int64 version: scores are bounded by ~max(n,m)*|w| << 2^31/4, and the
   // low-init sentinel only ever has w_extend added once before a max).
@@ -783,7 +789,12 @@ int sw_align_impl(const uint8_t* ref, int n, const uint8_t* alt, int m,
       }
       // pass B: the E recurrence e[j] = max(hnoe[j-1] + open, e[j-1] + ext)
       // is a max-plus inclusive scan — computed with log2(m) vectorized
-      // Hillis-Steele passes (integer max-plus is associative: exact)
+      // Hillis-Steele passes (integer max-plus is associative: exact).
+      // (Two variants tried and reverted, r5: an exact convergence
+      // early-exit — scan elements keep changing even where E never wins
+      // a cell, so it rarely fired and its change-reduction cost ~5% — and
+      // fusing the etmp/ea init into one two-store loop, which gcc
+      // vectorizes worse than the two single-store passes, −12%.)
       int32_t* __restrict__ etmp = s.etmp.data();
       int32_t* __restrict__ ea = s.e_a.data();
       hnoe[0] = 0;  // h(i, 0) = 0; E never wins at column 0
@@ -1567,23 +1578,34 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
   for (int iteration = 0; iteration < max_iterations; ++iteration) {
     const int kmer_size = initial_kmer + iteration * kmer_increase;
     if (ref_len < kmer_size) continue;
+    if (iteration > 0)
+      g_prof[8].fetch_add(1, std::memory_order_relaxed);
 
-    // usable read segments (graph_wrapper.hpp:266-286)
+    // usable read segments (graph_wrapper.hpp:266-286), with the
+    // packed-mode ACGT-purity check fused into the same byte scan (the
+    // separate all_acgt pass re-read every segment byte per region)
     std::vector<std::string_view> segments;
+    bool segs_acgt = true;
     for (int rr = 0; rr < n_reads; ++rr) {
       const char* seq = reinterpret_cast<const char*>(seqs) + offsets[rr];
       const char* qual = reinterpret_cast<const char*>(quals) + offsets[rr];
       const int64_t len = offsets[rr + 1] - offsets[rr];
       int64_t start = -1;
+      bool run_acgt = true;
       for (int64_t i = 0; i <= len; ++i) {
+        const char ch = i < len ? seq[i] : 'N';
         const bool usable =
-            i < len && seq[i] != 'N' && static_cast<uint8_t>(qual[i]) >= min_qual;
+            i < len && ch != 'N' && static_cast<uint8_t>(qual[i]) >= min_qual;
         if (!usable) {
-          if (start >= 0 && i - start >= kmer_size)
+          if (start >= 0 && i - start >= kmer_size) {
             segments.emplace_back(seq + start, i - start);
+            segs_acgt &= run_acgt;
+          }
           start = -1;
-        } else if (start < 0) {
-          start = i;
+          run_acgt = true;
+        } else {
+          if (start < 0) start = i;
+          run_acgt &= (ch == 'A') | (ch == 'C') | (ch == 'G') | (ch == 'T');
         }
       }
     }
@@ -1597,10 +1619,7 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
         if (ch != 'A' && ch != 'C' && ch != 'G' && ch != 'T') return false;
       return true;
     };
-    graph.packed = kmer_size <= 32 && all_acgt(ref_view);
-    if (graph.packed)
-      for (auto seg : segments)
-        if (!all_acgt(seg)) { graph.packed = false; break; }
+    graph.packed = kmer_size <= 32 && segs_acgt && all_acgt(ref_view);
 
     size_t total_positions = ref_view.size();
     for (auto seg : segments) total_positions += seg.size();
@@ -2391,6 +2410,107 @@ int32_t hc_prepare_assemble_sw(
                         sw_cfg, out_bases, out_cap, out_offsets, out_scores,
                         max_out, out_align_offset, out_cigar_ops,
                         out_cigar_lens, out_cigar_offsets, cigar_cap);
+}
+
+// Single-pointer fused-window entry: the 30-argument ctypes call to
+// hc_prepare_assemble_sw cost ~50us of marshalling per region (~13s over a
+// 60Mb WGS walk) and the numpy downsample-select another ~17us.  This
+// variant reads every argument from one caller-owned int64 control block
+// (pointers stored as integers; all slots except begin/end are bound once
+// per contig) and runs the downsample selection natively — the per-region
+// Python cost drops to two scalar stores + a one-argument call.
+//
+// Control-block layout (int64 slots; pointers as addresses):
+//   0..9   store columns: pos,flag,mapq,rnext_eq,cig_off,cig_op,cig_len,
+//          seq_off,seq,qual                      (same as hc_prepare_window)
+//   10..13 positional index: rows*, starts*, counts*, contig size
+//   14..15 downsample: mode (0=first,1=seeded), seeded base
+//          ((seed*0x10001) mod 2^64 — matches models/downsampler.py)
+//   16..17 min_mapq, min_len
+//   18..19 window begin, end                     (REWRITTEN per region)
+//   20..26 out seq*, qual*, cap, off*, abegin*, aend*, kept*(i32)
+//   27     sel scratch* (int64, >= max window width entries)
+//   29     contig reference bytes* (window ref = base + begin)
+//   30..31 assembler cfg ints*, SW cfg ints*
+//   32..41 hap outputs: arena*, cap, offsets*, scores*, max_h,
+//          align_offsets*, cigar ops*, lens*, offsets*, cigar cap
+//   42     out n_downsampled*(i32)
+//   43     out needed-capacity*(i64) — written with the required out_seq
+//          capacity when the call returns -10 (caller grows and retries)
+static inline uint64_t splitmix64_mix(uint64_t z) {
+  // identical to models/downsampler.py::_splitmix64 / the vectorized
+  // io/columnar.py::_splitmix64_np (bit-for-bit)
+  z += 0x9E3779B97F4A7C15ull;
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+  return z ^ (z >> 31);
+}
+
+int32_t hc_fused_run(const int64_t* ctrl) {
+  const auto P = [&](int i) { return ctrl[i]; };
+  const int64_t* seq_off = reinterpret_cast<const int64_t*>(P(7));
+  const int64_t* idx_rows = reinterpret_cast<const int64_t*>(P(10));
+  const int64_t* idx_starts = reinterpret_cast<const int64_t*>(P(11));
+  const int64_t* idx_counts = reinterpret_cast<const int64_t*>(P(12));
+  const int64_t idx_size = P(13);
+  const int64_t ds_mode = P(14);
+  const uint64_t ds_base = static_cast<uint64_t>(P(15));
+  const int64_t begin = P(18), end = P(19);
+  int64_t* sel = reinterpret_cast<int64_t*>(P(27));
+  int32_t* out_kept = reinterpret_cast<int32_t*>(P(26));
+  int32_t* out_nds = reinterpret_cast<int32_t*>(P(42));
+
+  // downsample-select (io/columnar.py::_ContigIndex.select semantics: one
+  // read per non-empty start position in [begin, end), position order)
+  const int64_t lo = begin > 0 ? begin : 0;
+  const int64_t hi = end < idx_size ? end : idx_size;
+  int32_t n_sel = 0;
+  for (int64_t p = lo; p < hi; ++p) {
+    const int64_t cnt = idx_counts[p];
+    if (cnt <= 0) continue;
+    int64_t off = 0;
+    if (ds_mode == 1) {
+      const uint64_t h =
+          splitmix64_mix(ds_base + static_cast<uint64_t>(p));
+      off = static_cast<int64_t>(h % static_cast<uint64_t>(cnt));
+    }
+    sel[n_sel++] = idx_rows[idx_starts[p] + off];
+  }
+  *out_nds = n_sel;
+  if (n_sel == 0) {
+    *out_kept = 0;
+    return 0;
+  }
+  // out_seq/out_qual capacity check (the caller's scratch grows on -10)
+  int64_t need = 0;
+  for (int32_t s = 0; s < n_sel; ++s)
+    need += seq_off[sel[s] + 1] - seq_off[sel[s]];
+  if (need > P(22)) {
+    *reinterpret_cast<int64_t*>(P(43)) = need;
+    return -10;
+  }
+  return hc_prepare_assemble_sw(
+      reinterpret_cast<const int32_t*>(P(0)),
+      reinterpret_cast<const int32_t*>(P(1)),
+      reinterpret_cast<const int32_t*>(P(2)),
+      reinterpret_cast<const uint8_t*>(P(3)),
+      reinterpret_cast<const int64_t*>(P(4)),
+      reinterpret_cast<const uint8_t*>(P(5)),
+      reinterpret_cast<const int32_t*>(P(6)), seq_off,
+      reinterpret_cast<const uint8_t*>(P(8)),
+      reinterpret_cast<const uint8_t*>(P(9)), sel, n_sel,
+      static_cast<int32_t>(P(16)), static_cast<int32_t>(P(17)), begin, end,
+      reinterpret_cast<uint8_t*>(P(20)), reinterpret_cast<uint8_t*>(P(21)),
+      reinterpret_cast<int64_t*>(P(23)), reinterpret_cast<int64_t*>(P(24)),
+      reinterpret_cast<int64_t*>(P(25)), out_kept,
+      reinterpret_cast<const uint8_t*>(P(29)) + begin, end - begin,
+      reinterpret_cast<const int32_t*>(P(30)),
+      reinterpret_cast<const int32_t*>(P(31)),
+      reinterpret_cast<uint8_t*>(P(32)), P(33),
+      reinterpret_cast<int64_t*>(P(34)), reinterpret_cast<double*>(P(35)),
+      static_cast<int32_t>(P(36)), reinterpret_cast<int32_t*>(P(37)),
+      reinterpret_cast<uint8_t*>(P(38)), reinterpret_cast<int32_t*>(P(39)),
+      reinterpret_cast<int64_t*>(P(40)), P(41));
 }
 
 // Drain the host-stage profile accumulators (nanoseconds; see g_prof slot

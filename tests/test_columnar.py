@@ -276,6 +276,73 @@ class TestWindowReads:
         assert len(empty) == 0
 
 
+class TestFusedCtrlPath:
+    """hc_fused_run (single-pointer control block + native downsample
+    select) must match the legacy multi-argument fused call and the Python
+    prepare_window oracle bit-for-bit, in both downsample modes, across
+    every window, including after a scratch reallocation invalidates the
+    embedded pointers."""
+
+    @pytest.mark.parametrize("mode", ["first", "seeded"])
+    def test_ctrl_matches_fallback_and_oracle(self, mode):
+        import numpy as np
+
+        from gatk_hc_tpu.config import DEFAULT_CONFIG
+        from gatk_hc_tpu.io.columnar import ColumnarReadStore
+        from gatk_hc_tpu.io.fasta import read_all_fasta
+        from gatk_hc_tpu.models.caller import iter_windows
+        from gatk_hc_tpu.native import fused_window_fn
+
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, downsample_mode=mode, downsample_seed=1234567,
+        )
+        contigs = read_all_fasta(os.path.join(FIXTURES, "chrM.fa"))
+        seq = contigs[0].seq.upper()
+        sizes = {c.name: len(c.seq) for c in contigs}
+        store = ColumnarReadStore(os.path.join(FIXTURES, "chrM.sam"), sizes)
+        # ctrl path (contig bytes available) vs fallback (no contig map ->
+        # legacy 30-argument call with Python-side numpy select)
+        ctrl_fn = fused_window_fn(cfg, store, {"chrM": seq})
+        fb_fn = fused_window_fn(cfg, store, None)
+        for k, (origin, padded) in enumerate(
+            iter_windows("chrM", len(seq), cfg)
+        ):
+            win = seq[padded.begin : padded.end]
+            a = ctrl_fn("chrM", padded.begin, padded.end, win)
+            b = fb_fn("chrM", padded.begin, padded.end, win)
+            assert a[1] == b[1]
+            assert len(a[0]) == len(b[0])
+            for ra, rb in zip(a[0], b[0]):
+                assert ra.seq_u8.tobytes() == rb.seq_u8.tobytes()
+                assert ra.qual_u8.tobytes() == rb.qual_u8.tobytes()
+            assert len(a[2]) == len(b[2])
+            for ha, hb in zip(a[2], b[2]):
+                assert ha.bases == hb.bases
+                assert ha.cigar == hb.cigar
+                assert ha.alignment_begin_wrt_ref == hb.alignment_begin_wrt_ref
+                assert ha.score == hb.score
+            # Python oracle parity for the selected reads
+            oracle, n_ds = store.prepare_window(
+                "chrM", padded.begin, padded.end, cfg
+            )
+            assert a[1] == n_ds
+            assert len(a[0]) == len(oracle)
+            for ra, ro in zip(a[0], oracle):
+                assert ra.seq_u8.tobytes() == ro.seq_u8.tobytes()
+            if k == 2:
+                # invalidate the ctrl block's embedded scratch addresses
+                # mid-run: the generation check must re-bind
+                from gatk_hc_tpu.native import (
+                    _ASSEMBLE_SCRATCH,
+                    _WINDOW_SCRATCH,
+                )
+
+                _WINDOW_SCRATCH.ensure(4 * _WINDOW_SCRATCH.cap, 1)
+                _ASSEMBLE_SCRATCH.ensure(
+                    _ASSEMBLE_SCRATCH.max_h + 8, 1024
+                )
+
+
 class TestMultiThreadedParse:
     """hc_sam_parse_mt must be byte-identical to the serial parse for any
     thread count, including the malformed-line error contract (the earliest
