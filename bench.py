@@ -53,8 +53,9 @@ ARM_SPECS = (
     ("fused8", 8, "planes", 8),
     ("packed", 0, "packed", 4),
     # packed encoding (4x fewer bytes) x fused-4 launches (4x fewer ops):
-    # the r4 A/B showed each winning separately; this is the composition
-    # (pairhmm_pallas_packed_fused) and the production default
+    # the composition (pairhmm_pallas_packed_fused).  Production fuses
+    # adaptively (cfg.fuse_auto: only in measured op-throughput-degraded
+    # phases); this arm pins the always-fused variant for the A/B.
     ("packedfused4", 4, "packed", 4),
 )
 ARM_NAMES = tuple(name for name, _, _, _ in ARM_SPECS)
@@ -168,8 +169,8 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
         DEFAULT_CONFIG, dispatch_mode="planes", device_timeout_s=0.0,
         fuse_groups=1,
     )
-    fused4_cfg = dataclasses.replace(cfg, fuse_groups=4)
-    fused8_cfg = dataclasses.replace(cfg, fuse_groups=8)
+    fused4_cfg = dataclasses.replace(cfg, fuse_groups=4, fuse_auto=False)
+    fused8_cfg = dataclasses.replace(cfg, fuse_groups=8, fuse_auto=False)
     runner = PallasPairHMMRunner(cfg)
     runner.run([PairHMMJob(reads, haps)])  # compile + warm (unfused)
     for k, c in ((4, fused4_cfg), (8, fused8_cfg)):

@@ -284,6 +284,12 @@ def main(argv=None) -> int:
             # --genotyper jax on an f32 backend: sites the stability guard
             # routed to the exact host f64 recompute
             stats["gq_host_verified"] = counters.gq_host_verified
+        dc = dict(getattr(runner, "dispatch_counts", None) or {})
+        dc.update(getattr(inner, "dispatch_counts", None) or {})
+        if dc:
+            # which shipping encoding / fusion width production launches
+            # actually used (adaptive dispatch + cfg.fuse_groups)
+            stats["dispatch_profile"] = dc
         fallbacks = getattr(runner, "device_fallbacks", 0)
         if fallbacks:
             # device-wedge failover fired: results are still exact (C++

@@ -152,13 +152,20 @@ class HCConfig:
     # encoding: planes or packed) into ONE device launch (lax.map inside
     # one XLA program, bitwise identical per group).  The relay charges
     # ~4ms per launch regardless of size, so fusing amortizes per-dispatch
-    # overhead toward the kernel roofline.  1 = off (each group its own
-    # launch).  Default 4: the round-4/5 hardware A/Bs showed fused-4
-    # dispatch strictly >= unfused in both relay phases for both encodings
-    # (bench.py dispatch_arms; tools/sustained_sweep.py).
+    # overhead.  1 = off (each group its own launch).
     fuse_groups: int = _env_int_choice(
         "GATK_HC_TPU_FUSE_GROUPS", 4, (1, 2, 3, 4, 6, 8, 16)
     )
+    # When True (default), fuse_groups applies only while the dispatch
+    # controller MEASURES an op-throughput-degraded phase (per-pair cost
+    # > 2x its best-ever).  The round-5 interleaved sweep showed why a
+    # static always-fuse default is wrong: under the depth-3 pipelined
+    # stream, per-op LATENCY is already hidden (one-launch packed unfused:
+    # median 69.3 G vs packed-fused4 60.7 G in the same phase), while
+    # fusion still wins when the relay throttles op THROUGHPUT (r4 deep-
+    # degraded: fused4 25-29 G vs unfused 17.7 G).  False = always fuse
+    # when fuse_groups > 1 (bench arms / tests set this for determinism).
+    fuse_auto: bool = True
 
     # --- Engine selection ---
     # "pallas": TPU Pallas kernel;  "jax": pure-jnp fallback;

@@ -362,6 +362,10 @@ class PallasPairHMMRunner:
         # fetch blocks past the budget the device path is declared dead and
         # every remaining batch recomputes on the bit-exact C++ engine.
         self._wedged = False
+        # launch observability ({arm label -> program launches}), surfaced
+        # as dispatch_profile in --stats: evidences which shipping encoding
+        # and fusion width the production run actually used
+        self.dispatch_counts: Dict[str, int] = {}
         self.device_fallbacks = 0
         self._native_runner = None
         self._fetch_pool: Optional[_DaemonWorker] = None
@@ -676,10 +680,18 @@ class PallasPairHMMRunner:
             )
             t_first = time.perf_counter()
         groups = self._plan_groups(jobs)
-        if self.cfg.fuse_groups > 1:
-            # defer single-chunk planes dispatches and fuse same-signature
-            # runs into one launch each (per-launch relay cost amortizes
-            # fuse_groups-fold); non-conforming groups dispatch as usual
+        # fuse_auto: fusion pays only when the relay throttles op
+        # THROUGHPUT (the pipelined stream already hides per-op latency),
+        # so by default it engages on the controller's measured
+        # degradation, not statically (see HCConfig.fuse_auto)
+        fuse_on = self.cfg.fuse_groups > 1 and (
+            not self.cfg.fuse_auto or self._path_ctl.degraded()
+        )
+        if fuse_on:
+            # defer single-chunk dispatches (either encoding) and fuse
+            # same-signature runs into one launch each (per-launch relay
+            # cost amortizes fuse_groups-fold); non-conforming groups
+            # dispatch as usual
             sink: List = []
             submitted = []
             for group in groups:
@@ -1104,6 +1116,9 @@ class PallasPairHMMRunner:
                         nr_pad, nh_pad, r_pad, c_pad, sizes[0]
                     )
                     outs.append(fn(u8_dev, i32_dev, ppe_tab, pairs_devs[0]))
+                    self.dispatch_counts["packed"] = (
+                        self.dispatch_counts.get("packed", 0) + 1
+                    )
                 else:
                     # multi-chunk: prepare tables once, reuse per chunk
                     from .pairhmm_pallas import (
@@ -1124,6 +1139,9 @@ class PallasPairHMMRunner:
                                 ppe_rows=self.cfg.ppe_rows,
                                 interpret=self.interpret,
                             )
+                        )
+                        self.dispatch_counts["packed-split"] = (
+                            self.dispatch_counts.get("packed-split", 0) + 1
                         )
             else:
                 # planes path: the HOST applies the 256-entry element
@@ -1153,6 +1171,9 @@ class PallasPairHMMRunner:
                         nr_pad, nh_pad, r_pad, c_pad, size
                     )
                     outs.append(fn(buf_dev, pairs_dev))
+                    self.dispatch_counts["planes"] = (
+                        self.dispatch_counts.get("planes", 0) + 1
+                    )
             if calibrate:
                 # synchronous timing of this one group: everything from
                 # host packing through kernel completion (the real cost a
@@ -1217,6 +1238,14 @@ class PallasPairHMMRunner:
                 k = len(part)
                 device = part[0][7]
                 spans_totals = [(rec[4], rec[5]) for rec in part]
+                label = (
+                    path if k == 1
+                    else ("packedfused" if path == "packed" else "fused")
+                    + str(k)
+                )
+                self.dispatch_counts[label] = (
+                    self.dispatch_counts.get(label, 0) + 1
+                )
                 if path == "packed":
                     _b, _o, _q, ppe_tab = self._device_tables(device)
                     if k == 1:

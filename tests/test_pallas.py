@@ -330,7 +330,7 @@ class TestFusedGroupDispatch:
 
         cfg = dataclasses.replace(
             DEFAULT_CONFIG, read_pad_buckets=(32,), hap_pad_buckets=(128,),
-            fuse_groups=fuse,
+            fuse_groups=fuse, fuse_auto=False,  # deterministic fusion
         )
         r = PallasPairHMMRunner(cfg, pair_budget=1024, interpret=True)
         r._allow_ppe_interpret = True
@@ -407,7 +407,7 @@ class TestPackedFusedDispatch:
 
         cfg = dataclasses.replace(
             DEFAULT_CONFIG, read_pad_buckets=(32,), hap_pad_buckets=(128,),
-            fuse_groups=fuse, dispatch_mode=forced,
+            fuse_groups=fuse, dispatch_mode=forced, fuse_auto=False,
         )
         r = PallasPairHMMRunner(cfg, pair_budget=1024, interpret=True)
         r._allow_ppe_interpret = True

@@ -200,3 +200,51 @@ class TestNativeRunnerThreading:
         ).run(jobs)
         for got, want in zip(jobs, serial):
             np.testing.assert_array_equal(got.result, want.result)
+
+class TestFuseAuto:
+    """cfg.fuse_auto: with fuse_groups > 1 the fused deferral engages ONLY
+    while the dispatch controller measures an op-throughput-degraded phase
+    (per-pair cost > 2x best-ever); results are bitwise identical either
+    way (TestFusedGroupDispatch), so this pins the policy, not values."""
+
+    def _runner(self, fuse_auto):
+        import dataclasses
+
+        from gatk_hc_tpu.config import DEFAULT_CONFIG
+        from gatk_hc_tpu.ops.runner import PallasPairHMMRunner
+
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, read_pad_buckets=(32,), hap_pad_buckets=(128,),
+            fuse_groups=4, fuse_auto=fuse_auto,
+        )
+        r = PallasPairHMMRunner(cfg, pair_budget=1024, interpret=True)
+        r._allow_ppe_interpret = True
+        return r
+
+    def _jobs(self, rng, n=12):
+        # 12 jobs -> two single-chunk groups per submit batch (8 + 4 jobs
+        # at the 1024-pair budget), so fusion has something to fuse
+        from tests.test_pallas import make_job
+
+        return [make_job(rng, 8, 16) for _ in range(n)]
+
+    def test_not_degraded_dispatches_unfused(self, rng):
+        r = self._runner(fuse_auto=True)
+        r.run(self._jobs(rng))
+        assert not any(k.startswith("fused") for k in r.dispatch_counts)
+        assert r.dispatch_counts.get("planes", 0) > 0
+
+    def test_degraded_phase_engages_fusion(self, rng):
+        r = self._runner(fuse_auto=True)
+        # simulate a measured op-throughput collapse: best-ever 0.1us/pair,
+        # current winner 1.0us/pair (> 2x) -> degraded() is True
+        r._path_ctl.record("planes", 1e-6)
+        r._path_ctl._best_ever = 1e-7
+        assert r._path_ctl.degraded()
+        r.run(self._jobs(rng))
+        assert any(k.startswith("fused") for k in r.dispatch_counts)
+
+    def test_fuse_auto_off_always_fuses(self, rng):
+        r = self._runner(fuse_auto=False)
+        r.run(self._jobs(rng))
+        assert any(k.startswith("fused") for k in r.dispatch_counts)

@@ -38,7 +38,7 @@ def make_runner(arm):
     # failover off: a timed arm must never silently become the C++ engine
     cfg = dataclasses.replace(
         DEFAULT_CONFIG, dispatch_mode=arm["mode"], device_timeout_s=0.0,
-        fuse_groups=arm.get("fuse", 1),
+        fuse_groups=arm.get("fuse", 1), fuse_auto=False,
     )
     runner = PallasPairHMMRunner(cfg, pair_budget=arm["budget"])
     if arm.get("read_buckets"):
@@ -78,8 +78,8 @@ ARMS = [
     {"name": "b16-planes-fuse8", "budget": 16384, "mode": "planes",
      "fuse": 8},
     # packed encoding x fused launches (pairhmm_pallas_packed_fused): 4x
-    # fewer bytes AND 4-8x fewer launches — the round-5 production default
-    # (adaptive encoding, fuse_groups=4)
+    # fewer bytes AND 4-8x fewer launches — wins when the relay throttles
+    # op throughput; production engages it adaptively (cfg.fuse_auto)
     {"name": "b16-packed-fuse4", "budget": 16384, "mode": "packed",
      "fuse": 4},
     {"name": "b16-packed-fuse8", "budget": 16384, "mode": "packed",

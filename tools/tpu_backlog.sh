@@ -13,6 +13,9 @@
 set -u
 set -o pipefail
 export PYTHONPATH=/root/repo:/root/.axon_site
+# stats lines print to redirected (block-buffered) stdout; a wedged-relay
+# abort at interpreter exit must not eat them (it ate the r5 wgs4 stats)
+export PYTHONUNBUFFERED=1
 cd /root/repo
 MARK=/tmp/tpu_backlog
 ART=/root/repo/perf_artifacts
@@ -68,7 +71,8 @@ from gatk_hc_tpu.models.caller import call_batched
 from gatk_hc_tpu.parallel.compile_cache import enable_compile_cache
 enable_compile_cache()
 cfg = dataclasses.replace(DEFAULT_CONFIG, pairhmm_engine="pallas",
-                          dispatch_mode="packed", fuse_groups=4)
+                          dispatch_mode="packed", fuse_groups=4,
+                          fuse_auto=False)
 call_batched("fixtures/chrM.sam", "fixtures/chrM.fa", "/tmp/out_pf.vcf", cfg)
 PY
   diff -q /tmp/out_pf.vcf fixtures/chrM.golden.vcf && touch $MARK/packedfused_golden \
@@ -121,10 +125,15 @@ fi
 # wgs4 capstone, round-5 configuration (VERDICT r4 #5): device genotyper +
 # contig streaming + pallas.  Accuracy, gq_host_verified and peak RSS are
 # phase-independent; the wall is labeled by its own stats line.
-# gated on $MARK/wgs4_go — created once the round-5 assembly/host
-# optimizations land, so the capture reflects the shipped code
+# gated on $MARK/wgs4_go (created once the round-5 assembly/host
+# optimizations land, so the capture reflects the shipped code) AND on the
+# healthy bench sample existing or 4+ bench attempts having failed — a
+# multi-hour degraded wgs4 run must not occupy the loop while a healthy
+# window for the (3-rounds-outstanding) sustained sample slips by
 if [ ! -f $MARK/wgs4_r5 ] && [ -f /tmp/wgs4/wgs.sam ] \
-   && [ -f $MARK/wgs4_go ]; then
+   && [ -f $MARK/wgs4_go ] \
+   && { [ -f $MARK/bench_r5 ] \
+        || [ "$(wc -l < $MARK/bench_attempts_r5 2>/dev/null || echo 0)" -ge 4 ]; }; then
   echo "== wgs4: pallas + --genotyper jax + --stream-contigs =="
   timeout 10800 python -m gatk_hc_tpu.cli -I /tmp/wgs4/wgs.sam -R /tmp/wgs4/wgs.fa \
     -O /tmp/wgs4/out_r5.vcf --pairhmm pallas --genotyper jax --stream-contigs --stats \
