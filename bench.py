@@ -254,6 +254,33 @@ def probe_relay_op_ms() -> float:
     return best * 1e3
 
 
+def probe_relay_burst_op_ms(depth: int = 32) -> float:
+    """Per-op cost inside a PIPELINED burst (enqueue `depth` dependent ops,
+    sync once) — the relay's op THROUGHPUT, which is what the production
+    submit/drain stream actually rides (per-op LATENCY is hidden by the
+    depth-3 pipeline).  Phases exist where latency reads 20+ ms 'degraded'
+    while burst throughput is fine and the packed stream sustains 69-71 G
+    (r5 sweep); this field separates the two failure modes in artifacts."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.device_put(np.ones((1024, 480), np.float32))
+    f = jax.jit(lambda a: a * 2 + 1)
+    y = f(x)
+    _ = jax.device_get(jnp.sum(y))  # warm + sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(depth):
+            y = f(y)
+        _ = jax.device_get(jnp.sum(y))
+        best = min(best, (time.perf_counter() - t0) / depth)
+    return best * 1e3
+
+
 def bench_kernel_only() -> float:
     """Device-resident kernel throughput (stable across relay phases):
     true cells/s of the production kernel at production shapes.  Shares its
@@ -295,11 +322,13 @@ def device_section() -> dict:
     be interrupted."""
     reads, haps = make_workload()
     relay_op_ms = probe_relay_op_ms()
+    relay_burst_op_ms = probe_relay_burst_op_ms()
     healthy, degraded, rounds, arms = bench_device(reads, haps)
     kernel_cells_per_s = bench_kernel_only()
     e2e_s = bench_e2e_chrm()
     return {
         "relay_op_ms": relay_op_ms,
+        "relay_burst_op_ms": relay_burst_op_ms,
         "healthy": healthy,
         "degraded": degraded,
         "rounds": rounds,
@@ -482,6 +511,9 @@ def main() -> None:
         # relay health context: ~4-8ms = healthy phase; 25+ms = degraded
         # phase (hours-long observed) that scales every number above
         "relay_op_ms": round(relay_op_ms, 1),
+        # pipelined per-op cost: separates latency-throttled phases (the
+        # stream still flows) from op-throughput-throttled ones (it stalls)
+        "relay_burst_op_ms": round(dev.get("relay_burst_op_ms", -1.0), 2),
         "relay_degraded": bool(healthy is None),
         # per-arm dispatch A/B (unfused vs fused-4 launches), per phase
         # bucket — phase-relative valid even degraded (arms interleave

@@ -41,6 +41,25 @@ from gatk_hc_tpu.io.fasta import FastaRecord, write_fasta
 from gatk_hc_tpu.models.caller import call, call_batched
 
 
+_JAX_CPU = None
+
+
+def _jax_cpu_available() -> bool:
+    """Force the CPU backend (this is a host-only differential tool; the
+    sandbox pins JAX_PLATFORMS to the TPU relay) and report availability."""
+    global _JAX_CPU
+    if _JAX_CPU is None:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            jax.devices()
+            _JAX_CPU = True
+        except Exception:
+            _JAX_CPU = False
+    return _JAX_CPU
+
+
 def write_fixture(dirpath, seed, length, depth, n_contigs=1, profile="uniform"):
     rng = random.Random(seed)
     records, all_lines = [], []
@@ -120,6 +139,15 @@ def run_seed(seed: int, keep_dir: str) -> dict:
                 native_cfg, stream_contigs=True, host_threads=4
             ),
         )
+        # device-genotyper arm: batched genotype_regions_jax reductions on
+        # the CPU backend (exact f64 there) must stay byte-identical too —
+        # extends the golden/unit coverage of --genotyper jax to fresh
+        # random genomes
+        if _jax_cpu_available():
+            arm(
+                "genotyper_jax", call_batched,
+                dataclasses.replace(native_cfg, genotyper_engine="jax"),
+            )
 
         n_variants = sum(
             1 for l in arms["python"].splitlines() if not l.startswith(b"#")
