@@ -126,14 +126,12 @@ fi
 # contig streaming + pallas.  Accuracy, gq_host_verified and peak RSS are
 # phase-independent; the wall is labeled by its own stats line.
 # gated on $MARK/wgs4_go (created once the round-5 assembly/host
-# optimizations land, so the capture reflects the shipped code) AND on the
-# healthy bench sample existing or 4+ bench attempts having failed — a
-# multi-hour degraded wgs4 run must not occupy the loop while a healthy
-# window for the (3-rounds-outstanding) sustained sample slips by
+# optimizations land) AND a HEALTHY probe: a degraded-phase capture
+# already exists (perf_artifacts/wgs4_tpu_jaxgt_r5_degraded.json — wall
+# dominated by a 1172s blocked drain; gq_host_verified=3, accuracy and
+# dispatch_profile valid), so only a healthy-phase wall adds information
 if [ ! -f $MARK/wgs4_r5 ] && [ -f /tmp/wgs4/wgs.sam ] \
-   && [ -f $MARK/wgs4_go ] \
-   && { [ -f $MARK/bench_r5 ] \
-        || [ "$(wc -l < $MARK/bench_attempts_r5 2>/dev/null || echo 0)" -ge 4 ]; }; then
+   && [ -f $MARK/wgs4_go ] && [ $healthy = 1 ]; then
   echo "== wgs4: pallas + --genotyper jax + --stream-contigs =="
   timeout 10800 python -m gatk_hc_tpu.cli -I /tmp/wgs4/wgs.sam -R /tmp/wgs4/wgs.fa \
     -O /tmp/wgs4/out_r5.vcf --pairhmm pallas --genotyper jax --stream-contigs --stats \
