@@ -571,20 +571,26 @@ def fused_window_fn(cfg, store, contig_seqs=None):
         idx = store._indexes[contig]
         # the C side reads these as int64; coerce defensively (np.bincount
         # yields intp, which is int64 on every supported platform, but a
-        # silent dtype change would corrupt the select)
-        for name in ("rows", "starts", "counts"):
-            a = getattr(idx, name)
-            if a.dtype != np.int64 or not a.flags.c_contiguous:
-                setattr(idx, name, np.ascontiguousarray(a, dtype=np.int64))
+        # silent dtype change would corrupt the select).  The coerced
+        # arrays are bound by THIS ctrl's keep tuple — never assigned back
+        # onto the shared index (a concurrent worker's ctrl could otherwise
+        # keep a pointer into an array this thread just replaced).
+        idx_arrays = tuple(
+            np.ascontiguousarray(getattr(idx, name), dtype=np.int64)
+            if (getattr(idx, name).dtype != np.int64
+                or not getattr(idx, name).flags.c_contiguous)
+            else getattr(idx, name)
+            for name in ("rows", "starts", "counts")
+        )
         ctrl = np.zeros(44, dtype=np.int64)
         cols = (store.pos, store.flag, store.mapq, store.rnext_eq,
                 store.cig_off, store.cig_op, store.cig_len,
                 store.seq_off, store.seq, store.qual)
         for k, a in enumerate(cols):
             ctrl[k] = a.ctypes.data
-        ctrl[10] = idx.rows.ctypes.data
-        ctrl[11] = idx.starts.ctypes.data
-        ctrl[12] = idx.counts.ctypes.data
+        ctrl[10] = idx_arrays[0].ctypes.data
+        ctrl[11] = idx_arrays[1].ctypes.data
+        ctrl[12] = idx_arrays[2].ctypes.data
         ctrl[13] = idx.size
         ctrl[14] = ds_mode
         ctrl.view(np.uint64)[15] = ds_base
@@ -604,7 +610,7 @@ def fused_window_fn(cfg, store, contig_seqs=None):
         gens = [ws.gen + s.gen]
         ctrl_p = ctrl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         # keep every pointed-to array alive alongside the block
-        keep = (idx, cols, cfg_ints, sw_ints, ref_arr)
+        keep = (idx, idx_arrays, cols, cfg_ints, sw_ints, ref_arr)
         return (ctrl, ctrl_p, aux, gens, keep)
 
     def _unmarshal(contig, n):
