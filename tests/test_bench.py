@@ -49,3 +49,35 @@ def test_bench_device_degraded_bucket(monkeypatch):
     assert healthy is None and not arms["healthy"]
     assert set(arms["degraded"]) == set(bench.ARM_NAMES)
     assert degraded == max(arms["degraded"].values()) > 0
+
+
+def test_bench_device_degraded_resample_tracks_best_moment(monkeypatch):
+    """While waiting for a healthy window, bench re-samples the cheapest
+    arm (packed) every 8 wait ticks so the degraded headline tracks the
+    best moment of the budget window, not the first round."""
+    calls = []
+    real_stream = bench._run_stream
+    state = {"resampled": False}
+
+    def counting_stream(*a, **k):
+        calls.append(1)
+        if len(calls) == len(bench.ARM_SPECS) + 1:
+            # this call IS the wait-loop re-sample (one full arm round
+            # ran before it): turn the phase healthy afterwards
+            state["resampled"] = True
+        return real_stream(*a, **k)
+
+    def probe():
+        return 5.0 if state["resampled"] else 40.0
+
+    monkeypatch.setattr(bench, "_run_stream", counting_stream)
+    monkeypatch.setattr(bench, "probe_relay_op_ms", probe)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    reads, haps = _tiny_workload()
+    healthy, degraded, rounds, arms = bench.bench_device(
+        reads, haps, n_jobs=2, budget_s=1e6
+    )
+    # 1 degraded full round + 1 re-sample + 5 healthy full rounds
+    assert degraded is not None and healthy is not None
+    assert rounds == 6
+    assert len(calls) == len(bench.ARM_SPECS) * 6 + 1
