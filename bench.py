@@ -169,33 +169,35 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
         DEFAULT_CONFIG, dispatch_mode="planes", device_timeout_s=0.0,
         fuse_groups=1,
     )
-    fused4_cfg = dataclasses.replace(cfg, fuse_groups=4, fuse_auto=False)
-    fused8_cfg = dataclasses.replace(cfg, fuse_groups=8, fuse_auto=False)
-    runner = PallasPairHMMRunner(cfg)
-    runner.run([PairHMMJob(reads, haps)])  # compile + warm (unfused)
-    for k, c in ((4, fused4_cfg), (8, fused8_cfg)):
-        runner.cfg = c  # warm the k-group fused program at this signature
-        runner.run([PairHMMJob(reads, haps) for _ in range(k)])
-    runner.cfg = cfg
-    # packed-encoding arms: ship 4x fewer bytes per group than int32
-    # planes (uint8 + a device-side table gather) — the winning encoding
-    # when a relay phase is bandwidth-throttled rather than op-throttled.
-    # The encoding is fixed per dispatch via _path_ctl.forced; toggling it
-    # between fully-drained arms is exactly what DispatchPathController's
-    # calibration does mid-run in adaptive mode.
-    runner._path_ctl.forced = "packed"
-    runner.run([PairHMMJob(reads, haps)])  # compile + warm (packed)
-    runner.cfg = fused4_cfg  # warm the fused-4 packed program
-    runner.run([PairHMMJob(reads, haps) for _ in range(4)])
-    runner.cfg = cfg
-    runner._path_ctl.forced = cfg.dispatch_mode
-    # (arm, cfg, encoding, jobs per submit batch): fusing only spans one
-    # submit batch, so the fused8 arm submits 8 jobs per batch (2 launches
-    # per 16-job round) while fused4/unfused keep the production depth of 4
+    # (arm, cfg, encoding, jobs per submit batch), derived ENTIRELY from
+    # ARM_SPECS so adding an arm there really is enough (fuse_auto=False:
+    # a bench arm must fuse deterministically, not by measured phase).
+    # Fusing only spans one submit batch, so a fused-k arm's jps should be
+    # >= k for full-width fusion (ARM_SPECS carries that choice per arm).
     arms_cfg = tuple(
-        (name, {0: cfg, 4: fused4_cfg, 8: fused8_cfg}[k], enc, jps)
+        (
+            name,
+            cfg if k == 0 else dataclasses.replace(
+                cfg, fuse_groups=k, fuse_auto=False
+            ),
+            enc,
+            jps,
+        )
         for name, k, enc, jps in ARM_SPECS
     )
+    runner = PallasPairHMMRunner(cfg)
+    # compile + warm every arm's program set (packed arms ship 4x fewer
+    # bytes per group than int32 planes — uint8 + a device-side table
+    # gather; the encoding is fixed per dispatch via _path_ctl.forced,
+    # exactly what DispatchPathController's calibration does in adaptive
+    # mode)
+    for _name, arm_cfg, encoding, _jps in arms_cfg:
+        runner.cfg = arm_cfg
+        runner._path_ctl.forced = encoding
+        k = max(arm_cfg.fuse_groups, 1)
+        runner.run([PairHMMJob(reads, haps) for _ in range(k)])
+    runner.cfg = cfg
+    runner._path_ctl.forced = cfg.dispatch_mode
     cells_per_round = n_jobs * len(reads) * len(haps) * READ_LEN * HAP_LEN
     deadline = time.time() + budget_s
     best = {"healthy": None, "degraded": None}
@@ -215,7 +217,15 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
                 break
             time.sleep(15)
             waits += 1
-            if waits % 8 == 0 and op_ms <= 50.0:
+            if waits % 8 == 0:
+                # re-probe IMMEDIATELY before sampling: the phase can flip
+                # during the sleep, and a healed-phase rate must not be
+                # recorded into the degraded bucket (the top-of-loop probe
+                # is 15 s stale by now); skip deep degradation (> 50 ms)
+                # where even one stream costs minutes
+                op_now = probe_relay_op_ms()
+                if op_now <= 12.0 or op_now > 50.0:
+                    continue
                 runner.cfg = cfg
                 runner._path_ctl.forced = "packed"
                 jobs = [PairHMMJob(reads, haps) for _ in range(n_jobs)]

@@ -157,15 +157,20 @@ class HCConfig:
         "GATK_HC_TPU_FUSE_GROUPS", 4, (1, 2, 3, 4, 6, 8, 16)
     )
     # When True (default), fuse_groups applies only while the dispatch
-    # controller MEASURES an op-throughput-degraded phase (per-pair cost
-    # > 2x its best-ever).  The round-5 interleaved sweep showed why a
-    # static always-fuse default is wrong: under the depth-3 pipelined
-    # stream, per-op LATENCY is already hidden (one-launch packed unfused:
-    # median 69.3 G vs packed-fused4 60.7 G in the same phase), while
-    # fusion still wins when the relay throttles op THROUGHPUT (r4 deep-
-    # degraded: fused4 25-29 G vs unfused 17.7 G).  False = always fuse
-    # when fuse_groups > 1 (bench arms / tests set this for determinism).
-    fuse_auto: bool = True
+    # controller MEASURES a DEEPLY degraded phase (per-pair cost > 6x its
+    # best-ever; the 2x threshold only coarsens chunks).  The round-5
+    # interleaved sweep showed why a static always-fuse default is wrong:
+    # under the depth-3 pipelined stream, per-op LATENCY is already hidden
+    # (one-launch packed unfused: median 69.3 G vs packed-fused4 60.7 G in
+    # the same phase), while fusion still wins when the relay throttles op
+    # THROUGHPUT (r4 deep-degraded: fused4 25-29 G vs unfused 17.7 G).
+    # False = always fuse when fuse_groups > 1 (bench arms / tests set
+    # this for determinism; also the way to get fusion under a FORCED
+    # dispatch_mode or short runs, where the controller never calibrates
+    # and the measured gate therefore never opens).
+    fuse_auto: bool = _env_choice(
+        "GATK_HC_TPU_FUSE_AUTO", "1", ("0", "1")
+    ) == "1"
 
     # --- Engine selection ---
     # "pallas": TPU Pallas kernel;  "jax": pure-jnp fallback;

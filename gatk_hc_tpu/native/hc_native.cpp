@@ -1575,11 +1575,15 @@ int32_t hc_assemble(const uint8_t* ref, int64_t ref_len, const uint8_t* seqs,
     t_last = now;
   };
 
+  bool attempted_before = false;
   for (int iteration = 0; iteration < max_iterations; ++iteration) {
     const int kmer_size = initial_kmer + iteration * kmer_increase;
     if (ref_len < kmer_size) continue;
-    if (iteration > 0)
+    // a retry = an assembly ATTEMPT after an earlier attempt failed (not
+    // merely iteration > 0: skipped short-ref rungs are not attempts)
+    if (attempted_before)
       g_prof[8].fetch_add(1, std::memory_order_relaxed);
+    attempted_before = true;
 
     // usable read segments (graph_wrapper.hpp:266-286), with the
     // packed-mode ACGT-purity check fused into the same byte scan (the

@@ -122,17 +122,30 @@ class DispatchPathController:
     def record(self, path: str, sec_per_pair: float) -> None:
         self.measured[path] = (sec_per_pair, self.groups)
 
-    def degraded(self) -> bool:
+    def degraded(self, factor: float = 2.0) -> bool:
         """True once measurements show the slow phase (winner's per-pair
-        cost more than 2x its best historical) — callers coarsen chunk
-        sizes to cut op count."""
+        cost more than ``factor``x its best historical) — callers coarsen
+        chunk sizes to cut op count at the default 2x."""
         if not self.measured:
             return False
         best_now = min(v[0] for v in self.measured.values())
         floor = getattr(self, "_best_ever", None)
         if floor is None or best_now < floor:
             self._best_ever = floor = best_now
-        return best_now > 2.0 * floor
+        return best_now > factor * floor
+
+    # Fusion gate: the calibration measurement is SYNCHRONOUS (device_put +
+    # dispatch + block), i.e. latency-inclusive — and in latency-degraded /
+    # throughput-fine phases fusion measured ~12% SLOWER than the pipelined
+    # unfused packed stream (sustained_sweep_r5.json).  Fusion only wins in
+    # op-THROUGHPUT collapses (r4 deep-degraded: 17.7 -> 25-29 G), which
+    # show up as much larger multiples of the best-ever per-pair cost, so
+    # the fuse_auto gate requires a DEEP degradation, not the 2x chunk-
+    # coarsening threshold.
+    DEEP_DEGRADATION_FACTOR = 6.0
+
+    def deeply_degraded(self) -> bool:
+        return self.degraded(self.DEEP_DEGRADATION_FACTOR)
 
 
 class _SubmitHandle:
@@ -682,10 +695,11 @@ class PallasPairHMMRunner:
         groups = self._plan_groups(jobs)
         # fuse_auto: fusion pays only when the relay throttles op
         # THROUGHPUT (the pipelined stream already hides per-op latency),
-        # so by default it engages on the controller's measured
-        # degradation, not statically (see HCConfig.fuse_auto)
+        # so by default it engages on the controller's measured DEEP
+        # degradation (see DispatchPathController.deeply_degraded), not
+        # statically (see HCConfig.fuse_auto)
         fuse_on = self.cfg.fuse_groups > 1 and (
-            not self.cfg.fuse_auto or self._path_ctl.degraded()
+            not self.cfg.fuse_auto or self._path_ctl.deeply_degraded()
         )
         if fuse_on:
             # defer single-chunk dispatches (either encoding) and fuse

@@ -1,10 +1,15 @@
 """bench.py harness logic (CPU, tiny shapes).
 
 The sustained numbers themselves are hardware-only; these tests pin the
-harness mechanics the artifacts depend on: the dispatch A/B runs both arms
-per phase round, returns per-arm buckets, and restores the unfused config
-between rounds (a stale fused cfg would silently change later rounds'
-dispatch).
+harness mechanics the artifacts depend on: the dispatch A/B runs every
+configured arm per phase round, returns per-arm buckets, restores the
+unfused config between rounds, and re-samples the degraded bucket while
+waiting for a healthy window.
+
+Arm matrix: the tests shrink bench.ARM_SPECS to two arms (the mechanics
+are arm-count-independent) because every arm's program set is compiled at
+bench_device warmup — the full five-arm matrix costs ~10 minutes of
+XLA:CPU compilation per test.
 """
 
 import dataclasses
@@ -14,6 +19,21 @@ import pytest
 
 import bench
 from gatk_hc_tpu.io.columnar import ReadPairs
+
+# two arms exercise both encodings and the ARM_SPECS-driven cfg/warmup
+# plumbing; "packed" must exist (the degraded re-sample dispatches it)
+SMALL_ARMS = (
+    ("unfused", 0, "planes", 4),
+    ("packed", 0, "packed", 4),
+)
+
+
+@pytest.fixture
+def small_arms(monkeypatch):
+    monkeypatch.setattr(bench, "ARM_SPECS", SMALL_ARMS)
+    monkeypatch.setattr(
+        bench, "ARM_NAMES", tuple(n for n, _, _, _ in SMALL_ARMS)
+    )
 
 
 def _tiny_workload(n_reads=8, n_haps=2, read_len=16, hap_len=24):
@@ -27,10 +47,10 @@ def _tiny_workload(n_reads=8, n_haps=2, read_len=16, hap_len=24):
     return ReadPairs(flat_seq, flat_qual, off), haps
 
 
-def test_bench_device_runs_both_arms_per_round(monkeypatch):
+def test_bench_device_runs_every_arm_per_round(small_arms, monkeypatch):
     monkeypatch.setattr(bench, "probe_relay_op_ms", lambda: 5.0)  # healthy
     reads, haps = _tiny_workload()
-    # budget_s=0: deadline already passed -> exactly one round (both arms)
+    # budget_s=0: deadline already passed -> exactly one round (all arms)
     healthy, degraded, rounds, arms = bench.bench_device(
         reads, haps, n_jobs=2, budget_s=0.0
     )
@@ -40,7 +60,7 @@ def test_bench_device_runs_both_arms_per_round(monkeypatch):
     assert healthy == max(arms["healthy"].values()) > 0
 
 
-def test_bench_device_degraded_bucket(monkeypatch):
+def test_bench_device_degraded_bucket(small_arms, monkeypatch):
     monkeypatch.setattr(bench, "probe_relay_op_ms", lambda: 40.0)  # degraded
     reads, haps = _tiny_workload()
     healthy, degraded, rounds, arms = bench.bench_device(
@@ -51,10 +71,13 @@ def test_bench_device_degraded_bucket(monkeypatch):
     assert degraded == max(arms["degraded"].values()) > 0
 
 
-def test_bench_device_degraded_resample_tracks_best_moment(monkeypatch):
+def test_bench_device_degraded_resample_tracks_best_moment(
+    small_arms, monkeypatch
+):
     """While waiting for a healthy window, bench re-samples the cheapest
-    arm (packed) every 8 wait ticks so the degraded headline tracks the
-    best moment of the budget window, not the first round."""
+    arm (packed) every 8 wait ticks — re-probing the phase right before
+    the sample so a healed phase is never recorded as degraded — and the
+    degraded headline tracks the best moment of the budget window."""
     calls = []
     real_stream = bench._run_stream
     state = {"resampled": False}
@@ -81,3 +104,37 @@ def test_bench_device_degraded_resample_tracks_best_moment(monkeypatch):
     assert degraded is not None and healthy is not None
     assert rounds == 6
     assert len(calls) == len(bench.ARM_SPECS) * 6 + 1
+
+
+def test_bench_device_resample_skips_healed_phase(small_arms, monkeypatch):
+    """If the phase heals during the 15 s sleep, the re-probe must skip the
+    degraded-bucket sample (a healthy-phase rate in the degraded bucket
+    would corrupt the phase attribution)."""
+    calls = []
+    real_stream = bench._run_stream
+    probes = {"n": 0}
+
+    def counting_stream(*a, **k):
+        calls.append(1)
+        return real_stream(*a, **k)
+
+    def probe():
+        probes["n"] += 1
+        # probe #1 = first (degraded) round; probes #2-#9 = the 8 wait
+        # ticks' top-of-loop probes; probe #10 = the re-probe right before
+        # the would-be re-sample — healed by then
+        return 40.0 if probes["n"] <= 9 else 5.0
+
+    monkeypatch.setattr(bench, "_run_stream", counting_stream)
+    monkeypatch.setattr(bench, "probe_relay_op_ms", probe)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    reads, haps = _tiny_workload()
+    degraded_before = None
+
+    healthy, degraded, rounds, arms = bench.bench_device(
+        reads, haps, n_jobs=2, budget_s=1e6
+    )
+    # the skipped re-sample means the degraded bucket holds exactly the
+    # first round's rates: stream calls = 1 degraded + 5 healthy rounds
+    assert len(calls) == len(bench.ARM_SPECS) * 6
+    assert degraded is not None and healthy is not None
