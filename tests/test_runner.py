@@ -237,12 +237,25 @@ class TestFuseAuto:
     def test_degraded_phase_engages_fusion(self, rng):
         r = self._runner(fuse_auto=True)
         # simulate a measured op-throughput collapse: best-ever 0.1us/pair,
-        # current winner 1.0us/pair (> 2x) -> degraded() is True
+        # current winner 1.0us/pair (10x > the 6x deep threshold)
         r._path_ctl.record("planes", 1e-6)
         r._path_ctl._best_ever = 1e-7
-        assert r._path_ctl.degraded()
+        assert r._path_ctl.deeply_degraded()
         r.run(self._jobs(rng))
         assert any(k.startswith("fused") for k in r.dispatch_counts)
+
+    def test_moderate_degradation_stays_unfused(self, rng):
+        """2-6x degradation coarsens chunks but must NOT fuse: the
+        latency-inclusive calibration reads 2x+ in latency-degraded/
+        throughput-fine phases, where fusion measured ~12% slower than the
+        pipelined unfused packed stream (sustained_sweep_r5.json)."""
+        r = self._runner(fuse_auto=True)
+        r._path_ctl.record("planes", 3e-7)  # 3x best-ever: degraded,
+        r._path_ctl._best_ever = 1e-7       # but not deeply
+        assert r._path_ctl.degraded()
+        assert not r._path_ctl.deeply_degraded()
+        r.run(self._jobs(rng))
+        assert not any(k.startswith("fused") for k in r.dispatch_counts)
 
     def test_fuse_auto_off_always_fuses(self, rng):
         r = self._runner(fuse_auto=False)
