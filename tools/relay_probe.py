@@ -37,6 +37,19 @@ def main() -> None:
         _ = jax.device_get(jnp.sum(f(x)))
         best = min(best, time.perf_counter() - t0)
 
+    # pipelined burst: per-op cost with 32 dependent ops enqueued and ONE
+    # sync — the relay's op THROUGHPUT, which is what the production
+    # submit/drain stream rides (latency phases that read 20+ ms above can
+    # still stream at 60-70 Gcells/s when this is low)
+    burst = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(32):
+            y = f(y)
+        _ = jax.device_get(jnp.sum(y))
+        burst = min(burst, (time.perf_counter() - t0) / 32)
+
     print(
         json.dumps(
             {
@@ -45,6 +58,7 @@ def main() -> None:
                 "devices_s": round(t_devices, 2),
                 "first_roundtrip_s": round(t_first, 2),
                 "steady_op_ms": round(best * 1e3, 1),
+                "burst_op_ms": round(burst * 1e3, 2),
                 "healthy": bool(best * 1e3 < 12.0 and t_first < 5.0),
             }
         )
