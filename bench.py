@@ -133,27 +133,49 @@ def _run_stream(runner, jobs, jobs_per_submit: int = 4) -> float:
     return time.perf_counter() - t0
 
 
+PHASES = ("healthy", "tp_healthy", "degraded")
+# full-arm rounds per phase class before dropping to cheap wait+resample
+PHASE_ROUND_CAPS = {"healthy": 5, "tp_healthy": 3, "degraded": 1}
+
+
+def classify_phase(op_ms: float, burst_ms: float) -> str:
+    """Three phase classes from the two probes:
+    - healthy: single-op latency <= 12 ms (the strict, round-over-round
+      comparable bucket every prior round used);
+    - tp_healthy: latency degraded BUT pipelined burst per-op <= 2.5 ms —
+      the relay throttles op LATENCY only, which the depth-3 production
+      stream hides entirely (measured: steady_op 24 ms with burst 1.3 ms
+      while the packed stream sustained 61-71 G).  These phases last
+      hours; without this class the sustained capability is unmeasurable
+      whenever the latency gate never opens;
+    - degraded: op throughput itself throttled."""
+    if op_ms <= 12.0:
+        return "healthy"
+    if burst_ms <= 2.5:
+        return "tp_healthy"
+    return "degraded"
+
+
 def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
     """Production Pallas path sustained throughput, phase-aware, with an
-    in-round dispatch A/B (unfused vs fused-4 vs fused-8 launches).
+    in-round dispatch A/B across every ARM_SPECS arm.
 
     The tunnelled TPU throttles in phases lasting minutes to HOURS; a
-    number taken in a degraded phase says nothing about the engine.  Each
-    round is classified by a relay probe (healthy: trivial op+sync < 12ms)
-    and recorded into its phase bucket.  Once ONE degraded sample exists,
-    further degraded iterations are probe-only sleeps (a full stream in a
-    degraded phase costs minutes and adds no information), so the budget
-    buys a long cheap wait for a healthy window instead of a few expensive
-    degraded reruns.
+    number taken in an op-throughput-degraded phase says nothing about the
+    engine.  Each round is classified by the latency + burst probes
+    (classify_phase) and recorded into its phase bucket.  Once a class
+    has PHASE_ROUND_CAPS full-arm rounds, further iterations in that class
+    are probe-only sleeps with a cheap single-arm re-sample every ~2 min
+    (so each bucket tracks the best moment of the budget window), and the
+    budget buys a long wait for a better class instead of expensive
+    reruns.
 
     All dispatch arms run back-to-back inside each round, so the
-    fused-vs-unfused comparison is phase-relative valid even in a degraded
-    phase (every arm pays the same per-op relay cost; cfg.fuse_groups=k
-    issues one launch per k same-signature groups and is bitwise identical
+    arm-vs-arm comparison is phase-relative valid in any class (every arm
+    pays the same per-op relay cost; fused launches are bitwise identical
     — hardware-golden-verified, see perf_artifacts/).  Returns
-    (healthy, degraded, rounds, arms) where healthy/degraded are the
-    best cells/s over both arms (or None) and arms maps
-    phase -> {arm_name -> best cells/s}."""
+    (best, rounds, arms) where best maps phase -> best cells/s over all
+    arms (or None) and arms maps phase -> {arm_name -> best cells/s}."""
     from gatk_hc_tpu.config import DEFAULT_CONFIG
     from gatk_hc_tpu.ops.runner import PairHMMJob, PallasPairHMMRunner
     from gatk_hc_tpu.parallel.compile_cache import enable_compile_cache
@@ -200,43 +222,53 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
     runner._path_ctl.forced = cfg.dispatch_mode
     cells_per_round = n_jobs * len(reads) * len(haps) * READ_LEN * HAP_LEN
     deadline = time.time() + budget_s
-    best = {"healthy": None, "degraded": None}
-    arms = {"healthy": {}, "degraded": {}}
-    rounds = healthy_rounds = waits = 0
+    best = {ph: None for ph in PHASES}
+    arms = {ph: {} for ph in PHASES}
+    full_rounds = {ph: 0 for ph in PHASES}
+    rounds = waits = 0
+
+    def record(phase, arm_name, rate):
+        if rate > arms[phase].get(arm_name, 0.0):
+            arms[phase][arm_name] = rate
+        if best[phase] is None or rate > best[phase]:
+            best[phase] = rate
+
+    def packed_sample(phase):
+        """One cheap single-arm stream (one-launch packed, the measured
+        king arm) recorded into `phase`'s bucket."""
+        runner.cfg = cfg
+        runner._path_ctl.forced = "packed"
+        jobs = [PairHMMJob(reads, haps) for _ in range(n_jobs)]
+        rate = cells_per_round / _run_stream(runner, jobs, jobs_per_submit=4)
+        runner._path_ctl.forced = cfg.dispatch_mode
+        record(phase, "packed", rate)
+
     while True:
         op_ms = probe_relay_op_ms()
-        phase = "healthy" if op_ms <= 12.0 else "degraded"
-        if phase == "degraded" and best["degraded"] is not None:
-            # a full-arm degraded round is enough A/B context; wait cheaply
-            # for the phase to turn (or the budget to expire).  BUT the
-            # degraded headline should track the best moment in the budget
-            # window, not the first: every ~2 min (unless deep-degraded)
-            # re-sample ONLY the cheapest arm (one-launch packed, ~0.3-6 s
-            # per stream in moderate degradation).
+        burst_ms = probe_relay_burst_op_ms()
+        phase = classify_phase(op_ms, burst_ms)
+        if full_rounds[phase] >= PHASE_ROUND_CAPS[phase]:
+            # this class has enough full-arm context; wait cheaply for a
+            # better class (or the budget), re-sampling the cheapest arm
+            # every ~2 min so each bucket tracks the BEST moment of the
+            # budget window rather than its first round
             if time.time() > deadline:
                 break
             time.sleep(15)
             waits += 1
             if waits % 8 == 0:
-                # re-probe IMMEDIATELY before sampling: the phase can flip
-                # during the sleep, and a healed-phase rate must not be
-                # recorded into the degraded bucket (the top-of-loop probe
-                # is 15 s stale by now); skip deep degradation (> 50 ms)
-                # where even one stream costs minutes
+                # re-probe IMMEDIATELY before sampling (the top-of-loop
+                # probe is 15 s stale; a flipped phase must not pollute
+                # the old bucket); skip deep degradation (> 50 ms) where
+                # even one stream costs minutes
                 op_now = probe_relay_op_ms()
-                if op_now <= 12.0 or op_now > 50.0:
+                burst_now = probe_relay_burst_op_ms()
+                ph_now = classify_phase(op_now, burst_now)
+                if op_now > 50.0:
                     continue
-                runner.cfg = cfg
-                runner._path_ctl.forced = "packed"
-                jobs = [PairHMMJob(reads, haps) for _ in range(n_jobs)]
-                rate = cells_per_round / _run_stream(
-                    runner, jobs, jobs_per_submit=4
-                )
-                runner._path_ctl.forced = cfg.dispatch_mode
-                if rate > arms["degraded"].get("packed", 0.0):
-                    arms["degraded"]["packed"] = rate
-                if rate > best["degraded"]:
-                    best["degraded"] = rate
+                if full_rounds[ph_now] < PHASE_ROUND_CAPS[ph_now]:
+                    continue  # a better class opened: full round next loop
+                packed_sample(ph_now)
             continue
         for arm_name, arm_cfg, encoding, jps in arms_cfg:
             runner.cfg = arm_cfg  # safe: fuse_groups is read at dispatch,
@@ -244,20 +276,17 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
             runner._path_ctl.forced = encoding
             jobs = [PairHMMJob(reads, haps) for _ in range(n_jobs)]
             dt = _run_stream(runner, jobs, jobs_per_submit=jps)
-            rate = cells_per_round / dt
-            bucket = arms[phase]
-            if rate > bucket.get(arm_name, 0.0):
-                bucket[arm_name] = rate
-            if best[phase] is None or rate > best[phase]:
-                best[phase] = rate
+            record(phase, arm_name, cells_per_round / dt)
         runner.cfg = cfg
         runner._path_ctl.forced = cfg.dispatch_mode
         rounds += 1
-        healthy_rounds += phase == "healthy"
-        # stop on enough healthy samples, or at the budget
-        if healthy_rounds >= 5 or time.time() > deadline:
+        full_rounds[phase] += 1
+        # stop on enough strict-healthy samples, or at the budget
+        if full_rounds["healthy"] >= PHASE_ROUND_CAPS["healthy"] or (
+            time.time() > deadline
+        ):
             break
-    return best["healthy"], best["degraded"], rounds, arms
+    return best, rounds, arms
 
 
 def probe_relay_op_ms() -> float:
@@ -350,14 +379,13 @@ def device_section() -> dict:
     reads, haps = make_workload()
     relay_op_ms = probe_relay_op_ms()
     relay_burst_op_ms = probe_relay_burst_op_ms()
-    healthy, degraded, rounds, arms = bench_device(reads, haps)
+    best, rounds, arms = bench_device(reads, haps)
     kernel_cells_per_s = bench_kernel_only()
     e2e_s = bench_e2e_chrm()
     return {
         "relay_op_ms": relay_op_ms,
         "relay_burst_op_ms": relay_burst_op_ms,
-        "healthy": healthy,
-        "degraded": degraded,
+        "best": best,
         "rounds": rounds,
         "arms": arms,
         "kernel": kernel_cells_per_s,
@@ -398,40 +426,67 @@ def _git_rev() -> str:
 
 
 def _load_history() -> dict:
-    """Best healthy record: max over the machine cache and the repo file."""
-    best = {}
+    """Best records, merged field-wise over the machine cache and the repo
+    file (the strict-healthy and throughput-healthy bests can come from
+    different captures)."""
+    best: dict = {}
     for path in (HISTORY_PATH, REPO_HISTORY_PATH):
         try:
             with open(path) as handle:
                 hist = json.load(handle)
-            if hist.get("healthy_cells_per_s", 0) > best.get(
-                "healthy_cells_per_s", 0
-            ):
-                best = hist
         except Exception:
-            pass
+            continue
+        if hist.get("healthy_cells_per_s", 0) > best.get(
+            "healthy_cells_per_s", 0
+        ):
+            for k in ("healthy_cells_per_s", "kernel_cells_per_s",
+                      "git_rev", "measured_at"):
+                if k in hist:
+                    best[k] = hist[k]
+        if hist.get("tp_healthy_cells_per_s", 0) > best.get(
+            "tp_healthy_cells_per_s", 0
+        ):
+            for k in ("tp_healthy_cells_per_s", "tp_healthy_git_rev",
+                      "tp_healthy_measured_at"):
+                if k in hist:
+                    best[k] = hist[k]
     return best
 
 
-def _update_history(healthy, kernel) -> None:
-    """Keep the best healthy-phase sustained + kernel numbers seen."""
-    if healthy is None:
-        return
+def _update_history(healthy, kernel, tp_healthy=None) -> None:
+    """Keep the best strict-healthy AND best throughput-healthy sustained
+    numbers ever measured (separate fields: the strict latency-gated one
+    stays comparable with every prior round)."""
     hist = _load_history()
-    if healthy > hist.get("healthy_cells_per_s", 0):
-        hist = {
+    changed = False
+    if healthy is not None and healthy > hist.get("healthy_cells_per_s", 0):
+        hist.update({
             "healthy_cells_per_s": round(healthy),
             "kernel_cells_per_s": round(kernel) if kernel else None,
             "git_rev": _git_rev(),
             "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-        for path in (HISTORY_PATH, REPO_HISTORY_PATH):
-            try:
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                with open(path, "w") as handle:
-                    json.dump(hist, handle)
-            except Exception:
-                pass
+        })
+        changed = True
+    if tp_healthy is not None and tp_healthy > hist.get(
+        "tp_healthy_cells_per_s", 0
+    ):
+        hist.update({
+            "tp_healthy_cells_per_s": round(tp_healthy),
+            "tp_healthy_git_rev": _git_rev(),
+            "tp_healthy_measured_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        })
+        changed = True
+    if not changed:
+        return
+    for path in (HISTORY_PATH, REPO_HISTORY_PATH):
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as handle:
+                json.dump(hist, handle)
+        except Exception:
+            pass
 
 
 def _history_fields() -> dict:
@@ -440,11 +495,19 @@ def _history_fields() -> dict:
     hist = _load_history()
     if not hist:
         return {}
-    return {
+    fields = {
         "best_healthy_cells_per_s_ever": hist.get("healthy_cells_per_s"),
         "best_healthy_measured_at": hist.get("measured_at"),
         "best_healthy_git_rev": hist.get("git_rev"),
     }
+    if hist.get("tp_healthy_cells_per_s"):
+        fields["best_tp_healthy_cells_per_s_ever"] = hist[
+            "tp_healthy_cells_per_s"
+        ]
+        fields["best_tp_healthy_measured_at"] = hist.get(
+            "tp_healthy_measured_at"
+        )
+    return fields
 
 
 def _run_device_subprocess():
@@ -490,17 +553,23 @@ def main() -> None:
         }))
         return
     relay_op_ms = dev["relay_op_ms"]
-    healthy, degraded, rounds = dev["healthy"], dev["degraded"], dev["rounds"]
+    best = dev["best"]
+    healthy = best.get("healthy")
+    tp_healthy = best.get("tp_healthy")
+    degraded = best.get("degraded")
+    rounds = dev["rounds"]
     arms = dev.get("arms") or {}
     kernel_cells_per_s = dev["kernel"]
-    _update_history(healthy, kernel_cells_per_s)
+    _update_history(healthy, kernel_cells_per_s, tp_healthy=tp_healthy)
     e2e_s = dev["e2e_s"] if dev["e2e_s"] is not None else float("nan")
     # CI-style floor on the HEALTHY-phase sustained number; a run that
     # never saw a healthy phase reports relay_degraded=true and does not
     # fail the floor (a throttled relay is not an engine regression).
     floor = 30e9
     kernel_floor = 120e9
-    headline = healthy if healthy is not None else (degraded or 0.0)
+    headline = next(
+        (v for v in (healthy, tp_healthy, degraded) if v is not None), 0.0
+    )
     result = {
         "metric": "pairhmm_cell_updates_per_s_per_chip",
         "value": round(headline),
@@ -516,10 +585,18 @@ def main() -> None:
         ),
         "vs_current_cpu_engine": round(headline / cpu_cells_per_s, 2),
         "current_cpu_engine_cells_per_s": round(cpu_cells_per_s),
-        # both phase buckets, separately: round-over-round comparisons must
-        # compare like phases (null = that phase never occurred in-run)
+        # all three phase buckets, separately: round-over-round comparisons
+        # must compare like phases (null = that class never occurred
+        # in-run).  tp_healthy = latency-degraded but op-THROUGHPUT-fine
+        # (burst probe <= 2.5 ms): the depth-3 pipelined production stream
+        # hides latency entirely, so this is a valid sustained-capability
+        # measurement for phases where the strict latency gate never opens
+        # (observed lasting hours).
         "sustained_healthy_cells_per_s": (
             round(healthy) if healthy is not None else None
+        ),
+        "sustained_tp_healthy_cells_per_s": (
+            round(tp_healthy) if tp_healthy is not None else None
         ),
         "sustained_degraded_cells_per_s": (
             round(degraded) if degraded is not None else None
@@ -531,6 +608,9 @@ def main() -> None:
         # sample exists; null = "unknown, no healthy window this run" so a
         # degraded capture can't vacuously pass the floor
         "floor_ok": (None if healthy is None else bool(healthy >= floor)),
+        "floor_ok_tp_healthy": (
+            None if tp_healthy is None else bool(tp_healthy >= floor)
+        ),
         # kernel-only regression guard: catches kernel slowdowns even when
         # the whole run sat in a degraded relay phase
         "kernel_floor_cells_per_s": round(kernel_floor),
@@ -542,6 +622,11 @@ def main() -> None:
         # stream still flows) from op-throughput-throttled ones (it stalls)
         "relay_burst_op_ms": round(dev.get("relay_burst_op_ms", -1.0), 2),
         "relay_degraded": bool(healthy is None),
+        # true only when op THROUGHPUT was also throttled all run (no
+        # latency-healthy AND no tp_healthy sample)
+        "relay_throughput_degraded": bool(
+            healthy is None and tp_healthy is None
+        ),
         # per-arm dispatch A/B (unfused vs fused-4 launches), per phase
         # bucket — phase-relative valid even degraded (arms interleave
         # within each round, so both pay the same per-op relay cost)

@@ -2,9 +2,10 @@
 
 The sustained numbers themselves are hardware-only; these tests pin the
 harness mechanics the artifacts depend on: the dispatch A/B runs every
-configured arm per phase round, returns per-arm buckets, restores the
-unfused config between rounds, and re-samples the degraded bucket while
-waiting for a healthy window.
+configured arm per phase round, phase classification uses BOTH probes
+(latency + pipelined burst), per-phase buckets are kept separate, the
+unfused config is restored between rounds, and the wait loop re-samples
+the current class's bucket.
 
 Arm matrix: the tests shrink bench.ARM_SPECS to two arms (the mechanics
 are arm-count-independent) because every arm's program set is compiled at
@@ -34,6 +35,9 @@ def small_arms(monkeypatch):
     monkeypatch.setattr(
         bench, "ARM_NAMES", tuple(n for n, _, _, _ in SMALL_ARMS)
     )
+    # throughput-degraded by default: classification is then purely by the
+    # latency probe, which each test controls
+    monkeypatch.setattr(bench, "probe_relay_burst_op_ms", lambda: 100.0)
 
 
 def _tiny_workload(n_reads=8, n_haps=2, read_len=16, hap_len=24):
@@ -47,37 +51,53 @@ def _tiny_workload(n_reads=8, n_haps=2, read_len=16, hap_len=24):
     return ReadPairs(flat_seq, flat_qual, off), haps
 
 
+def test_classify_phase():
+    assert bench.classify_phase(5.0, 100.0) == "healthy"
+    assert bench.classify_phase(24.0, 1.3) == "tp_healthy"
+    assert bench.classify_phase(24.0, 30.0) == "degraded"
+    assert bench.classify_phase(12.0, 30.0) == "healthy"  # boundary
+
+
 def test_bench_device_runs_every_arm_per_round(small_arms, monkeypatch):
     monkeypatch.setattr(bench, "probe_relay_op_ms", lambda: 5.0)  # healthy
     reads, haps = _tiny_workload()
     # budget_s=0: deadline already passed -> exactly one round (all arms)
-    healthy, degraded, rounds, arms = bench.bench_device(
-        reads, haps, n_jobs=2, budget_s=0.0
-    )
+    best, rounds, arms = bench.bench_device(reads, haps, n_jobs=2, budget_s=0.0)
     assert rounds == 1
-    assert degraded is None and not arms["degraded"]
+    assert best["degraded"] is None and not arms["degraded"]
+    assert best["tp_healthy"] is None and not arms["tp_healthy"]
     assert set(arms["healthy"]) == set(bench.ARM_NAMES)
-    assert healthy == max(arms["healthy"].values()) > 0
+    assert best["healthy"] == max(arms["healthy"].values()) > 0
 
 
 def test_bench_device_degraded_bucket(small_arms, monkeypatch):
     monkeypatch.setattr(bench, "probe_relay_op_ms", lambda: 40.0)  # degraded
     reads, haps = _tiny_workload()
-    healthy, degraded, rounds, arms = bench.bench_device(
-        reads, haps, n_jobs=2, budget_s=0.0
-    )
-    assert healthy is None and not arms["healthy"]
+    best, rounds, arms = bench.bench_device(reads, haps, n_jobs=2, budget_s=0.0)
+    assert best["healthy"] is None and not arms["healthy"]
     assert set(arms["degraded"]) == set(bench.ARM_NAMES)
-    assert degraded == max(arms["degraded"].values()) > 0
+    assert best["degraded"] == max(arms["degraded"].values()) > 0
+
+
+def test_bench_device_tp_healthy_bucket(small_arms, monkeypatch):
+    """Latency-degraded but burst-fine phases land in the tp_healthy
+    bucket — the class that makes sustained capability measurable when the
+    strict latency gate never opens (observed lasting hours)."""
+    monkeypatch.setattr(bench, "probe_relay_op_ms", lambda: 24.0)
+    monkeypatch.setattr(bench, "probe_relay_burst_op_ms", lambda: 1.3)
+    reads, haps = _tiny_workload()
+    best, rounds, arms = bench.bench_device(reads, haps, n_jobs=2, budget_s=0.0)
+    assert best["healthy"] is None and best["degraded"] is None
+    assert set(arms["tp_healthy"]) == set(bench.ARM_NAMES)
+    assert best["tp_healthy"] == max(arms["tp_healthy"].values()) > 0
 
 
 def test_bench_device_degraded_resample_tracks_best_moment(
     small_arms, monkeypatch
 ):
-    """While waiting for a healthy window, bench re-samples the cheapest
-    arm (packed) every 8 wait ticks — re-probing the phase right before
-    the sample so a healed phase is never recorded as degraded — and the
-    degraded headline tracks the best moment of the budget window."""
+    """While waiting for a better phase, bench re-samples the cheapest arm
+    (packed) every 8 wait ticks — re-probing the phase right before the
+    sample — so each bucket tracks the best moment of the budget window."""
     calls = []
     real_stream = bench._run_stream
     state = {"resampled": False}
@@ -97,19 +117,19 @@ def test_bench_device_degraded_resample_tracks_best_moment(
     monkeypatch.setattr(bench, "probe_relay_op_ms", probe)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     reads, haps = _tiny_workload()
-    healthy, degraded, rounds, arms = bench.bench_device(
-        reads, haps, n_jobs=2, budget_s=1e6
-    )
+    best, rounds, arms = bench.bench_device(reads, haps, n_jobs=2, budget_s=1e6)
     # 1 degraded full round + 1 re-sample + 5 healthy full rounds
-    assert degraded is not None and healthy is not None
+    assert best["degraded"] is not None and best["healthy"] is not None
     assert rounds == 6
     assert len(calls) == len(bench.ARM_SPECS) * 6 + 1
 
 
-def test_bench_device_resample_skips_healed_phase(small_arms, monkeypatch):
-    """If the phase heals during the 15 s sleep, the re-probe must skip the
-    degraded-bucket sample (a healthy-phase rate in the degraded bucket
-    would corrupt the phase attribution)."""
+def test_bench_device_resample_defers_to_new_phase_class(
+    small_arms, monkeypatch
+):
+    """If the phase flips to a class that still has full-round capacity
+    during the 15 s sleep, the re-probe must skip the cheap sample and let
+    the next loop iteration run a FULL round in the new class."""
     calls = []
     real_stream = bench._run_stream
     probes = {"n": 0}
@@ -129,12 +149,7 @@ def test_bench_device_resample_skips_healed_phase(small_arms, monkeypatch):
     monkeypatch.setattr(bench, "probe_relay_op_ms", probe)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     reads, haps = _tiny_workload()
-    degraded_before = None
-
-    healthy, degraded, rounds, arms = bench.bench_device(
-        reads, haps, n_jobs=2, budget_s=1e6
-    )
-    # the skipped re-sample means the degraded bucket holds exactly the
-    # first round's rates: stream calls = 1 degraded + 5 healthy rounds
+    best, rounds, arms = bench.bench_device(reads, haps, n_jobs=2, budget_s=1e6)
+    # no cheap sample into any bucket: 1 degraded + 5 healthy FULL rounds
     assert len(calls) == len(bench.ARM_SPECS) * 6
-    assert degraded is not None and healthy is not None
+    assert best["degraded"] is not None and best["healthy"] is not None

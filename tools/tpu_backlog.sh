@@ -100,10 +100,10 @@ if [ ! -f $MARK/bench_r5 ]; then
     cp $ART/.bench_tmp.json "$ART/bench_r5_attempt$(date -u +%H%M).json"
     mv $ART/.bench_tmp.json $ART/bench_r5_latest.json
   fi
-  if grep -q '"sustained_healthy_cells_per_s": [0-9]' $ART/bench_r5_latest.json 2>/dev/null; then
+  if grep -qE '"sustained_(healthy|tp_healthy)_cells_per_s": [0-9]' $ART/bench_r5_latest.json 2>/dev/null; then
     touch $MARK/bench_r5
   else
-    echo "bench captured no healthy sample; will retry next loop"
+    echo "bench captured no (tp-)healthy sample; will retry next loop"
     date -u +%FT%TZ >> $MARK/bench_attempts_r5
   fi
 fi
