@@ -153,3 +153,31 @@ def test_bench_device_resample_defers_to_new_phase_class(
     # no cheap sample into any bucket: 1 degraded + 5 healthy FULL rounds
     assert len(calls) == len(bench.ARM_SPECS) * 6
     assert best["degraded"] is not None and best["healthy"] is not None
+
+
+def test_main_artifact_fields_tp_healthy(monkeypatch, capsys):
+    """main()'s artifact JSON for a tp_healthy-only capture: headline from
+    the tp bucket, tri-state floors, and the throughput-degraded flag."""
+    import json
+
+    fake = {
+        "relay_op_ms": 24.0, "relay_burst_op_ms": 1.3,
+        "best": {"healthy": None, "tp_healthy": 6.9e10, "degraded": 3.1e10},
+        "rounds": 4,
+        "arms": {"healthy": {}, "tp_healthy": {"packed": 6.9e10},
+                 "degraded": {"packed": 3.1e10}},
+        "kernel": 1.56e11, "e2e_s": 1.9,
+    }
+    monkeypatch.setattr(bench, "_run_device_subprocess", lambda: fake)
+    monkeypatch.setattr(bench, "bench_cpu_baseline", lambda *a, **k: 7.7e8)
+    monkeypatch.setattr(bench, "_update_history", lambda *a, **k: None)
+    monkeypatch.setattr(bench, "make_workload", lambda: ([], []))
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] == round(6.9e10)
+    assert out["sustained_tp_healthy_cells_per_s"] == round(6.9e10)
+    assert out["sustained_healthy_cells_per_s"] is None
+    assert out["floor_ok"] is None and out["floor_ok_tp_healthy"] is True
+    assert out["relay_degraded"] is True
+    assert out["relay_throughput_degraded"] is False
+    assert out["vs_baseline"] == round(6.9e10 / 345e6, 2)
