@@ -146,36 +146,18 @@ if [ ! -f $MARK/wgs4_r5 ] && [ -f /tmp/wgs4/wgs.sam ] \
   fi
 fi
 
+# Cold-process pallas walls (VERDICT r4 #8): phase-labeled, valid whenever
+# the relay is ALIVE (the per-line stats attribute the cold terms; the
+# probe line records the phase class).  Marker only when all runs golden.
+if [ ! -f $MARK/cold_pallas_r5 ]; then
+  echo "== cold-process pallas chrM walls (3 runs, phase-labeled) =="
+  timeout 3300 bash tools/cold_pallas.sh 3 perf_artifacts/cold_pallas_r5.jsonl
+  n_golden=$(grep -c '"golden": true' perf_artifacts/cold_pallas_r5.jsonl 2>/dev/null || echo 0)
+  [ "$n_golden" -ge 3 ] && touch $MARK/cold_pallas_r5
+fi
+
 # ---------- tier 2: only meaningful in a HEALTHY phase ----------
 [ $healthy = 1 ] || { echo "backlog state: $(ls $MARK)"; exit 0; }
-
-# Cold-pallas attribution (VERDICT r4 #8): best-of-5 cold-process chrM
-# walls on the device path with warm server caches; --stats carries
-# process_age_s / pre_main_s / init_profile so the axon-site and program
-# load terms separate out.
-if [ ! -f $MARK/cold_pallas_r5 ]; then
-  echo "== chrM cold-process wall best-of-5 (pallas, warm caches) =="
-  : > $ART/cold_pallas_r5.jsonl
-  ok=1
-  for i in 1 2 3 4 5; do
-    t0=$(date +%s.%N)
-    timeout 600 python -m gatk_hc_tpu.cli -I fixtures/chrM.sam \
-      -R fixtures/chrM.fa -O /tmp/out_cold$i.vcf --pairhmm pallas --stats \
-      > /tmp/cold_stats$i.json 2>&1
-    t1=$(date +%s.%N)
-    wall=$(echo "$t1 - $t0" | bc)
-    echo "run $i: process wall ${wall}s"
-    tail -1 /tmp/cold_stats$i.json | python -c "
-import json,sys
-line=sys.stdin.read().strip()
-try: d=json.loads(line)
-except Exception: d={'raw': line[-400:]}
-d['process_wall_s']=float('$wall'); print(json.dumps(d))
-" >> $ART/cold_pallas_r5.jsonl
-    diff -q /tmp/out_cold$i.vcf fixtures/chrM.golden.vcf >/dev/null || ok=0
-  done
-  [ $ok = 1 ] && [ "$(wc -l < $ART/cold_pallas_r5.jsonl)" = 5 ] && touch $MARK/cold_pallas_r5
-fi
 
 # healthy-phase absolute sweep (all arms) once the bench sample exists
 if [ -f $MARK/bench_r5 ] && [ ! -f $MARK/sweep_healthy_r5 ]; then
