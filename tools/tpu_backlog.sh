@@ -146,6 +146,19 @@ if [ ! -f $MARK/wgs4_r5 ] && [ -f /tmp/wgs4/wgs.sam ] \
   fi
 fi
 
+# Group-geometry sweep on the one-launch packed program (new in r5): the
+# b32/b48 budgets halve/third the launch+readback count per round and were
+# never measured against it (the 16384 preference predates the one-launch
+# dispatch).  Phase-relative valid while alive; winner by median + spread.
+if [ ! -f $MARK/geometry_r5 ] && [ -f $MARK/bench_r5 ]; then
+  echo "== packed group-geometry sweep (b16 vs b32 vs b48) =="
+  timeout 5400 python tools/sustained_sweep.py --rounds 5 \
+    --arms b16-packed,b32-packed-c32,b48-packed-c48 \
+    2>/dev/null | tee /tmp/geom_r5_full.log | tail -1 > $ART/geometry_sweep_r5.json
+  cat $ART/geometry_sweep_r5.json
+  grep -q median_gcells $ART/geometry_sweep_r5.json && touch $MARK/geometry_r5
+fi
+
 # Cold-process pallas walls (VERDICT r4 #8): phase-labeled, valid whenever
 # the relay is ALIVE (the per-line stats attribute the cold terms; the
 # probe line records the phase class).  Marker only when all runs golden.
