@@ -181,3 +181,28 @@ def test_main_artifact_fields_tp_healthy(monkeypatch, capsys):
     assert out["relay_degraded"] is True
     assert out["relay_throughput_degraded"] is False
     assert out["vs_baseline"] == round(6.9e10 / 345e6, 2)
+
+
+def test_sweep_summarize_winner_and_spread():
+    """tools/sustained_sweep.summarize: medians, spreads, and the
+    winner-separation verdict (margin must exceed BOTH spreads)."""
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(bench.__file__), "tools"))
+    from sustained_sweep import summarize
+
+    cells = 1e9  # 1 Gcell per round -> gcells/s == 1/seconds
+    results = {
+        # medians: a=1/0.2=5.0, b=1/0.25=4.0; spreads small
+        "a": [0.21, 0.20, 0.19],
+        "b": [0.26, 0.25, 0.24],
+    }
+    s = summarize(results, cells)
+    assert s["a"]["median_gcells_per_s"] == 5.0
+    assert s["winner"]["arm"] == "a" and s["winner"]["runner_up"] == "b"
+    assert s["winner"]["separated_beyond_spread"] is True
+    # one outlier in the winner blows its spread past the margin
+    results["a"] = [0.21, 0.20, 2.0]
+    s = summarize(results, cells)
+    assert s["winner"]["arm"] == "a"
+    assert s["winner"]["separated_beyond_spread"] is False

@@ -150,12 +150,20 @@ def main() -> None:
                 for want, got in zip(baseline, jobs):
                     np.testing.assert_array_equal(want, got.result)
 
+    summary = summarize(results, cells)
+    summary["results_bitwise_equal_across_arms"] = True
+    print(json.dumps(summary))
+
+
+def summarize(results, cells):
+    """Per-arm best/median/spread over the interleaved rounds (the honest
+    effect-size basis — round-to-round phase swings are the same order as
+    arm effects, so best-of alone over-claims) plus a winner-by-MEDIAN
+    verdict: "separated" only when the margin over the runner-up exceeds
+    BOTH arms' spreads."""
     summary = {
         name: {
             "best_gcells_per_s": round(cells / min(ts) / 1e9, 1),
-            # per-arm median + spread over the interleaved rounds: the
-            # honest effect-size basis (round-to-round phase swings are the
-            # same order as arm effects, so best-of alone over-claims)
             "median_gcells_per_s": round(
                 cells / float(np.median(ts)) / 1e9, 1
             ),
@@ -166,8 +174,6 @@ def main() -> None:
         }
         for name, ts in results.items()
     }
-    # winner by MEDIAN, with its margin over the runner-up vs the two arms'
-    # spreads — "separated" only when the margin exceeds both spreads
     by_median = sorted(
         results, key=lambda n: summary[n]["median_gcells_per_s"],
         reverse=True,
@@ -184,8 +190,7 @@ def main() -> None:
                              summary[ru]["spread_gcells_per_s"])
             ),
         }
-    summary["results_bitwise_equal_across_arms"] = True
-    print(json.dumps(summary))
+    return summary
 
 
 if __name__ == "__main__":
