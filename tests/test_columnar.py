@@ -343,6 +343,58 @@ class TestFusedCtrlPath:
                 )
 
 
+class TestFusedCtrlGrowRetry:
+    def test_output_capacity_grow_and_retry(self, tmp_path):
+        """hc_fused_run returns -10 when the window's prepared-read bytes
+        exceed the out-blob scratch; the wrapper must grow, re-bind the
+        control block, retry, and match the oracle.  chrM windows sit just
+        under the 64 KB initial cap, so this path needs a denser fixture:
+        one read per position x 250 bp >> 64 KB per window."""
+        import dataclasses
+
+        import numpy as np
+
+        from gatk_hc_tpu.config import DEFAULT_CONFIG
+        from gatk_hc_tpu.io.columnar import ColumnarReadStore
+        from gatk_hc_tpu.native import fused_window_fn
+
+        rng = np.random.default_rng(3)
+        contig = "dense"
+        size = 2000
+        seq = "".join(rng.choice(list("ACGT"), size))
+        read_len = 250
+        lines = ["@HD\tVN:1.6\tSO:coordinate", f"@SQ\tSN:{contig}\tLN:{size}"]
+        for pos in range(1, size - read_len, 1):
+            bases = seq[pos - 1 : pos - 1 + read_len]
+            quals = "I" * read_len
+            lines.append(
+                f"r{pos}\t0\t{contig}\t{pos}\t60\t{read_len}M\t=\t0\t0\t"
+                f"{bases}\t{quals}"
+            )
+        sam = tmp_path / "dense.sam"
+        sam.write_text("\n".join(lines) + "\n")
+        cfg = DEFAULT_CONFIG
+        store = ColumnarReadStore(str(sam), {contig: size})
+        # reset this thread's window scratch so the initial 64 KB cap is
+        # deterministic (earlier tests may have grown it past the need,
+        # which would silently skip the -10 path under test)
+        from gatk_hc_tpu import native as _native_mod
+
+        ws = _native_mod._WINDOW_SCRATCH
+        for attr in ("cap", "n"):
+            if hasattr(ws, attr):
+                delattr(ws, attr)
+        fused = fused_window_fn(cfg, store, {contig: seq})
+        begin, end = 100, 515  # 415 positions x 250 bp ~ 104 KB > 64 KB
+        reads, n_ds, haps = fused(contig, begin, end, seq[begin:end])
+        oracle, n_ds2 = store.prepare_window(contig, begin, end, cfg)
+        assert n_ds == n_ds2 and len(reads) == len(oracle)
+        total = sum(len(r) for r in oracle)
+        assert total > (1 << 16)  # the grow/retry path actually fired
+        for ra, ro in zip(reads, oracle):
+            assert ra.seq_u8.tobytes() == ro.seq_u8.tobytes()
+
+
 class TestMultiThreadedParse:
     """hc_sam_parse_mt must be byte-identical to the serial parse for any
     thread count, including the malformed-line error contract (the earliest
