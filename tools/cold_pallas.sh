@@ -10,6 +10,10 @@ cd /root/repo
 N=${1:-3}
 OUT=${2:-perf_artifacts/cold_pallas_r5.jsonl}
 probe=$(timeout 300 python tools/relay_probe.py 2>/dev/null | tail -1)
+case "$probe" in
+  *'"steady_op_ms"'*) : ;;
+  *) echo "relay wedged; skipping cold-pallas series"; exit 1 ;;
+esac
 echo "# probe-before: $probe" >> "$OUT"
 for i in $(seq 1 "$N"); do
   t0=$(date +%s.%N)
