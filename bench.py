@@ -245,7 +245,7 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
 
     while True:
         op_ms = probe_relay_op_ms()
-        burst_ms = probe_relay_burst_op_ms()
+        burst_ms = _burst_for(op_ms)
         phase = classify_phase(op_ms, burst_ms)
         if full_rounds[phase] >= PHASE_ROUND_CAPS[phase]:
             # this class has enough full-arm context; wait cheaply for a
@@ -262,10 +262,9 @@ def bench_device(reads, haps, n_jobs: int = 16, budget_s: float = 1500.0):
                 # the old bucket); skip deep degradation (> 50 ms) where
                 # even one stream costs minutes
                 op_now = probe_relay_op_ms()
-                burst_now = probe_relay_burst_op_ms()
-                ph_now = classify_phase(op_now, burst_now)
-                if op_now > 50.0:
-                    continue
+                ph_now = classify_phase(op_now, _burst_for(op_now))
+                if ph_now == "degraded" and op_now > 50.0:
+                    continue  # deep degradation: one stream costs minutes
                 if full_rounds[ph_now] < PHASE_ROUND_CAPS[ph_now]:
                     continue  # a better class opened: full round next loop
                 packed_sample(ph_now)
@@ -310,7 +309,20 @@ def probe_relay_op_ms() -> float:
     return best * 1e3
 
 
-def probe_relay_burst_op_ms(depth: int = 32) -> float:
+def _burst_for(op_ms: float) -> float:
+    """Burst probe sized to the phase: classification ignores burst in
+    latency-healthy phases (classify_phase short-circuits at op <= 12 ms),
+    and in deep degradation a 3x32-op chain would cost minutes — 1x8
+    bounds the probe at ~8 ops while still separating latency-only
+    throttling from a real throughput collapse."""
+    if op_ms <= 12.0:
+        return 0.0
+    if op_ms > 50.0:
+        return probe_relay_burst_op_ms(depth=8, reps=1)
+    return probe_relay_burst_op_ms()
+
+
+def probe_relay_burst_op_ms(depth: int = 32, reps: int = 3) -> float:
     """Per-op cost inside a PIPELINED burst (enqueue `depth` dependent ops,
     sync once) — the relay's op THROUGHPUT, which is what the production
     submit/drain stream actually rides (per-op LATENCY is hidden by the
@@ -327,7 +339,7 @@ def probe_relay_burst_op_ms(depth: int = 32) -> float:
     y = f(x)
     _ = jax.device_get(jnp.sum(y))  # warm + sync
     best = float("inf")
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         y = x
         for _ in range(depth):
@@ -378,7 +390,13 @@ def device_section() -> dict:
     be interrupted."""
     reads, haps = make_workload()
     relay_op_ms = probe_relay_op_ms()
-    relay_burst_op_ms = probe_relay_burst_op_ms()
+    # full burst for the artifact of record unless the phase is so deep a
+    # 96-op chain would cost minutes (then the bounded 8-op variant)
+    relay_burst_op_ms = (
+        probe_relay_burst_op_ms()
+        if relay_op_ms <= 50.0
+        else probe_relay_burst_op_ms(depth=8, reps=1)
+    )
     best, rounds, arms = bench_device(reads, haps)
     kernel_cells_per_s = bench_kernel_only()
     e2e_s = bench_e2e_chrm()
@@ -507,6 +525,7 @@ def _history_fields() -> dict:
         fields["best_tp_healthy_measured_at"] = hist.get(
             "tp_healthy_measured_at"
         )
+        fields["best_tp_healthy_git_rev"] = hist.get("tp_healthy_git_rev")
     return fields
 
 

@@ -14,6 +14,9 @@ case "$probe" in
   *'"steady_op_ms"'*) : ;;
   *) echo "relay wedged; skipping cold-pallas series"; exit 1 ;;
 esac
+# one series per file: a retried series must not inherit earlier lines
+# (the backlog's all-golden marker counts golden lines in this file)
+: > "$OUT"
 echo "# probe-before: $probe" >> "$OUT"
 for i in $(seq 1 "$N"); do
   t0=$(date +%s.%N)

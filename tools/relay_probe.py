@@ -37,32 +37,40 @@ def main() -> None:
         _ = jax.device_get(jnp.sum(f(x)))
         best = min(best, time.perf_counter() - t0)
 
-    # pipelined burst: per-op cost with 32 dependent ops enqueued and ONE
+    fields = {
+        "platform": jax.default_backend(),
+        "n_devices": len(devices),
+        "devices_s": round(t_devices, 2),
+        "first_roundtrip_s": round(t_first, 2),
+        "steady_op_ms": round(best * 1e3, 1),
+        "healthy": bool(best * 1e3 < 12.0 and t_first < 5.0),
+    }
+    # print the latency-only line FIRST: callers run this under
+    # `timeout 300 ... | tail -1`, and in a deeply degraded phase the
+    # burst chain below can outlive the timeout — an alive relay must
+    # still be reported as alive
+    print(json.dumps(fields), flush=True)
+
+    # pipelined burst: per-op cost with dependent ops enqueued and ONE
     # sync — the relay's op THROUGHPUT, which is what the production
     # submit/drain stream rides (latency phases that read 20+ ms above can
-    # still stream at 60-70 Gcells/s when this is low)
-    burst = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        y = x
-        for _ in range(32):
-            y = f(y)
-        _ = jax.device_get(jnp.sum(y))
-        burst = min(burst, (time.perf_counter() - t0) / 32)
+    # still stream at 60-70 Gcells/s when this is low).  Shared with
+    # bench.py (classification thresholds live in bench.classify_phase).
+    import os
+    import sys
 
-    print(
-        json.dumps(
-            {
-                "platform": jax.default_backend(),
-                "n_devices": len(devices),
-                "devices_s": round(t_devices, 2),
-                "first_roundtrip_s": round(t_first, 2),
-                "steady_op_ms": round(best * 1e3, 1),
-                "burst_op_ms": round(burst * 1e3, 2),
-                "healthy": bool(best * 1e3 < 12.0 and t_first < 5.0),
-            }
-        )
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    from bench import probe_relay_burst_op_ms
+
+    burst_ms = (
+        probe_relay_burst_op_ms()
+        if best * 1e3 <= 50.0
+        else probe_relay_burst_op_ms(depth=8, reps=1)
+    )
+    fields["burst_op_ms"] = round(burst_ms, 2)
+    print(json.dumps(fields), flush=True)
 
 
 if __name__ == "__main__":

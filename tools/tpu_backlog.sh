@@ -165,8 +165,8 @@ fi
 if [ ! -f $MARK/cold_pallas_r5 ]; then
   echo "== cold-process pallas chrM walls (3 runs, phase-labeled) =="
   timeout 3300 bash tools/cold_pallas.sh 3 perf_artifacts/cold_pallas_r5.jsonl
-  n_golden=$(grep -c '"golden": true' perf_artifacts/cold_pallas_r5.jsonl 2>/dev/null || echo 0)
-  [ "$n_golden" -ge 3 ] && touch $MARK/cold_pallas_r5
+  n_golden=$(grep -c '"golden": true' perf_artifacts/cold_pallas_r5.jsonl 2>/dev/null || true)
+  [ "${n_golden:-0}" -ge 3 ] && touch $MARK/cold_pallas_r5
 fi
 
 # ---------- tier 2: only meaningful in a HEALTHY phase ----------
