@@ -30,7 +30,8 @@ for i in $(seq 1 "$N"); do
   else
     golden=false
   fi
-  tail -1 /tmp/coldp_stats$i.json | python -c "
+  # the stats JSON precedes the final "HaplotypeCaller done" line
+  grep -E '^\{' /tmp/coldp_stats$i.json | tail -1 | python -c "
 import json,sys
 line=sys.stdin.read().strip()
 try: d=json.loads(line)
