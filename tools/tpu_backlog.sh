@@ -32,6 +32,16 @@ case "$probe" in
   *'"healthy": true'*) healthy=1 ;;
   *) healthy=0 ;;
 esac
+# throughput-healthy (three-class model, bench.classify_phase): latency
+# degraded but pipelined burst fine — the production stream runs at full
+# rate in these phases, so stream-dominated captures are representative
+tp_healthy=0
+burst=$(printf '%s' "$probe" | sed -n 's/.*"burst_op_ms": \([0-9.]*\).*/\1/p')
+if [ $healthy = 1 ]; then
+  tp_healthy=1
+elif [ -n "$burst" ] && python -c "import sys; sys.exit(0 if float('$burst') <= 2.5 else 1)"; then
+  tp_healthy=1
+fi
 if [ $alive = 0 ]; then
   echo "relay wedged (probe produced nothing); aborting this attempt"
   exit 1
@@ -133,7 +143,7 @@ fi
 # the manual wgs4_go gate self-creates.
 touch $MARK/wgs4_go
 if [ ! -f $MARK/wgs4_r5 ] && [ -f /tmp/wgs4/wgs.sam ] \
-   && [ $healthy = 1 ]; then
+   && [ $tp_healthy = 1 ]; then
   echo "== wgs4: pallas + --genotyper jax + --stream-contigs =="
   timeout 10800 python -m gatk_hc_tpu.cli -I /tmp/wgs4/wgs.sam -R /tmp/wgs4/wgs.fa \
     -O /tmp/wgs4/out_r5.vcf --pairhmm pallas --genotyper jax --stream-contigs --stats \
