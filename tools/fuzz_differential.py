@@ -11,9 +11,12 @@ to produce the byte-identical VCF:
   native+threads — same, with host_threads=4: the worker pool, the
             multi-threaded parse, and the genotype worker (order effects)
 
-PairHMM is the C++ engine everywhere (oracle-tested separately) so the
-axes under fuzz are data/assembler/SW/genotyper/threading.  A divergence
-writes the three VCFs plus the fixture to --keep-dir and stops.
+PairHMM is the C++ engine in the base arms (oracle-tested separately) so
+the axes under fuzz are data/assembler/SW/genotyper/threading; two extra
+arms run device engines on the CPU backend: ``genotyper_jax`` (batched
+device genotype reductions) and ``shardmap`` (the pod-scale shard_map
+PairHMM over an 8-virtual-device mesh, exact f64 host finalize).  A
+divergence writes every arm's VCF plus the fixture to --keep-dir and stops.
 
 Usage: python tools/fuzz_differential.py --start 1000 --count 50
        python tools/fuzz_differential.py --minutes 30
@@ -42,18 +45,35 @@ from gatk_hc_tpu.models.caller import call, call_batched
 
 
 _JAX_CPU = None
+_JAX_CPU_DEVICES = 0
 
 
 def _jax_cpu_available() -> bool:
     """Force the CPU backend (this is a host-only differential tool; the
-    sandbox pins JAX_PLATFORMS to the TPU relay) and report availability."""
-    global _JAX_CPU
+    sandbox pins JAX_PLATFORMS to the TPU relay) and report availability.
+
+    Sets up 8 VIRTUAL CPU devices (same as tests/conftest.py) so the
+    shardmap arm runs over a real (data, hap) mesh, and scrubs the
+    terminal's --xla_allow_excess_precision=true (XLA:CPU FMA contraction
+    breaks f32 bit-exactness vs the oracle chain).  Both must land before
+    first backend use."""
+    global _JAX_CPU, _JAX_CPU_DEVICES
     if _JAX_CPU is None:
         try:
+            flags = os.environ.get("XLA_FLAGS", "")
+            flags = flags.replace("--xla_allow_excess_precision=true", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                flags += " --xla_force_host_platform_device_count=8"
+            os.environ["XLA_FLAGS"] = flags.strip()
+
             import jax
 
             jax.config.update("jax_platforms", "cpu")
-            jax.devices()
+            try:
+                jax.config.update("jax_num_cpu_devices", 8)
+            except Exception:
+                pass  # older jax: the XLA_FLAGS fallback covers it
+            _JAX_CPU_DEVICES = len(jax.devices())
             _JAX_CPU = True
         except Exception:
             _JAX_CPU = False
@@ -148,6 +168,15 @@ def run_seed(seed: int, keep_dir: str) -> dict:
                 "genotyper_jax", call_batched,
                 dataclasses.replace(native_cfg, genotyper_engine="jax"),
             )
+            # shardmap arm: the pod-scale shard_map PairHMM engine over an
+            # 8-virtual-device (data=4, hap=2) CPU mesh — raw f32 grids via
+            # collectives, exact f64 host finalize.  Extends the single chrM
+            # golden (tests/test_parallel.py) to fresh random genomes.
+            if _JAX_CPU_DEVICES >= 2:
+                arm(
+                    "shardmap", call_batched,
+                    dataclasses.replace(native_cfg, pairhmm_engine="shardmap"),
+                )
 
         n_variants = sum(
             1 for l in arms["python"].splitlines() if not l.startswith(b"#")
