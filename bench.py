@@ -349,6 +349,33 @@ def probe_relay_burst_op_ms(depth: int = 32, reps: int = 3) -> float:
     return best * 1e3
 
 
+def probe_relay_bandwidth_mbps(size_mb: float = 8.0, reps: int = 3):
+    """(put_MB/s, get_MB/s) for one bulk u8 array — the relay's third axis
+    next to op latency and pipelined op throughput.  A packed 16384-pair
+    dispatch group ships ~1 MB of u8 planes + pair indices and reads back
+    ~64 KB of f32, so bytes/put_rate is the bandwidth term of the
+    per-group overhead (the sustained-vs-kernel gap attribution in
+    PERFORMANCE.md); a healthy relay should make it negligible next to the
+    ~1 ms per-put flat cost."""
+    import time
+
+    import jax
+
+    a = np.ones(int(size_mb * 1e6), np.uint8)
+    x = jax.device_put(a)
+    x.block_until_ready()  # warm the transfer path
+    put_best = get_best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x = jax.device_put(a)
+        x.block_until_ready()
+        put_best = min(put_best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = jax.device_get(x)
+        get_best = min(get_best, time.perf_counter() - t0)
+    return size_mb / put_best, size_mb / get_best
+
+
 def bench_kernel_only() -> float:
     """Device-resident kernel throughput (stable across relay phases):
     true cells/s of the production kernel at production shapes.  Shares its
@@ -397,12 +424,21 @@ def device_section() -> dict:
         if relay_op_ms <= 50.0
         else probe_relay_burst_op_ms(depth=8, reps=1)
     )
+    # bandwidth probe sized to the phase: deep degradation gets one 2 MB
+    # round trip instead of three 8 MB ones
+    put_mbps, get_mbps = (
+        probe_relay_bandwidth_mbps()
+        if relay_op_ms <= 50.0
+        else probe_relay_bandwidth_mbps(size_mb=2.0, reps=1)
+    )
     best, rounds, arms = bench_device(reads, haps)
     kernel_cells_per_s = bench_kernel_only()
     e2e_s = bench_e2e_chrm()
     return {
         "relay_op_ms": relay_op_ms,
         "relay_burst_op_ms": relay_burst_op_ms,
+        "relay_put_mbps": put_mbps,
+        "relay_get_mbps": get_mbps,
         "best": best,
         "rounds": rounds,
         "arms": arms,
@@ -640,6 +676,11 @@ def main() -> None:
         # pipelined per-op cost: separates latency-throttled phases (the
         # stream still flows) from op-throughput-throttled ones (it stalls)
         "relay_burst_op_ms": round(dev.get("relay_burst_op_ms", -1.0), 2),
+        # bulk-transfer throughput (8 MB u8 round trip, best-of-3): the
+        # bandwidth term of per-group dispatch overhead, separate from the
+        # flat per-op costs above
+        "relay_put_mbps": round(dev.get("relay_put_mbps", -1.0), 1),
+        "relay_get_mbps": round(dev.get("relay_get_mbps", -1.0), 1),
         "relay_degraded": bool(healthy is None),
         # true only when op THROUGHPUT was also throttled all run (no
         # latency-healthy AND no tp_healthy sample)

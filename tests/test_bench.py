@@ -183,6 +183,16 @@ def test_main_artifact_fields_tp_healthy(monkeypatch, capsys):
     assert out["vs_baseline"] == round(6.9e10 / 345e6, 2)
 
 
+def test_bandwidth_probe_returns_positive_rates():
+    """The bulk-transfer probe (third relay axis) must return finite
+    positive MB/s in both directions on any backend."""
+    put_mbps, get_mbps = bench.probe_relay_bandwidth_mbps(
+        size_mb=1.0, reps=1
+    )
+    assert np.isfinite(put_mbps) and put_mbps > 0
+    assert np.isfinite(get_mbps) and get_mbps > 0
+
+
 def test_sweep_summarize_winner_and_spread():
     """tools/sustained_sweep.summarize: medians, spreads, and the
     winner-separation verdict (margin must exceed BOTH spreads)."""
