@@ -169,6 +169,18 @@ if [ ! -f $MARK/geometry_r5 ] && [ -f $MARK/bench_r5 ]; then
   grep -q median_gcells $ART/geometry_sweep_r5.json && touch $MARK/geometry_r5
 fi
 
+# Device-genotyper dispatch A/B (serial per-bucket fetch vs the r5
+# pipelined+coalesced fetch): interleaved arms, phase-relative valid while
+# alive — the measured effect size behind the genotype_regions_jax
+# restructure (wgs4 device genotype was 441 s latency-bound pre-fix).
+if [ ! -f $MARK/genotyper_ab_r5 ]; then
+  echo "== genotyper dispatch A/B (serial vs pipelined fetch) =="
+  timeout 2400 python tools/genotyper_bench.py --rounds 5 2>/dev/null \
+    | tail -1 > $ART/genotyper_ab_r5.json
+  cat $ART/genotyper_ab_r5.json
+  grep -q speedup $ART/genotyper_ab_r5.json && touch $MARK/genotyper_ab_r5
+fi
+
 # Cold-process pallas walls (VERDICT r4 #8): phase-labeled, valid whenever
 # the relay is ALIVE (the per-line stats attribute the cold terms; the
 # probe line records the phase class).  Marker only when all runs golden.
