@@ -191,6 +191,25 @@ if [ ! -f $MARK/cold_pallas_r5 ]; then
   [ "${n_golden:-0}" -ge 3 ] && touch $MARK/cold_pallas_r5
 fi
 
+# wgs4 device-genotyper recapture on the PIPELINED genotype_regions_jax
+# (dispatch-all + coalesced fetch): the pre-fix capture measured the
+# genotype stage at 441.5 s latency-bound (wgs4_tpu_jaxgt_r5.json); this
+# run measures the same configuration after the fix.  Gated on tp_healthy
+# and on the A/B having landed (which also proves the relay survives
+# genotyper dispatch bursts this phase).
+if [ ! -f $MARK/wgs4_jaxgt2_r5 ] && [ -f $MARK/genotyper_ab_r5 ] \
+   && [ -f /tmp/wgs4/wgs.sam ] && [ $tp_healthy = 1 ]; then
+  echo "== wgs4 recapture: pipelined device genotyper =="
+  timeout 10800 python -m gatk_hc_tpu.cli -I /tmp/wgs4/wgs.sam -R /tmp/wgs4/wgs.fa \
+    -O /tmp/wgs4/out_r5c.vcf --pairhmm pallas --genotyper jax --stream-contigs --stats \
+    > $ART/wgs4_tpu_jaxgt2_r5.json 2>&1
+  tail -1 $ART/wgs4_tpu_jaxgt2_r5.json
+  if [ -s /tmp/wgs4/out_r5c.vcf ] && cmp -s /tmp/wgs4/out_r5c.vcf /tmp/wgs4/out_r5.vcf; then
+    echo WGS4_RECAPTURE_VCF_IDENTICAL
+    grep -q '"stages"' $ART/wgs4_tpu_jaxgt2_r5.json && touch $MARK/wgs4_jaxgt2_r5
+  fi
+fi
+
 # ---------- tier 2: only meaningful in a HEALTHY phase ----------
 [ $healthy = 1 ] || { echo "backlog state: $(ls $MARK)"; exit 0; }
 
