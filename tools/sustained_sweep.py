@@ -84,16 +84,27 @@ ARMS = [
      "fuse": 4},
     {"name": "b16-packed-fuse8", "budget": 16384, "mode": "packed",
      "fuse": 8},
+    # pipeline-depth axis (the one dispatch knob never swept): deeper
+    # in-flight queues and/or finer submit batches keep more launches
+    # enqueued when per-op relay latency spikes; readbacks coalesce per
+    # submit batch, so jps=2 also doubles fetch granularity
+    {"name": "b16-packed-d6", "budget": 16384, "mode": "packed",
+     "depth": 6},
+    {"name": "b16-packed-jps2", "budget": 16384, "mode": "packed",
+     "jps": 2},
+    {"name": "b16-packed-d6-jps2", "budget": 16384, "mode": "packed",
+     "depth": 6, "jps": 2},
 ]
 
 
-def run_stream(runner, jobs, jobs_per_submit: int = 4) -> float:
-    """bench.py's pipelined stream: submit chunk k+1 before draining k."""
+def run_stream(runner, jobs, jobs_per_submit: int = 4, depth: int = 3) -> float:
+    """bench.py's pipelined stream: submit chunk k+1 before draining k,
+    keeping up to `depth` submit batches in flight."""
     t0 = time.perf_counter()
     pending = []
     for i in range(0, len(jobs), jobs_per_submit):
         pending.append(runner.submit(jobs[i : i + jobs_per_submit]))
-        while len(pending) > 2:
+        while len(pending) > depth - 1:
             runner.drain([pending.pop(0)])
     runner.drain(pending)
     return time.perf_counter() - t0
@@ -124,7 +135,8 @@ def main() -> None:
         runners[arm["name"]] = make_runner(arm)
         t0 = time.perf_counter()
         warm = [PairHMMJob(reads, haps) for _ in range(args.n_jobs)]
-        run_stream(runners[arm["name"]], warm)
+        run_stream(runners[arm["name"]], warm,
+                   arm.get("jps", 4), arm.get("depth", 3))
         print(
             f"# warm {arm['name']}: {time.perf_counter()-t0:.1f}s "
             f"(relay_op_ms {probe_relay_op_ms():.1f})",
@@ -137,7 +149,8 @@ def main() -> None:
         for arm in arms:
             name = arm["name"]
             jobs = [PairHMMJob(reads, haps) for _ in range(args.n_jobs)]
-            dt = run_stream(runners[name], jobs)
+            dt = run_stream(runners[name], jobs,
+                            arm.get("jps", 4), arm.get("depth", 3))
             results[name].append(dt)
             print(json.dumps({
                 "round": rnd, "arm": name, "wall_s": round(dt, 3),

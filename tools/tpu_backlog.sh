@@ -191,6 +191,19 @@ if [ ! -f $MARK/cold_pallas_r5 ]; then
   [ "${n_golden:-0}" -ge 3 ] && touch $MARK/cold_pallas_r5
 fi
 
+# Pipeline-depth sweep (the one dispatch knob never swept): depth-6
+# in-flight queues and jps-2 submit batches vs the production depth-3/jps-4
+# on the winning packed arm.  Phase-relative valid while alive; 32 jobs so
+# the deeper queues actually fill.
+if [ ! -f $MARK/depth_sweep_r5 ] && [ -f $MARK/genotyper_ab_r5 ]; then
+  echo "== pipeline-depth sweep (d3/jps4 vs d6 vs jps2 vs d6+jps2) =="
+  timeout 5400 python tools/sustained_sweep.py --rounds 5 --n-jobs 32 \
+    --arms b16-packed,b16-packed-d6,b16-packed-jps2,b16-packed-d6-jps2 \
+    2>/dev/null | tee /tmp/depth_r5_full.log | tail -1 > $ART/depth_sweep_r5.json
+  cat $ART/depth_sweep_r5.json
+  grep -q median_gcells $ART/depth_sweep_r5.json && touch $MARK/depth_sweep_r5
+fi
+
 # wgs4 device-genotyper recapture on the PIPELINED genotype_regions_jax
 # (dispatch-all + coalesced fetch): the pre-fix capture measured the
 # genotype stage at 441.5 s latency-bound (wgs4_tpu_jaxgt_r5.json); this
