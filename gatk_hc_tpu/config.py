@@ -209,6 +209,18 @@ class HCConfig:
     dispatch_mode: str = _env_choice(
         "GATK_HC_TPU_DISPATCH", "adaptive", ("adaptive", "planes", "packed")
     )
+    # Minimal-bytes packed shipping (the r5 bandwidth-probe lever: the
+    # relay moves ~100 MB/s and transfers serialize with compute, so bytes
+    # ARE wall time).  When a single-chunk unfused packed group's read
+    # bytes fit a (<=8 seq symbols) x (<=32 qual symbols) dictionary —
+    # always, for ACGTN reads with <=32 distinct quality bytes — the read
+    # planes ship as 1 B/base nibble pairs + a 72-entry mini-table, and the
+    # (2, B) pair-index arrays are replaced by a per-job span table
+    # expanded on device (pairhmm_pallas_packed_nib, bitwise identical).
+    # Groups whose alphabets overflow fall back to the raw packed program.
+    packed_nib: bool = _env_choice(
+        "GATK_HC_TPU_PACKED_NIB", "1", ("0", "1")
+    ) == "1"
     # Rows swept per grid step in the ppe kernel.  4 measured fastest on
     # the v5e (149.5 vs 134.8 Gcells/s true for 2; tools/kernel_bench.py
     # 2026-08-17) and is hardware-verified bitwise-identical to 1/2-row.

@@ -93,6 +93,26 @@ def packed_signature_key(
     )
 
 
+def packed_nib_signature_key(
+    platform: str,
+    nr_pad: int,
+    nh_pad: int,
+    r_pad: int,
+    c_pad: int,
+    n_pairs: int,
+    n_spans: int,
+    ppe_rows: int,
+    trans: Tuple,
+) -> str:
+    """Key for the minimal-bytes packed dispatch
+    (pairhmm_pallas_packed_nib)."""
+    trans_tag = hashlib.sha256(repr(tuple(trans)).encode()).hexdigest()[:8]
+    return (
+        f"packednib-{platform}-{nr_pad}x{nh_pad}-{r_pad}x{c_pad}"
+        f"-B{n_pairs}-S{n_spans}-ppe{ppe_rows}-t{trans_tag}-{_source_hash()}"
+    )
+
+
 def packed_fused_signature_key(
     platform: str,
     k: int,

@@ -1183,6 +1183,104 @@ def pairhmm_pallas_packed_fused(
     return jax.lax.map(one, (u8bufs, i32bufs, pairs)).reshape(-1)
 
 
+def _expand_pairs_from_spans(spans, n_pairs: int):
+    """Device pair-index expansion from per-job span descriptors
+    ((S, 4) i32 rows [read_base, hap_base, nr, nh], jobs in group order):
+    replaces shipping the (2, B) pair-index arrays — 8 B/pair, 128 KB per
+    16384-pair group through a ~100 MB/s relay link where transfers
+    serialize with compute (relay_put_mbps, depth_sweep_r5).  Must be
+    bitwise-identical to the host construction in runner._submit_group:
+    read-major within each job, jobs in span order, tail positions past
+    the group's pair total padded with pair (0, 0).  Padding span rows
+    (all-zero) contribute zero pairs; searchsorted side='right' skips
+    zero-count rows that share a start with a real row."""
+    counts = spans[:, 2] * spans[:, 3]
+    starts = jnp.cumsum(counts) - counts
+    total = starts[-1] + counts[-1]
+    i = jax.lax.iota(jnp.int32, n_pairs)
+    j = jnp.clip(
+        jnp.searchsorted(starts, i, side="right").astype(jnp.int32) - 1,
+        0, spans.shape[0] - 1,
+    )
+    nh = jnp.maximum(jnp.take(spans[:, 3], j), 1)
+    local = i - jnp.take(starts, j)
+    pr = jnp.take(spans[:, 0], j) + local // nh
+    ph = jnp.take(spans[:, 1], j) + local % nh
+    valid = i < total
+    zero = jnp.int32(0)
+    return jnp.where(valid, pr, zero), jnp.where(valid, ph, zero)
+
+
+def _unpack_nib_ppe(u8buf, i32buf, minitab, ppe_table,
+                    nr_pad, nh_pad, r_pad, c_pad):
+    """Nibble-dictionary unpack (the packednib shipping encoding): each
+    read byte carries (seq_idx << 5) | qual_idx into per-group mini-tables
+    the host builds from the SAME plane tables every other encoding uses
+    (minitab layout: [0:8] seq one-hot masks, [8:40] omq f32 bits,
+    [40:72] q3 f32 bits; dictionary index 0 is pinned to byte 0 so padding
+    bytes yield the exact values of the raw-u8 encodings).  Halves the
+    read-plane bytes vs raw [reads | quals] shipping; haps stay raw bytes
+    through the 768-entry table's mask segment.  u8buf layout:
+    [nib reads (NR*R) | haps (NH*C)]."""
+    nrr = nr_pad * r_pad
+    nb = u8buf[:nrr].astype(jnp.int32)
+    masks = jnp.take(minitab, nb >> 5)
+    omq = jnp.take(minitab, (nb & 31) + 8)
+    q3 = jnp.take(minitab, (nb & 31) + 40)
+    ru = jnp.concatenate([masks, omq, q3]).reshape(3, nr_pad, r_pad)
+    hu = jnp.take(
+        ppe_table, u8buf[nrr : nrr + nh_pad * c_pad].astype(jnp.int32)
+    ).reshape(nh_pad, c_pad)
+    read_lens = i32buf[:nr_pad]
+    hap_lens = i32buf[nr_pad : nr_pad + nh_pad]
+    init_y = jax.lax.bitcast_convert_type(
+        i32buf[nr_pad + nh_pad : nr_pad + 2 * nh_pad], jnp.float32
+    )
+    return ru, hu, read_lens, hap_lens, init_y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_pairs", "nr_pad", "nh_pad", "r_pad", "c_pad", "ppe_rows",
+        "interpret",
+    ),
+)
+def pairhmm_pallas_packed_nib(
+    u8buf: jnp.ndarray,  # [nib reads | haps] group bytes
+    i32buf: jnp.ndarray,  # [rlens | hlens | init_y bits]
+    minitab: jnp.ndarray,  # (72,) per-group dictionary mini-tables
+    ppe_table: jnp.ndarray,  # 768-entry combined element table (device)
+    spans: jnp.ndarray,  # (S, 4) i32 job span descriptors
+    trans: Tuple,
+    n_pairs: int,
+    nr_pad: int,
+    nh_pad: int,
+    r_pad: int,
+    c_pad: int,
+    ppe_rows: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ONE-launch minimal-bytes packed dispatch: nibble-dictionary unpack
+    (_unpack_nib_ppe) + on-device pair expansion (_expand_pairs_from_spans)
+    + ppe kernel in a single XLA program.  vs pairhmm_pallas_packed this
+    ships ~62%% fewer bytes per 16384-pair group (reads+quals 2 B/base ->
+    1 B/base; the 128 KB pair arrays -> a <=1 KB span table) — the lever
+    the r5 bandwidth probe identified (~100 MB/s put rate means transfers
+    serialize with the 6.5 ms kernel; depth_sweep_r5 measured sustained
+    pinned at ~half the kernel rate).  All pre-kernel ops are exact
+    gathers/int ops, so results are bitwise identical to every other
+    dispatch path."""
+    tables = _unpack_nib_ppe(
+        u8buf, i32buf, minitab, ppe_table, nr_pad, nh_pad, r_pad, c_pad
+    )
+    pr, ph = _expand_pairs_from_spans(spans, n_pairs)
+    return dispatch_pairs_ppe(
+        *tables, jnp.stack([pr, ph]), trans, r_pad=r_pad, c_pad=c_pad,
+        ppe_rows=ppe_rows, interpret=interpret,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("nr_pad", "nh_pad", "r_pad", "c_pad")
 )

@@ -525,6 +525,74 @@ class PallasPairHMMRunner:
                 self._call_cache[key] = fn
             return fn
 
+    def _packed_nib_callable(self, nr_pad, nh_pad, r_pad, c_pad, n_pairs,
+                             n_spans):
+        """One-launch program for a single-chunk minimal-bytes packed group
+        (pairhmm_pallas_packed_nib: nibble-dictionary unpack + on-device
+        pair expansion + kernel — ~62% fewer bytes shipped per group than
+        the raw packed encoding through the bandwidth-bound relay)."""
+        key = ("packednib", nr_pad, nh_pad, r_pad, c_pad, n_pairs, n_spans,
+               self.interpret)
+        fn = self._call_cache.get(key)
+        if fn is not None:
+            return fn
+        with self._call_lock:
+            fn = self._call_cache.get(key)
+            if fn is None:
+                import functools
+
+                import jax
+
+                from . import aot
+                from .pairhmm_pallas import pairhmm_pallas_packed_nib
+
+                if not self.interpret:
+                    fn = aot.load(
+                        aot.packed_nib_signature_key(
+                            jax.default_backend(), nr_pad, nh_pad,
+                            r_pad, c_pad, n_pairs, n_spans,
+                            self.cfg.ppe_rows, self.trans,
+                        )
+                    )
+                if fn is None:
+                    fn = functools.partial(
+                        pairhmm_pallas_packed_nib,
+                        trans=self.trans, n_pairs=n_pairs,
+                        nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad,
+                        c_pad=c_pad,
+                        ppe_rows=self.cfg.ppe_rows, interpret=self.interpret,
+                    )
+                self._call_cache[key] = fn
+            return fn
+
+    def _nib_encode(self, read_u8, qual_u8):
+        """Nibble-dictionary encoding of a group's read planes, or None
+        when the group's alphabets overflow (seq > 8 or qual > 32 distinct
+        bytes — never for ACGTN reads with binned qualities).  Byte 0 is
+        forced into both dictionaries at index 0 so the zero padding bytes
+        map to the exact values the raw-u8 encodings produce for them.
+        Returns ((nr_pad, r_pad) u8 nibble planes, (72,) i32 mini-table)."""
+        cs = np.bincount(read_u8.ravel(), minlength=256)
+        cs[0] += 1
+        seq_vals = np.nonzero(cs)[0]
+        if seq_vals.size > 8:
+            return None
+        cq = np.bincount(qual_u8.ravel(), minlength=256)
+        cq[0] += 1
+        qual_vals = np.nonzero(cq)[0]
+        if qual_vals.size > 32:
+            return None
+        lut_s = np.zeros(256, np.uint8)
+        lut_s[seq_vals] = np.arange(seq_vals.size, dtype=np.uint8)
+        lut_q = np.zeros(256, np.uint8)
+        lut_q[qual_vals] = np.arange(qual_vals.size, dtype=np.uint8)
+        nib = (lut_s[read_u8] << np.uint8(5)) | lut_q[qual_u8]
+        minitab = np.zeros(72, np.int32)
+        minitab[: seq_vals.size] = self._mask_tab[seq_vals]
+        minitab[8 : 8 + qual_vals.size] = self._omq_bits_tab[qual_vals]
+        minitab[40 : 40 + qual_vals.size] = self._q3_bits_tab[qual_vals]
+        return nib, minitab
+
     def _packed_fused_callable(self, k, nr_pad, nh_pad, r_pad, c_pad,
                                n_pairs):
         """Jitted one-launch program for k stacked same-signature packed
@@ -1119,6 +1187,50 @@ class PallasPairHMMRunner:
                         (nr_pad, nh_pad, r_pad, c_pad), device,
                     ))
                     return None
+                nib = (
+                    self._nib_encode(read_u8, qual_u8)
+                    if self.cfg.packed_nib and len(sizes) == 1
+                    else None
+                )
+                if nib is not None:
+                    # minimal-bytes single-chunk dispatch: 1 B/base nibble
+                    # read planes + per-job span table expanded on device
+                    # (no pair arrays shipped) — the bandwidth-bound-relay
+                    # lever (relay_put_mbps ~100 MB/s, transfers serialize
+                    # with the kernel)
+                    nib_u8, minitab = nib
+                    u8buf_n = np.concatenate(
+                        [nib_u8.ravel(), hap_u8.ravel()]
+                    )
+                    n_spans = 8
+                    while n_spans < len(spans):
+                        n_spans *= 2
+                    spans_arr = np.zeros((n_spans, 4), np.int32)
+                    for si, (g, _start, s_nr, s_nh) in enumerate(spans):
+                        spans_arr[si] = (
+                            read_base_idx[g], hap_base_idx[g], s_nr, s_nh
+                        )
+                    u8_dev, i32_dev, mt_dev, sp_dev = jax.device_put(
+                        [u8buf_n, i32buf, minitab, spans_arr], device
+                    )
+                    _b, _o, _q, ppe_tab = self._device_tables(device)
+                    fn = self._packed_nib_callable(
+                        nr_pad, nh_pad, r_pad, c_pad, sizes[0], n_spans
+                    )
+                    outs.append(
+                        fn(u8_dev, i32_dev, mt_dev, ppe_tab, sp_dev)
+                    )
+                    self.dispatch_counts["packednib"] = (
+                        self.dispatch_counts.get("packednib", 0) + 1
+                    )
+                    if calibrate:
+                        for o in outs:
+                            o.block_until_ready()
+                        self._path_ctl.record(
+                            path,
+                            (time.perf_counter() - t0) / max(covered, 1),
+                        )
+                    return (outs, (spans, total))
                 u8_dev, i32_dev, *pairs_devs = jax.device_put(
                     [u8buf, i32buf] + chunk_pairs, device
                 )

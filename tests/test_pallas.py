@@ -459,6 +459,142 @@ class TestPackedFusedDispatch:
             np.testing.assert_array_equal(a.result, b.result)
 
 
+class TestPackedNib:
+    """The minimal-bytes packed encoding (pairhmm_pallas_packed_nib):
+    nibble-dictionary read planes + on-device span-expanded pair indices.
+    Must be bitwise identical to the planes and raw packed paths (same
+    element-table VALUES selected through per-group dictionaries; same
+    pair order by construction), engage only when the group's alphabets
+    fit, and fall back to the raw packed program when they don't."""
+
+    def _runner(self, forced="packed", nib=True):
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, read_pad_buckets=(32,), hap_pad_buckets=(128,),
+            dispatch_mode=forced, fuse_groups=1, packed_nib=nib,
+        )
+        r = PallasPairHMMRunner(cfg, pair_budget=1024, interpret=True)
+        r._allow_ppe_interpret = True
+        return r
+
+    def test_nib_matches_planes_bitwise(self, rng):
+        # multi-job groups with ragged nr/nh -> multi-span expansion and a
+        # padded tail chunk (covered > total)
+        jobs_a = [make_job(rng, 3 + (i % 4), 2 + (i % 3)) for i in range(10)]
+        jobs_b = [PairHMMJob(j.reads, j.haps) for j in jobs_a]
+        nibr = self._runner(forced="packed", nib=True)
+        nibr.run(jobs_a)
+        assert nibr.dispatch_counts.get("packednib", 0) > 0
+        assert "packed" not in nibr.dispatch_counts
+        plain = self._runner(forced="planes")
+        plain.run(jobs_b)
+        for a, b in zip(jobs_a, jobs_b):
+            np.testing.assert_array_equal(a.result, b.result)
+
+    def test_nib_matches_raw_packed_bitwise(self, rng):
+        jobs_a = [make_job(rng, 8, 16) for _ in range(6)]
+        jobs_b = [PairHMMJob(j.reads, j.haps) for j in jobs_a]
+        self._runner(forced="packed", nib=True).run(jobs_a)
+        raw = self._runner(forced="packed", nib=False)
+        raw.run(jobs_b)
+        assert raw.dispatch_counts.get("packed", 0) > 0
+        assert "packednib" not in raw.dispatch_counts
+        for a, b in zip(jobs_a, jobs_b):
+            np.testing.assert_array_equal(a.result, b.result)
+
+    def test_alphabet_overflow_falls_back_to_raw_packed(self, rng):
+        # >32 distinct qual bytes in one group -> the dictionary overflows
+        # and the raw packed program must take over (same results)
+        import random as _random
+
+        reads = []
+        for i in range(8):
+            read, _, hap = make_pair(rng, 24, 60, 1)
+            quals = "".join(
+                chr(33 + ((i * 24 + k) % 60)) for k in range(len(read))
+            )
+            reads.append((to_bytes(read), to_bytes(quals)))
+        _, _, hap = make_pair(rng, 10, 60, 0)
+        job_a = PairHMMJob(reads, [to_bytes(hap)])
+        job_b = PairHMMJob(reads, [to_bytes(hap)])
+        r = self._runner(forced="packed", nib=True)
+        r.run([job_a])
+        assert r.dispatch_counts.get("packed", 0) > 0
+        assert "packednib" not in r.dispatch_counts
+        self._runner(forced="planes").run([job_b])
+        np.testing.assert_array_equal(job_a.result, job_b.result)
+
+    def test_expand_pairs_from_spans_matches_host(self):
+        """Device span expansion == the host pr/ph construction, including
+        zero-count padding rows and the padded tail past the pair total."""
+        import jax.numpy as jnp
+
+        from gatk_hc_tpu.ops.pairhmm_pallas import _expand_pairs_from_spans
+
+        spans = [(0, 0, 3, 2), (3, 2, 1, 5), (4, 7, 2, 2)]
+        pr_parts, ph_parts = [], []
+        for rb, hb, nr, nh in spans:
+            pr_parts.append(np.repeat(np.arange(rb, rb + nr), nh))
+            ph_parts.append(np.tile(np.arange(hb, hb + nh), nr))
+        total = sum(nr * nh for _, _, nr, nh in spans)
+        B = 32  # > total -> tail must pad with pair (0, 0)
+        want_pr = np.zeros(B, np.int32)
+        want_ph = np.zeros(B, np.int32)
+        want_pr[:total] = np.concatenate(pr_parts)
+        want_ph[:total] = np.concatenate(ph_parts)
+        spans_arr = np.zeros((8, 4), np.int32)  # padded span rows
+        spans_arr[: len(spans)] = spans
+        pr, ph = _expand_pairs_from_spans(jnp.asarray(spans_arr), B)
+        np.testing.assert_array_equal(np.asarray(pr), want_pr)
+        np.testing.assert_array_equal(np.asarray(ph), want_ph)
+
+    def test_unpack_nib_matches_plane_tables(self):
+        """_unpack_nib_ppe through a host-built dictionary must reproduce
+        the exact planes of the raw encodings, including padding bytes."""
+        import jax.numpy as jnp
+
+        from gatk_hc_tpu.ops.pairhmm_pallas import (
+            _unpack_nib_ppe,
+            plane_tables,
+            ppe_element_table,
+        )
+        from gatk_hc_tpu.utils.quality import (
+            BASE_TABLE,
+            INITIAL_CONSTANT_F32,
+            PH2PR_F32,
+        )
+
+        nprng = np.random.default_rng(7)
+        nr, nh, r_pad, c_pad = 8, 4, 16, 32
+        read_u8 = np.zeros((nr, r_pad), np.uint8)
+        qual_u8 = np.zeros((nr, r_pad), np.uint8)
+        read_u8[:, :13] = nprng.choice(
+            np.frombuffer(b"ACGTN", np.uint8), (nr, 13)
+        )
+        qual_u8[:, :13] = nprng.integers(53, 74, (nr, 13)).astype(np.uint8)
+        hap_u8 = nprng.choice(np.frombuffer(b"ACGT", np.uint8), (nh, c_pad))
+        read_lens = np.full(nr, 13, np.int32)
+        hap_lens = np.full(nh, c_pad, np.int32)
+        init_y = (
+            INITIAL_CONSTANT_F32 / hap_lens.astype(np.float32)
+        ).astype(np.float32)
+        runner = self._runner()
+        nib, minitab = runner._nib_encode(read_u8, qual_u8)
+        u8buf = np.concatenate([nib.ravel(), hap_u8.ravel()])
+        i32buf = np.concatenate([read_lens, hap_lens, init_y.view(np.int32)])
+        ru, hu, rl, hl, iy = _unpack_nib_ppe(
+            jnp.asarray(u8buf), jnp.asarray(i32buf), jnp.asarray(minitab),
+            jnp.asarray(ppe_element_table(BASE_TABLE, PH2PR_F32)),
+            nr, nh, r_pad, c_pad,
+        )
+        mask_tab, omq_tab, q3_tab = plane_tables(BASE_TABLE, PH2PR_F32)
+        np.testing.assert_array_equal(np.asarray(ru[0]), mask_tab[read_u8])
+        np.testing.assert_array_equal(np.asarray(ru[1]), omq_tab[qual_u8])
+        np.testing.assert_array_equal(np.asarray(ru[2]), q3_tab[qual_u8])
+        np.testing.assert_array_equal(np.asarray(hu), mask_tab[hap_u8])
+        np.testing.assert_array_equal(np.asarray(rl), read_lens)
+        np.testing.assert_array_equal(np.asarray(hl), hap_lens)
+
+
 class TestPackedUnpack:
     def test_prepare_tables_ppe_matches_plane_tables(self):
         """The packed-path device unpack (runner layout [reads|quals|haps],

@@ -39,6 +39,7 @@ def make_runner(arm):
     cfg = dataclasses.replace(
         DEFAULT_CONFIG, dispatch_mode=arm["mode"], device_timeout_s=0.0,
         fuse_groups=arm.get("fuse", 1), fuse_auto=False,
+        packed_nib=arm.get("nib", True),
     )
     runner = PallasPairHMMRunner(cfg, pair_budget=arm["budget"])
     if arm.get("read_buckets"):
@@ -84,6 +85,11 @@ ARMS = [
      "fuse": 4},
     {"name": "b16-packed-fuse8", "budget": 16384, "mode": "packed",
      "fuse": 8},
+    # raw-packed control arm for the nibble-encoding A/B (packed_nib is
+    # the production default; this arm ships the r4-style raw u8 planes +
+    # pair arrays — ~2.6x the bytes through the bandwidth-bound relay)
+    {"name": "b16-packed-raw", "budget": 16384, "mode": "packed",
+     "nib": False},
     # pipeline-depth axis (the one dispatch knob never swept): deeper
     # in-flight queues and/or finer submit batches keep more launches
     # enqueued when per-op relay latency spikes; readbacks coalesce per

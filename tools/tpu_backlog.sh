@@ -204,6 +204,32 @@ if [ ! -f $MARK/depth_sweep_r5 ] && [ -f $MARK/genotyper_ab_r5 ]; then
   grep -q median_gcells $ART/depth_sweep_r5.json && touch $MARK/depth_sweep_r5
 fi
 
+# Nibble-encoding A/B (the r5 bandwidth lever: ~100 MB/s put rate,
+# transfers serialize with the kernel, depth_sweep pinned sustained at
+# ~half the kernel rate): production packed_nib (1 B/base + span table)
+# vs raw packed (2 B/base + 128 KB pair arrays), interleaved, plus planes
+# context.  Phase-relative valid while alive.
+if [ ! -f $MARK/nib_ab_r5 ]; then
+  echo "== nibble-encoding A/B (packed_nib vs raw packed) =="
+  timeout 5400 python tools/sustained_sweep.py --rounds 5 \
+    --arms b16-packed,b16-packed-raw,b16-planes \
+    2>/dev/null | tee /tmp/nib_r5_full.log | tail -1 > $ART/nib_ab_r5.json
+  cat $ART/nib_ab_r5.json
+  if grep -q median_gcells $ART/nib_ab_r5.json; then
+    # hardware bitwise golden through the FORCED nib packed path (the
+    # sweep already asserts cross-arm bitwise equality on the bench
+    # workload; this pins the full chrM pipeline)
+    GATK_HC_TPU_DISPATCH=packed timeout 1800 python -m gatk_hc_tpu.cli \
+      -I fixtures/chrM.sam -R fixtures/chrM.fa -O /tmp/out_nib.vcf \
+      --pairhmm pallas 2>&1 | tail -1
+    if diff -q /tmp/out_nib.vcf fixtures/chrM.golden.vcf; then
+      echo NIB_GOLDEN_OK; touch $MARK/nib_ab_r5
+    else
+      echo NIB_GOLDEN_MISMATCH_OR_TIMEOUT
+    fi
+  fi
+fi
+
 # wgs4 device-genotyper recapture on the PIPELINED genotype_regions_jax
 # (dispatch-all + coalesced fetch): the pre-fix capture measured the
 # genotype stage at 441.5 s latency-bound (wgs4_tpu_jaxgt_r5.json); this

@@ -266,6 +266,59 @@ def main():
                 flush=True,
             )
 
+    # minimal-bytes packed programs (packed_nib, the production packed
+    # encoding since r5): span buckets 8 (whole-group jobs, the bench
+    # shape) and 64 (~40 small wgs-shaped jobs per group)
+    from gatk_hc_tpu.ops.pairhmm_pallas import pairhmm_pallas_packed_nib
+
+    for (nr, nh), r_pad, c_pad, chunk in combos:
+        u8n_len = nr * r_pad + nh * c_pad
+        i32_len = nr + 2 * nh
+        for n_spans in (8, 64):
+
+            def fnib(u8, i32, mt, tab, spans, nr=nr, nh=nh, r_pad=r_pad,
+                     c_pad=c_pad, chunk=chunk):
+                return pairhmm_pallas_packed_nib(
+                    u8, i32, mt, tab, spans, trans, n_pairs=chunk,
+                    nr_pad=nr, nh_pad=nh, r_pad=r_pad, c_pad=c_pad,
+                    ppe_rows=cfg.ppe_rows,
+                )
+
+            key = aot.packed_nib_signature_key(
+                platform, nr, nh, r_pad, c_pad, chunk, n_spans,
+                cfg.ppe_rows, trans,
+            )
+            shapes = (
+                jax.ShapeDtypeStruct((u8n_len,), jnp.uint8),
+                jax.ShapeDtypeStruct((i32_len,), jnp.int32),
+                jax.ShapeDtypeStruct((72,), jnp.int32),
+                jax.ShapeDtypeStruct(ppe_tab.shape, ppe_tab.dtype),
+                jax.ShapeDtypeStruct((n_spans, 4), jnp.int32),
+            )
+            spans_np = np.zeros((n_spans, 4), np.int32)
+            spans_np[0] = (0, 0, nr, max(1, chunk // nr))
+            t0 = time.time()
+            fn = aot.load(key)
+            exported = "cached-export"
+            if fn is None:
+                aot.save(key, fnib, shapes)
+                fn = aot.load(key)
+                exported = "exported"
+            if fn is None:
+                fn, exported = fnib, "jit"
+            np.asarray(fn(
+                jnp.asarray(np.ones((u8n_len,), np.uint8)),
+                jnp.asarray(np.ones((i32_len,), np.int32)),
+                jnp.asarray(np.zeros(72, np.int32)),
+                ppe_tab, jnp.asarray(spans_np),
+            ))
+            print(
+                f"packednib nr={nr} nh={nh} r_pad={r_pad} c_pad={c_pad} "
+                f"chunk={chunk} S={n_spans}: {time.time()-t0:.1f}s "
+                f"({exported})",
+                flush=True,
+            )
+
     # the driver's single-chip entry-point program
     import __graft_entry__ as g
 
