@@ -1183,6 +1183,46 @@ def pairhmm_pallas_packed_fused(
     return jax.lax.map(one, (u8bufs, i32bufs, pairs)).reshape(-1)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_pairs", "nr_pad", "nh_pad", "r_pad", "c_pad", "ppe_rows",
+        "interpret",
+    ),
+)
+def pairhmm_pallas_packed_nib_fused(
+    u8bufs: jnp.ndarray,  # (k, U) stacked nib byte buffers
+    i32bufs: jnp.ndarray,  # (k, I) stacked length/init buffers
+    minitabs: jnp.ndarray,  # (k, 72) per-group dictionary mini-tables
+    ppe_table: jnp.ndarray,  # shared 768-entry combined element table
+    spans: jnp.ndarray,  # (k, S, 4) stacked job span descriptors
+    trans: Tuple,
+    n_pairs: int,
+    nr_pad: int,
+    nh_pad: int,
+    r_pad: int,
+    c_pad: int,
+    ppe_rows: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ONE-launch dispatch of k same-signature NIB groups: minimal bytes
+    (1 B/base + span tables) composed with k-fold launch amortization, so
+    the deep-degraded fusion path no longer regresses to the raw packed
+    encoding's 2.6x transfer size.  lax.map of pairhmm_pallas_packed_nib —
+    each group's result is BITWISE identical to its own nib dispatch.
+    Returns (k*B,) f32, group-major."""
+
+    def one(xs):
+        u8, i32, mt, sp = xs
+        return pairhmm_pallas_packed_nib(
+            u8, i32, mt, ppe_table, sp, trans, n_pairs=n_pairs,
+            nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
+            ppe_rows=ppe_rows, interpret=interpret,
+        )
+
+    return jax.lax.map(one, (u8bufs, i32bufs, minitabs, spans)).reshape(-1)
+
+
 def _expand_pairs_from_spans(spans, n_pairs: int):
     """Device pair-index expansion from per-job span descriptors
     ((S, 4) i32 rows [read_base, hap_base, nr, nh], jobs in group order):

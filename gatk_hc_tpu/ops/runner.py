@@ -565,6 +565,33 @@ class PallasPairHMMRunner:
                 self._call_cache[key] = fn
             return fn
 
+    def _packed_nib_fused_callable(self, k, nr_pad, nh_pad, r_pad, c_pad,
+                                   n_pairs, n_spans):
+        """Jitted one-launch program for k stacked same-signature nib
+        groups (pairhmm_pallas_packed_nib_fused): minimal bytes AND k-fold
+        launch amortization, so deep-degraded fusion no longer regresses
+        to the raw packed encoding's 2.6x transfer size."""
+        key = ("packednibfused", k, nr_pad, nh_pad, r_pad, c_pad, n_pairs,
+               n_spans, self.interpret)
+        fn = self._call_cache.get(key)
+        if fn is not None:
+            return fn
+        with self._call_lock:
+            fn = self._call_cache.get(key)
+            if fn is None:
+                import functools
+
+                from .pairhmm_pallas import pairhmm_pallas_packed_nib_fused
+
+                fn = functools.partial(
+                    pairhmm_pallas_packed_nib_fused,
+                    trans=self.trans, n_pairs=n_pairs,
+                    nr_pad=nr_pad, nh_pad=nh_pad, r_pad=r_pad, c_pad=c_pad,
+                    ppe_rows=self.cfg.ppe_rows, interpret=self.interpret,
+                )
+                self._call_cache[key] = fn
+            return fn
+
     def _nib_encode(self, read_u8, qual_u8):
         """Nibble-dictionary encoding of a group's read planes, or None
         when the group's alphabets overflow (seq > 8 or qual > 32 distinct
@@ -1165,28 +1192,9 @@ class PallasPairHMMRunner:
                 path, calibrate = self._path_ctl.choose()
             t0 = time.perf_counter() if calibrate else 0.0
             if path == "packed":
-                # packed path: raw uint8 shipping (2 B/base) + ONE fused
-                # device gather through the 768-entry combined table
-                # (_unpack_u8_ppe) before pair expansion
-                u8buf = np.concatenate(
-                    [read_u8.ravel(), qual_u8.ravel(), hap_u8.ravel()]
-                )
                 i32buf = np.concatenate(
                     [read_lens, hap_lens, hap_init_y.view(np.int32)]
                 )
-                if (
-                    fuse_sink is not None
-                    and not calibrate
-                    and len(sizes) == 1
-                ):
-                    # defer for fused dispatch (_dispatch_fused): k
-                    # same-signature packed groups become ONE launch
-                    fuse_sink.append((
-                        "packed", (u8buf, i32buf), chunk_pairs[0],
-                        sizes[0], spans, total,
-                        (nr_pad, nh_pad, r_pad, c_pad), device,
-                    ))
-                    return None
                 nib = (
                     self._nib_encode(read_u8, qual_u8)
                     if self.cfg.packed_nib and len(sizes) == 1
@@ -1210,12 +1218,24 @@ class PallasPairHMMRunner:
                         spans_arr[si] = (
                             read_base_idx[g], hap_base_idx[g], s_nr, s_nh
                         )
+                    if fuse_sink is not None and not calibrate:
+                        # defer for fused dispatch (_dispatch_fused): k
+                        # same-signature nib groups become ONE launch,
+                        # minimal bytes AND amortized launches
+                        fuse_sink.append((
+                            "packednib",
+                            (u8buf_n, i32buf, minitab, spans_arr), None,
+                            sizes[0], spans, total,
+                            (nr_pad, nh_pad, r_pad, c_pad), device,
+                        ))
+                        return None
                     u8_dev, i32_dev, mt_dev, sp_dev = jax.device_put(
                         [u8buf_n, i32buf, minitab, spans_arr], device
                     )
                     _b, _o, _q, ppe_tab = self._device_tables(device)
                     fn = self._packed_nib_callable(
-                        nr_pad, nh_pad, r_pad, c_pad, sizes[0], n_spans
+                        nr_pad, nh_pad, r_pad, c_pad, sizes[0],
+                        spans_arr.shape[0],
                     )
                     outs.append(
                         fn(u8_dev, i32_dev, mt_dev, ppe_tab, sp_dev)
@@ -1231,6 +1251,25 @@ class PallasPairHMMRunner:
                             (time.perf_counter() - t0) / max(covered, 1),
                         )
                     return (outs, (spans, total))
+                # raw packed fallback: uint8 shipping (2 B/base) + ONE
+                # fused device gather through the 768-entry combined table
+                # (_unpack_u8_ppe) before pair expansion
+                u8buf = np.concatenate(
+                    [read_u8.ravel(), qual_u8.ravel(), hap_u8.ravel()]
+                )
+                if (
+                    fuse_sink is not None
+                    and not calibrate
+                    and len(sizes) == 1
+                ):
+                    # defer for fused dispatch (_dispatch_fused): k
+                    # same-signature packed groups become ONE launch
+                    fuse_sink.append((
+                        "packed", (u8buf, i32buf), chunk_pairs[0],
+                        sizes[0], spans, total,
+                        (nr_pad, nh_pad, r_pad, c_pad), device,
+                    ))
+                    return None
                 u8_dev, i32_dev, *pairs_devs = jax.device_put(
                     [u8buf, i32buf] + chunk_pairs, device
                 )
@@ -1354,10 +1393,15 @@ class PallasPairHMMRunner:
 
         buckets: Dict = {}
         for rec in records:
-            path, _payload, _pairs, size, _spans, _total, sig, _dev = rec
-            buckets.setdefault((path, sig, size), []).append(rec)
+            path, payload, _pairs, size, _spans, _total, sig, _dev = rec
+            # nib records additionally key on the span-table bucket (the
+            # fused program is specialized on it and np.stack needs equal
+            # shapes)
+            extra = payload[3].shape[0] if path == "packednib" else None
+            buckets.setdefault((path, sig, size, extra), []).append(rec)
         entries = []
-        for (path, sig, size), recs in buckets.items():
+        _FUSE_LABEL = {"packed": "packedfused", "packednib": "packednibfused"}
+        for (path, sig, size, extra), recs in buckets.items():
             nr_pad, nh_pad, r_pad, c_pad = sig
             for i in range(0, len(recs), self.cfg.fuse_groups):
                 part = recs[i : i + self.cfg.fuse_groups]
@@ -1366,13 +1410,38 @@ class PallasPairHMMRunner:
                 spans_totals = [(rec[4], rec[5]) for rec in part]
                 label = (
                     path if k == 1
-                    else ("packedfused" if path == "packed" else "fused")
-                    + str(k)
+                    else _FUSE_LABEL.get(path, "fused") + str(k)
                 )
                 self.dispatch_counts[label] = (
                     self.dispatch_counts.get(label, 0) + 1
                 )
-                if path == "packed":
+                if path == "packednib":
+                    _b, _o, _q, ppe_tab = self._device_tables(device)
+                    if k == 1:
+                        u8, i32, mt, sp = part[0][1]
+                        u8_d, i32_d, mt_d, sp_d = jax.device_put(
+                            [u8, i32, mt, sp], device
+                        )
+                        fn = self._packed_nib_callable(
+                            nr_pad, nh_pad, r_pad, c_pad, size, extra
+                        )
+                        entries.append((
+                            [fn(u8_d, i32_d, mt_d, ppe_tab, sp_d)],
+                            spans_totals[0],
+                        ))
+                        continue
+                    u8s = np.stack([r[1][0] for r in part])
+                    i32s = np.stack([r[1][1] for r in part])
+                    mts = np.stack([r[1][2] for r in part])
+                    sps = np.stack([r[1][3] for r in part])
+                    u8s_d, i32s_d, mts_d, sps_d = jax.device_put(
+                        [u8s, i32s, mts, sps], device
+                    )
+                    fn = self._packed_nib_fused_callable(
+                        k, nr_pad, nh_pad, r_pad, c_pad, size, extra
+                    )
+                    out = fn(u8s_d, i32s_d, mts_d, ppe_tab, sps_d)
+                elif path == "packed":
                     _b, _o, _q, ppe_tab = self._device_tables(device)
                     if k == 1:
                         (u8buf, i32buf), pairs = part[0][1], part[0][2]

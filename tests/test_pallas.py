@@ -408,6 +408,11 @@ class TestPackedFusedDispatch:
         cfg = dataclasses.replace(
             DEFAULT_CONFIG, read_pad_buckets=(32,), hap_pad_buckets=(128,),
             fuse_groups=fuse, dispatch_mode=forced, fuse_auto=False,
+            # pin the RAW packed encoding: with packed_nib (the default)
+            # every eligible group would defer as packednib instead, and
+            # the raw fused program would lose its only CPU coverage
+            # (TestPackedNib covers the nib variants)
+            packed_nib=False,
         )
         r = PallasPairHMMRunner(cfg, pair_budget=1024, interpret=True)
         r._allow_ppe_interpret = True
@@ -522,6 +527,28 @@ class TestPackedNib:
         assert "packednib" not in r.dispatch_counts
         self._runner(forced="planes").run([job_b])
         np.testing.assert_array_equal(job_a.result, job_b.result)
+
+    def test_nib_fused_matches_planes_bitwise(self, rng):
+        """k same-signature nib groups fuse into ONE launch
+        (pairhmm_pallas_packed_nib_fused) — bitwise identical to unfused
+        planes dispatch, and the fused label records the nib encoding."""
+        jobs_a = [make_job(rng, 8, 16) for _ in range(12)]
+        jobs_b = [PairHMMJob(j.reads, j.haps) for j in jobs_a]
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, read_pad_buckets=(32,), hap_pad_buckets=(128,),
+            fuse_groups=4, dispatch_mode="packed", fuse_auto=False,
+        )
+        fused = PallasPairHMMRunner(cfg, pair_budget=1024, interpret=True)
+        fused._allow_ppe_interpret = True
+        fused.run(jobs_a)
+        assert any(
+            k.startswith("packednibfused") for k in fused.dispatch_counts
+        )
+        assert "packedfused2" not in fused.dispatch_counts
+        plain = self._runner(forced="planes")
+        plain.run(jobs_b)
+        for a, b in zip(jobs_a, jobs_b):
+            np.testing.assert_array_equal(a.result, b.result)
 
     def test_expand_pairs_from_spans_matches_host(self):
         """Device span expansion == the host pr/ph construction, including

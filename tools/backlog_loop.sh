@@ -7,7 +7,7 @@ HOURS=${1:-10}
 MARK=/tmp/tpu_backlog
 mkdir -p $MARK
 DEADLINE=$(( $(date +%s) + HOURS * 3600 ))
-ALL="aot_r5 e2e_r5 packedfused_golden kernel_rows_r5 bench_r5 sweep_r5 geometry_r5 cold_pallas_r5 wgs4_r5 genotyper_ab_r5 wgs4_jaxgt2_r5 nib_ab_r5 sweep_healthy_r5"
+ALL="aot_r5 e2e_r5 packedfused_golden kernel_rows_r5 bench_r5 sweep_r5 geometry_r5 cold_pallas_r5 wgs4_r5 genotyper_ab_r5 wgs4_jaxgt2_r5 nib_ab_r5 nibfused_golden sweep_healthy_r5"
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   done_all=1
   for m in $ALL; do [ -f $MARK/$m ] || done_all=0; done

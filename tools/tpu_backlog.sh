@@ -230,6 +230,19 @@ if [ ! -f $MARK/nib_ab_r5 ]; then
   fi
 fi
 
+# Hardware bitwise golden through the FORCED nib-fused dispatch
+# (packednibfused4: minimal bytes + k-fold launch amortization, the
+# deep-degraded production path since packed_nib landed).
+if [ ! -f $MARK/nibfused_golden ]; then
+  echo "== nib-fused dispatch: hardware bitwise golden =="
+  GATK_HC_TPU_DISPATCH=packed GATK_HC_TPU_FUSE_GROUPS=4 GATK_HC_TPU_FUSE_AUTO=0 \
+    timeout 1800 python -m gatk_hc_tpu.cli -I fixtures/chrM.sam -R fixtures/chrM.fa \
+    -O /tmp/out_nf.vcf --pairhmm pallas 2>&1 | tail -1
+  diff -q /tmp/out_nf.vcf fixtures/chrM.golden.vcf \
+    && { echo NIBFUSED_GOLDEN_OK; touch $MARK/nibfused_golden; } \
+    || echo NIBFUSED_GOLDEN_MISMATCH_OR_TIMEOUT
+fi
+
 # wgs4 device-genotyper recapture on the PIPELINED genotype_regions_jax
 # (dispatch-all + coalesced fetch): the pre-fix capture measured the
 # genotype stage at 441.5 s latency-bound (wgs4_tpu_jaxgt_r5.json); this
